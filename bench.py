@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no driver-side collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Stable headline set — extend as operators land. Names must exist in
+# the registry; missing ones are reported with value -1.
+HEADLINE = [
+    "windowed_metrics",
+    "metrics_aggregation",
+    "failure_classification",
+    "record_map",
+    "batch_limit",
+    "checkpoint_commit",
+    "ordering_audit",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from go_zoom_kinesis_spark import registry
+    from go_zoom_kinesis_spark.session import get_spark
+
+    spark = get_spark(app_name="gzk-bench")
+    queries = registry.all_queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            timings[name] = -1.0
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

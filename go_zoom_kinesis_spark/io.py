@@ -1,0 +1,75 @@
+"""Table loading over the driver-generated parquet test data.
+
+``TESTDATA.md``: tables ``region nation customer supplier part orders
+lineitem events documents embeddings`` live as one parquet file each
+under ``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Parquet scans are the engine's only batch source; Catalyst handles
+predicate pushdown and column pruning, so loaders stay dumb — no
+caching, no collect, no schema mangling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as a long of nanoseconds. Convert to a microsecond timestamp
+    (floor division — identical to DuckDB's ns→µs truncation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer division — nanos ~1.7e18 exceed double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return _normalize_ns_timestamps(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table; missing files are skipped (some sf dirs may
+    lack the LLM-pipeline tables)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = _normalize_ns_timestamps(spark.read.parquet(path))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (for the SQL API)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

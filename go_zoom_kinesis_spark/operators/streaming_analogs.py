@@ -1,0 +1,348 @@
+"""Batch analogs of the reference's streaming dataflow stages.
+
+The reference (`/root/reference`, Rust) consumes Kinesis shards in
+parallel, maps each record through a user function with soft/hard retry
+classification, checkpoints the max successful sequence per shard, and
+aggregates per-shard windowed metrics. Each query below re-expresses one
+stage (SURVEY.md §2.1 row ids in brackets) over the ``events`` table
+using the fixture mapping of FIXTURES.md §B:
+
+  shard_id          = user_id % N_SHARDS     (src/processor.rs:256-258)
+  sequence_number   = event_id; string form lpad(event_id, 20, '0')
+                      (src/processor.rs:233-235; 100-digit-safe ordering
+                       per src/tests/initial_position_tests.rs:717)
+  partition_key     = cast(user_id as string) (src/processor.rs:251-253)
+  arrival timestamp = ts                      (src/processor.rs:241-245)
+  payload           = props JSON              (src/lib.rs:69)
+  outcome           = 'hard' if event_type='error', 'soft' if
+                      event_id%17==0 else 'success'
+                      (src/error.rs:213-230 classification)
+
+Everything is built-in `pyspark.sql.functions` — no Python UDFs — so the
+whole surface stays inside whole-stage codegen and scales by partition
+count alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+
+N_SHARDS = 8
+# S4/S5: GetRecords batch_size default 100 (src/processor.rs:373) ×
+# max_batch_retrieval_loops default 10 (src/processor.rs:384)
+BATCH_SIZE = 100
+MAX_BATCH_LOOPS = 10
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def with_envelope(df: DataFrame) -> DataFrame:
+    """Attach the Kinesis-record envelope columns (FIXTURES.md §B)."""
+    return df.select(
+        "*",
+        F.pmod(F.col("user_id"), F.lit(N_SHARDS)).alias("shard_id"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0").alias("sequence_number"),
+        F.col("user_id").cast("string").alias("partition_key"),
+    )
+
+
+def with_outcome(df: DataFrame) -> DataFrame:
+    """Soft/hard/success classification (src/error.rs:213-230): hard ⇒
+    skip permanently, soft ⇒ retried until success, else success."""
+    return df.withColumn(
+        "outcome",
+        F.when(F.col("event_type") == "error", F.lit("hard"))
+        .when(F.col("event_id") % 17 == 0, F.lit("soft"))
+        .otherwise(F.lit("success")),
+    )
+
+
+# --- S1: shard discovery (src/client.rs:98-106) -------------------------
+
+
+def shard_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_shards → the distinct shard ids present in the stream."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(N_SHARDS)).alias("shard_id")
+    ).distinct()
+
+
+# --- S2: stream positioning (src/client.rs:108-165) ---------------------
+
+
+def position_after_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AtSequenceNumber resume: records strictly after the stored
+    checkpoint (AfterSequenceNumber semantics, src/processor.rs:825-837).
+    The filter is a pushed-down parquet predicate."""
+    ev = with_envelope(_events(spark, sf_dir))
+    return ev.filter(F.col("event_id") > 500).select(
+        "event_id", "shard_id", "sequence_number", "partition_key", "ts"
+    )
+
+
+def position_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AtTimestamp resume (src/client.rs:150-158): ts >= t."""
+    ev = with_envelope(_events(spark, sf_dir))
+    return ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        "event_id", "shard_id", "ts", "event_type"
+    )
+
+
+# --- S4/S5: record batch scan with batch caps ---------------------------
+
+
+def batch_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One accumulated processing batch per shard: ordered scan capped at
+    batch_size × max_batch_retrieval_loops records
+    (src/processor.rs:997-1138, caps src/processor.rs:1013-1022)."""
+    ev = with_envelope(_events(spark, sf_dir))
+    w = Window.partitionBy("shard_id").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_SIZE * MAX_BATCH_LOOPS)
+        .select("shard_id", "event_id", "rn")
+    )
+
+
+# --- T1: per-record user map (src/processor.rs:133-155) -----------------
+
+
+def record_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user `process_record` surface: decode the opaque payload
+    (from_json = the doc example's UTF-8 decode, src/processor.rs:51-53),
+    transform, and drop Ok(None) records (src/processor.rs:1502-1505).
+
+    Spark-first: from_json + arithmetic stays in codegen; no Python.
+    """
+    ev = with_envelope(_events(spark, sf_dir))
+    decoded = ev.withColumn("k", F.from_json(F.col("props"), PROPS_SCHEMA)["k"])
+    return (
+        decoded.filter(F.col("k") % 5 != 0)  # Ok(None) ⇒ filtered out
+        .select(
+            "event_id",
+            "shard_id",
+            "k",
+            F.round(
+                F.when(F.col("event_type") == "purchase", F.col("value") * 1.1).otherwise(
+                    F.col("value")
+                ),
+                4,
+            ).alias("adjusted_value"),
+        )
+    )
+
+
+# --- T2: retry-with-error-classification (src/processor.rs:1490-1525) ---
+
+
+def failure_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard outcome counts: soft ⇒ retried to success
+    (src/processor.rs:1506-1510), hard ⇒ skipped permanently
+    (src/processor.rs:1511-1514). Partial aggregation (map-side combine)
+    makes this a single shuffle of N_SHARDS rows regardless of input size.
+    """
+    ev = with_outcome(with_envelope(_events(spark, sf_dir)))
+    return ev.groupBy("shard_id").agg(
+        F.count(F.when(F.col("outcome") == "success", 1)).alias("n_success"),
+        F.count(F.when(F.col("outcome") == "soft", 1)).alias("n_soft"),
+        F.count(F.when(F.col("outcome") == "hard", 1)).alias("n_hard"),
+        F.max(F.when(F.col("outcome") != "hard", F.col("event_id"))).alias(
+            "last_successful_seq"
+        ),
+    )
+
+
+# --- K1: checkpoint sink (src/processor.rs:1561-1629) -------------------
+
+
+def checkpoint_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint value = max successfully-processed sequence per shard
+    (fold at src/processor.rs:1542-1560; save at src/processor.rs:1607-1629).
+    Hard-failed records are skipped but do not block the checkpoint."""
+    ev = with_outcome(with_envelope(_events(spark, sf_dir)))
+    return ev.filter(F.col("outcome") != "hard").groupBy("shard_id").agg(
+        F.max("event_id").alias("checkpoint_seq"),
+        F.lpad(F.max("event_id").cast("string"), 20, "0").alias("checkpoint_seq_str"),
+        F.count("*").alias("n_committed"),
+    )
+
+
+# --- A2: running per-shard metrics (src/monitoring/metrics.rs:114-302) --
+
+
+def metrics_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetricsAggregator equivalent: per-shard processed/failed/retry
+    counts plus running avg/max (avg src/monitoring/metrics.rs:149-153,
+    max :154-156) — one hash aggregate, N_SHARDS output rows."""
+    ev = with_outcome(with_envelope(_events(spark, sf_dir)))
+    return ev.groupBy("shard_id").agg(
+        F.count(F.when(F.col("outcome") != "hard", 1)).alias("records_processed"),
+        F.count(F.when(F.col("outcome") == "hard", 1)).alias("records_failed"),
+        F.count(F.when(F.col("outcome") == "soft", 1)).alias("soft_retries"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.min("ts").alias("first_event_ts"),
+        F.max("ts").alias("last_event_ts"),
+    )
+
+
+# --- A3: windowed metrics emission (src/monitoring/metrics.rs:304-356) --
+
+
+def windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-shard metrics (metrics_interval ticks,
+    src/monitoring/types.rs:32) + the checkpoint analog max(seq). Uses
+    F.window so the identical expression runs under Structured Streaming
+    with a watermark (state eviction = the reference's idle-shard drop,
+    src/monitoring/metrics.rs:357-360)."""
+    ev = with_envelope(_events(spark, sf_dir))
+    return (
+        ev.groupBy("shard_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.max("event_id").alias("checkpoint_seq"),
+        )
+        .select(
+            "shard_id",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+            "max_value",
+            "checkpoint_seq",
+        )
+    )
+
+
+# --- O1: per-shard ordering audit (src/processor.rs:1450-1459) ----------
+
+
+def ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within a shard, records must be strictly sequence-ordered. Audit:
+    read in shard/sequence order, count inversions via lag (must be 0)
+    and the max sequence gap (resharding/skip visibility)."""
+    ev = with_envelope(_events(spark, sf_dir))
+    w = Window.partitionBy("shard_id").orderBy("event_id")
+    gaps = ev.select(
+        "shard_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    return gaps.groupBy("shard_id").agg(
+        F.count("*").alias("n_records"),
+        F.count(F.when(F.col("event_id") <= F.col("prev_id"), 1)).alias("n_violations"),
+        F.max(F.col("event_id") - F.col("prev_id")).alias("max_gap"),
+    )
+
+
+QUERIES = {
+    "shard_discovery": shard_discovery,
+    "position_after_sequence": position_after_sequence,
+    "position_at_timestamp": position_at_timestamp,
+    "batch_limit": batch_limit,
+    "record_map": record_map,
+    "failure_classification": failure_classification,
+    "checkpoint_commit": checkpoint_commit,
+    "metrics_aggregation": metrics_aggregation,
+    "windowed_metrics": windowed_metrics,
+    "ordering_audit": ordering_audit,
+}
+
+_OUTCOME_SQL = (
+    "CASE WHEN event_type = 'error' THEN 'hard' "
+    "WHEN event_id % 17 = 0 THEN 'soft' ELSE 'success' END"
+)
+
+ORACLE = {
+    "shard_discovery": f"""
+        SELECT DISTINCT user_id % {N_SHARDS} AS shard_id FROM events
+    """,
+    "position_after_sequence": f"""
+        SELECT event_id,
+               user_id % {N_SHARDS} AS shard_id,
+               lpad(CAST(event_id AS VARCHAR), 20, '0') AS sequence_number,
+               CAST(user_id AS VARCHAR) AS partition_key,
+               ts
+        FROM events WHERE event_id > 500
+    """,
+    "position_at_timestamp": f"""
+        SELECT event_id, user_id % {N_SHARDS} AS shard_id, ts, event_type
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    "batch_limit": f"""
+        SELECT shard_id, event_id, rn FROM (
+            SELECT user_id % {N_SHARDS} AS shard_id, event_id,
+                   row_number() OVER (PARTITION BY user_id % {N_SHARDS}
+                                      ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn <= {BATCH_SIZE * MAX_BATCH_LOOPS}
+    """,
+    "record_map": f"""
+        SELECT event_id,
+               user_id % {N_SHARDS} AS shard_id,
+               CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k,
+               round(CASE WHEN event_type = 'purchase' THEN value * 1.1
+                          ELSE value END, 4) AS adjusted_value
+        FROM events
+        WHERE CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 5 <> 0
+    """,
+    "failure_classification": f"""
+        SELECT user_id % {N_SHARDS} AS shard_id,
+               count(*) FILTER (WHERE {_OUTCOME_SQL} = 'success') AS n_success,
+               count(*) FILTER (WHERE {_OUTCOME_SQL} = 'soft') AS n_soft,
+               count(*) FILTER (WHERE {_OUTCOME_SQL} = 'hard') AS n_hard,
+               max(event_id) FILTER (WHERE {_OUTCOME_SQL} <> 'hard')
+                   AS last_successful_seq
+        FROM events GROUP BY 1
+    """,
+    "checkpoint_commit": f"""
+        SELECT user_id % {N_SHARDS} AS shard_id,
+               max(event_id) AS checkpoint_seq,
+               lpad(CAST(max(event_id) AS VARCHAR), 20, '0') AS checkpoint_seq_str,
+               count(*) AS n_committed
+        FROM events WHERE {_OUTCOME_SQL} <> 'hard'
+        GROUP BY 1
+    """,
+    "metrics_aggregation": f"""
+        SELECT user_id % {N_SHARDS} AS shard_id,
+               count(*) FILTER (WHERE {_OUTCOME_SQL} <> 'hard') AS records_processed,
+               count(*) FILTER (WHERE {_OUTCOME_SQL} = 'hard') AS records_failed,
+               count(*) FILTER (WHERE {_OUTCOME_SQL} = 'soft') AS soft_retries,
+               round(avg(value), 4) AS avg_value,
+               round(max(value), 4) AS max_value,
+               min(ts) AS first_event_ts,
+               max(ts) AS last_event_ts
+        FROM events GROUP BY 1
+    """,
+    "windowed_metrics": f"""
+        SELECT user_id % {N_SHARDS} AS shard_id,
+               date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value,
+               round(max(value), 4) AS max_value,
+               max(event_id) AS checkpoint_seq
+        FROM events GROUP BY 1, 2
+    """,
+    "ordering_audit": f"""
+        SELECT shard_id,
+               count(*) AS n_records,
+               count(*) FILTER (WHERE event_id <= prev_id) AS n_violations,
+               max(event_id - prev_id) AS max_gap
+        FROM (
+            SELECT user_id % {N_SHARDS} AS shard_id, event_id,
+                   lag(event_id) OVER (PARTITION BY user_id % {N_SHARDS}
+                                       ORDER BY event_id) AS prev_id
+            FROM events
+        ) GROUP BY 1
+    """,
+}

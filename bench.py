@@ -58,8 +58,12 @@ def main() -> None:
         if fn is None:
             timings[name] = -1.0
             continue
+        df = fn(spark, SF_DIR)
+        # warm-up run amortizes codegen/JIT + file-footer reads, so the
+        # measured run reflects steady-state throughput
+        df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt

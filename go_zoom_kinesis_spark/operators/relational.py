@@ -1,2 +1,561 @@
-QUERIES = {}
-ORACLE = {}
+"""Relational coverage — SURVEY.md §2.2.
+
+The reference implements no relational operators (it is a stream
+consumer, SURVEY §2.2 table); this module supplies the analytics-layer
+surface with Spark built-ins: joins (broadcast/semi/anti/as-of/range),
+aggregations (partial+final, distinct, rollup/cube), window functions,
+set ops, sorts/top-k, scalar string/date/math functions.
+
+Determinism strategy for oracle parity (DuckDB runs the same SQL):
+- Money-style SUMs are computed over ``CAST(expr AS DECIMAL(25,6))`` —
+  per-row IEEE double arithmetic is bit-identical across engines, the
+  decimal conversion rounds identically, and decimal summation is exact
+  regardless of partial-aggregation order. The final value is cast back
+  to DOUBLE. This removes all float-summation-order risk.
+- AVGs are expressed as exact decimal SUM ÷ COUNT in double.
+- Every LIMIT/top-k orders by a rounded (or exact) key plus a unique
+  tie-break column.
+
+Scale posture: dimension tables are broadcast explicitly; the fact-fact
+joins shuffle on their keys; the range join pre-buckets by day so the
+per-key cross product is bounded (no unbounded theta join at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DEC = "decimal(25,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Exact money sum: double expr → decimal → sum → double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# --- TPC-H-style aggregation (Q1) ---------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary over lineitem: two-key hash aggregate,
+    8 aggregates, map-side partial aggregation then one 6-row shuffle —
+    the canonical 'scan-heavy, shuffle-light' plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc_price).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(DEC)) / F.count("*")).cast("double").alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)) / F.count("*"))
+        .cast("double")
+        .alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(DEC)) / F.count("*")).cast("double").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- Join + top-k (Q3) --------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join (customer ⋈ orders ⋈ lineitem) + grouped
+    revenue + deterministic top-10. customer side is broadcast (a
+    filtered dimension); orders⋈lineitem shuffles on the order key."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+# --- Multi-join star query (Q5) -----------------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table star join; all dimensions broadcast so the only
+    shuffles are lineitem⋈orders and the final 5-row aggregate."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# --- Broadcast join -----------------------------------------------------
+
+
+def join_broadcast_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension: lineitem ⋈ part with an explicit
+    broadcast hint — zero shuffle on the fact side before aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- Semi / anti joins --------------------------------------------------
+
+
+def join_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: orders having at least one high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(hi, orders.o_orderkey == hi.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def join_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: orders with no high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(hi, orders.o_orderkey == hi.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- Window functions ---------------------------------------------------
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: the distributed top-k pattern
+    (row_number over partitioned window, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum (exact decimal), rank, lag over each
+    customer's order history."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# --- Grouping sets ------------------------------------------------------
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) — hierarchical subtotals."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(o_orderstatus, o_orderpriority) — all grouping combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total_price")
+    )
+
+
+# --- Set operations -----------------------------------------------------
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT composition: BUILDING-segment vs high-balance
+    customer key sets, tagged and unioned."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    return (
+        building.intersect(rich).withColumn("tag", F.lit("both"))
+        .unionByName(building.exceptAll(rich.distinct()).withColumn("tag", F.lit("building_only")))
+        .unionByName(rich.exceptAll(building.distinct()).withColumn("tag", F.lit("rich_only")))
+    )
+
+
+# --- Distinct aggregation ----------------------------------------------
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT) in one aggregate (expand+two-phase
+    plan under the hood)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale path where
+    exact distinct is a full shuffle. No DuckDB oracle (sketch values are
+    implementation-specific); driver records a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- Scalar functions ---------------------------------------------------
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar coverage on part (all whole-stage-codegen)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.substring(F.col("p_name"), 1, 10).alias("name10"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("#", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage on orders."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_diff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+# --- As-of join (events) ------------------------------------------------
+
+
+def asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: for every event, the most recent signup
+    of the same user at-or-before its timestamp.
+
+    Spark has no ASOF JOIN; the scalable composition is the union-window
+    trick — union both sides, one partitioned window per user, then
+    ``last(ts, ignoreNulls)`` carries the latest signup forward. One
+    shuffle on user_id, no per-group pandas, works at any scale (vs
+    DuckDB's native ``ASOF LEFT JOIN`` as the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.col("ts").alias("sig_ts"),
+        )
+    )
+    # at equal ts the signup row sorts first (is_left 0 < 1) ⇒ inclusive
+    # "at-or-before" semantics, matching ASOF's ON e.ts >= s.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("last_signup_ts", F.last("sig_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+# --- Range join (events) ------------------------------------------------
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, Spark-first: count follow-up events within 1 day after
+    each user's purchase events.
+
+    Naive theta joins explode at scale; here the build side is exploded
+    to its two covering day-buckets and the join is *equi* on
+    (user_id, day) with the range predicate as a residual filter —
+    bounded per-key work, shuffle on a compound key, AQE-skew-safe."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    # a 1-day look-ahead window spans at most 2 calendar days
+    buckets = purchases.withColumn(
+        "day",
+        F.explode(
+            F.array(
+                F.to_date("p_ts"), F.date_add(F.to_date("p_ts"), 1)
+            )
+        ),
+    )
+    follow = ev.select(
+        F.col("user_id").alias("f_user_id"),
+        F.col("ts").alias("f_ts"),
+        F.to_date("ts").alias("f_day"),
+    )
+    pairs = buckets.join(
+        follow,
+        (F.col("p_user_id") == F.col("f_user_id"))
+        & (F.col("day") == F.col("f_day"))
+        & (F.col("f_ts") > F.col("p_ts"))
+        & (F.col("f_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    return pairs.groupBy(F.col("p_event_id").alias("purchase_event_id")).agg(
+        F.count("*").alias("n_followups"),
+        F.max("f_ts").alias("last_followup_ts"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "join_broadcast_brand": join_broadcast_brand,
+    "join_semi_orders": join_semi_orders,
+    "join_anti_orders": join_anti_orders,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "window_running_total": window_running_total,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "set_ops_customers": set_ops_customers,
+    "distinct_agg": distinct_agg,
+    "approx_distinct_parts": approx_distinct_parts,
+    "scalar_functions": scalar_functions,
+    "date_functions": date_functions,
+    "asof_join_signup": asof_join_signup,
+    "range_join_events": range_join_events,
+}
+
+ORACLE = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "join_broadcast_brand": """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "join_semi_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+    """,
+    "join_anti_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS order_seq,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders WHERE o_custkey < 100
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "set_ops_customers": """
+        SELECT c_custkey, 'both' AS tag FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        UNION ALL
+        SELECT c_custkey, 'building_only' AS tag FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        UNION ALL
+        SELECT c_custkey, 'rich_only' AS tag FROM (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    "distinct_agg": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "scalar_functions": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               substring(p_name, 1, 10) AS name10,
+               length(p_name) AS name_len,
+               concat_ws('#', p_type, p_brand) AS type_brand,
+               round(sqrt(p_retailprice), 6) AS sqrt_price,
+               round(ln(p_retailprice), 6) AS ln_price,
+               p_size % 7 AS size_mod7
+        FROM part WHERE p_partkey < 100
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom,
+               quarter(o_orderdate) AS qtr,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS days_since_epoch_start
+        FROM orders WHERE o_orderkey < 500
+    """,
+    "asof_join_signup": """
+        SELECT e.event_id, e.user_id, e.ts, s.ts AS last_signup_ts
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    "range_join_events": """
+        SELECT p.event_id AS purchase_event_id,
+               count(*) AS n_followups,
+               max(f.ts) AS last_followup_ts
+        FROM events p
+        JOIN events f ON p.user_id = f.user_id
+                     AND f.ts > p.ts
+                     AND f.ts <= p.ts + INTERVAL 1 DAY
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
+}

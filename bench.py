@@ -34,10 +34,18 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "topk_orders_per_customer",
+    "asof_join_signup",
+    "range_join_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_lsh_buckets",
+    "dedup_embedding_nearest",
     "text_quality",
+    "text_fingerprint",
+    "multimodal_features",
 ]
 
 

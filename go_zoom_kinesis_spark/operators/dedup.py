@@ -1,2 +1,310 @@
-QUERIES = {}
-ORACLE = {}
+"""Deduplication suite over ``documents`` — LLM-training-pipeline
+operators designed for 100 TB scale (north-star extension; absent from
+the reference, SURVEY.md §2.2 last row).
+
+All four strategies are pure DataFrame compositions (no Python UDFs):
+
+- exact:        hash-groupBy on sha256(text)
+- minhash_lsh:  shingle → minhash signature → banded LSH buckets →
+                candidate pairs → exact jaccard verify
+- simhash:      per-token signed bit votes → 16-bit signature clusters
+- ngram_jaccard: exact jaccard over shared-shingle candidate pairs
+                 (with a document-frequency cap on hot shingles so the
+                 candidate join stays bounded under skew)
+
+Scale notes: every stage is shuffle-on-key (doc_id, shingle hash, band
+key); nothing collects to the driver. The LSH band join is the classic
+distributed near-dup path: candidates ∝ true near-dups, not n².
+Hot-key skew in the shingle join is capped by MAX_DOC_FREQ (mirrored in
+the oracle SQL so results stay bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashes as H
+from ..io import load_table
+
+JACCARD_THRESHOLD = 0.5  # minhash verify threshold
+NGRAM_THRESHOLD = 0.3  # exact n-gram jaccard report threshold
+MAX_DOC_FREQ = 100  # hot-shingle cap for the exact candidate join
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- exact --------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle keyed on the content hash; canonical =
+    min doc_id per group (deterministic survivor choice)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("text_sha", F.sha2(F.col("text"), 256))
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- shared shingle-hash relation --------------------------------------
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, shash) distinct — word-3-gram shingles, portable hash."""
+    toks = H.tokens_col(F.col("text"))
+    return (
+        docs.select("doc_id", F.explode(H.shingles_col(toks)).alias("sh"))
+        .select("doc_id", H.char_hash_col(F.col("sh")).alias("shash"))
+        .distinct()
+    )
+
+
+def _shingle_counts(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+
+def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact jaccard for candidate (doc_a, doc_b) pairs via a selective
+    join of only the candidates' shingle sets."""
+    counts = _shingle_counts(sh)
+    sh_b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shash").alias("b_shash"))
+    common = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("b_doc")) & (F.col("shash") == F.col("b_shash")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+# --- minhash + LSH ------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: 16 minhashes, 4 bands × 4 rows
+    (catches jaccard ≳ 0.5 with high probability), banded bucket join
+    for candidates, exact jaccard verification ≥ 0.5."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingle_hashes(docs).cache()
+
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(H.affine_col(F.col("shash"), i)).alias(f"mh{i}")
+            for i in range(H.NUM_HASHES)
+        ]
+    )
+    band_exprs = []
+    for b in range(H.NUM_BANDS):
+        cols = ",".join(
+            f"mh{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)
+        )
+        band_exprs.append(f"{b}, concat_ws('-', {cols})")
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({H.NUM_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)",
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b_, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = _pair_jaccard(cand, sh)
+    return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+# --- simhash ------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash clustering: each distinct token votes ±1 on 16 bit
+    channels; the sign vector packs into a 16-bit signature; identical
+    signatures form a dup cluster. One groupBy(doc) + one groupBy(sig).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", F.explode(H.tokens_col(F.col("text"))).alias("tok"))
+        .select("doc_id", H.char_hash_col(F.col("tok")).alias("thash"))
+        .distinct()
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum((H.affine_col(F.col("thash"), j) % 2) * 2 - 1).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sigs = votes.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
+    return sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members")
+    )
+
+
+# --- exact n-gram jaccard ----------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram jaccard: candidates = pairs sharing ≥1 (frequency-
+    capped) shingle, then exact jaccard ≥ 0.3. The df-cap bounds the
+    per-shingle pair blowup (skew control at scale)."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingle_hashes(docs).cache()
+    df_ok = (
+        sh.groupBy("shash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DOC_FREQ)
+        .select("shash")
+    )
+    sh_capped = sh.join(df_ok, "shash")
+    cand = (
+        sh_capped.select(F.col("doc_id").alias("doc_a"), "shash")
+        .join(sh_capped.select(F.col("doc_id").alias("doc_b"), "shash"), "shash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = _pair_jaccard(cand, sh)
+    return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+
+# --- oracle SQL (same constants, same formulas) -------------------------
+
+_TOKS = H.TOKENS_SQL.format(text="text")
+_SHINGLES = H.SHINGLES_SQL.format(toks="toks")
+_CHAR_HASH_S = H.CHAR_HASH_SQL.format(s="s")
+
+_SH_CTES = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shd AS (
+        SELECT doc_id,
+               list_distinct(list_transform({_SHINGLES},
+                             s -> {_CHAR_HASH_S})) AS hs
+        FROM tk
+    ),
+    sh AS (SELECT doc_id, unnest(hs) AS shash FROM shd)
+"""
+
+_MH_COLS = ",\n               ".join(
+    f"list_aggregate(list_transform(hs, h -> {H.affine_sql('h', i)}), 'min') AS mh{i}"
+    for i in range(H.NUM_HASHES)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sig".format(
+        b=b,
+        cols=",".join(f"mh{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)),
+    )
+    for b in range(H.NUM_BANDS)
+)
+
+_JACCARD_SQL = (
+    "len(list_intersect(x.hs, y.hs))::DOUBLE / "
+    "len(list_distinct(list_concat(x.hs, y.hs)))"
+)
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT sha256(text) AS text_sha,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+    "dedup_minhash_lsh": f"""
+        {_SH_CTES},
+        sig AS (
+            SELECT doc_id, {_MH_COLS}
+            FROM shd WHERE len(hs) > 0
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+            SELECT doc_a, doc_b, {_JACCARD_SQL} AS j
+            FROM cand
+            JOIN shd x ON x.doc_id = doc_a
+            JOIN shd y ON y.doc_id = doc_b
+        ) WHERE j >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        th AS (
+            SELECT DISTINCT doc_id,
+                   {H.CHAR_HASH_SQL.format(s="tok")} AS thash
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(({H.affine_sql('thash', j)}) % 2 * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS))}
+            FROM th GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST({" + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+            FROM votes
+        )
+        SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_members
+        FROM sigs GROUP BY simhash
+    """,
+    "dedup_ngram_jaccard": f"""
+        {_SH_CTES},
+        df_ok AS (
+            SELECT shash FROM sh GROUP BY shash HAVING count(*) <= {MAX_DOC_FREQ}
+        ),
+        shc AS (SELECT sh.doc_id, sh.shash FROM sh JOIN df_ok USING (shash)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shc a JOIN shc b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+            SELECT doc_a, doc_b, {_JACCARD_SQL} AS j
+            FROM cand
+            JOIN shd x ON x.doc_id = doc_a
+            JOIN shd y ON y.doc_id = doc_b
+        ) WHERE j >= {NGRAM_THRESHOLD}
+    """,
+}

@@ -1,2 +1,240 @@
-QUERIES = {}
-ORACLE = {}
+"""Similarity search over ``embeddings`` (64-dim float vectors) —
+north-star extension (SURVEY.md §2.2): approximate-nearest-neighbor
+with a brute-force cosine baseline and an LSH-bucketed scale path.
+
+Cosine arithmetic is a *sequential fold in double* on both engines
+(zip_with + aggregate in Spark; list_transform + list_reduce in DuckDB)
+so scores are bit-identical — no float tolerance games in the oracle.
+
+Scale posture: the query set is broadcast (tiny), the candidate scan is
+one pass, and top-k is a partitioned window — no global sort. The LSH
+variant hashes both sides into 2^8 hyperplane-sign buckets and joins on
+the bucket key, turning O(Q·N) into O(Q·N/256)-expected work — the
+standard distributed ANN sharding step (an IVF coarse quantizer would
+replace the hash with learned centroids; same join shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import A, B
+from ..io import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_PLANES = 8
+LSH_TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with elements pre-cast to double (deterministic
+    arithmetic; float ops would round differently per engine)."""
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+        "label",
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — order-deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, one candidate
+    scan, per-query window top-5 (deterministic tie-break on vec_id)."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ).filter(F.col("q_id") < N_QUERIES)
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.withColumn(
+        "cos_sim_raw",
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim_raw", 6).alias("cos_sim"), "rk")
+    )
+
+
+def _bucket_col(emb: Column) -> Column:
+    """Hyperplane-sign LSH bucket: plane j coefficient for dim i is
+    ((A_j*(i+1) + B_j) % 61) - 30 — deterministic pseudo-random ±."""
+    def _plane_term(j: int):
+        return lambda x, i: x * ((F.lit(A[j]) * (i + 1) + B[j]) % 61 - 30).cast("double")
+
+    sig = None
+    for j in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.transform(emb, _plane_term(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("bigint")
+
+
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's 8-bit hyperplane
+    signature; cosine + top-3 within the bucket. Equi-join on the bucket
+    key ⇒ shuffle-partitionable at any scale."""
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn(
+        "bucket", _bucket_col(F.col("emb"))
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    ).filter(F.col("q_id") < N_QUERIES)
+    pairs = emb.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.withColumn(
+        "cos_sim_raw",
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LSH_TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim_raw", 6).alias("cos_sim"), "rk")
+    )
+
+
+def dedup_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan: every vector's nearest neighbor
+    (the near-dup decision is then a threshold on cos_sim; this corpus
+    has none above 0.52, so the full ranked output is reported)."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    other = emb.select(
+        F.col("vec_id").alias("o_id"),
+        F.col("emb").alias("o_emb"),
+        F.col("norm").alias("o_norm"),
+    )
+    pairs = emb.join(other, F.col("vec_id") < F.col("o_id"))
+    scored = pairs.withColumn(
+        "cos_sim_raw",
+        _dot(F.col("emb"), F.col("o_emb")) / (F.col("norm") * F.col("o_norm")),
+    )
+    # symmetrize so each vector sees all its pairings
+    sym = scored.select(
+        F.col("vec_id"), F.col("o_id"), "cos_sim_raw"
+    ).unionByName(
+        scored.select(
+            F.col("o_id").alias("vec_id"), F.col("vec_id").alias("o_id"), "cos_sim_raw"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim_raw"), F.asc("o_id"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("o_id").alias("nearest_id"),
+            F.round("cos_sim_raw", 6).alias("cos_sim"),
+            (F.col("cos_sim_raw") >= 0.95).alias("is_near_dup"),
+        )
+    )
+
+
+QUERIES = {
+    "similarity_topk": similarity_topk,
+    "similarity_lsh_buckets": similarity_lsh_buckets,
+    "dedup_embedding_nearest": dedup_embedding_nearest,
+}
+
+
+# --- oracle SQL ---------------------------------------------------------
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])), "
+    "(acc, v) -> acc + v)"
+)
+_NORM = f"sqrt({_DOT.format(a='{a}', b='{a}')})"
+
+_PLANE_COEFF = "(({A} * i + {B}) % 61 - 30)"
+_BUCKET = "CAST(" + " + ".join(
+    f"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(generate_series(1, 64), "
+    f"i -> emb[i] * CAST({_PLANE_COEFF.format(A=A[j], B=B[j])} AS DOUBLE))), "
+    f"(acc, v) -> acc + v) > 0 THEN {2**j} ELSE 0 END"
+    for j in range(LSH_PLANES)
+) + " AS BIGINT)"
+
+_EMB_CTE = f"""
+    WITH e AS (
+        SELECT vec_id, {_EMB_D} AS emb FROM embeddings
+    ),
+    en AS (
+        SELECT vec_id, emb, {_NORM.format(a='emb')} AS norm FROM e
+    )
+"""
+
+ORACLE = {
+    "similarity_topk": f"""
+        {_EMB_CTE}
+        SELECT q_id, vec_id, round(c, 6) AS cos_sim, rk FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   {_DOT.format(a='q.emb', b='c.emb')} / (q.norm * c.norm) AS c,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DOT.format(a='q.emb', b='c.emb')} / (q.norm * c.norm) DESC,
+                                c.vec_id ASC) AS rk
+            FROM en q JOIN en c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
+    "similarity_lsh_buckets": f"""
+        {_EMB_CTE},
+        eb AS (SELECT vec_id, emb, norm, {_BUCKET} AS bucket FROM en)
+        SELECT q_id, vec_id, round(c, 6) AS cos_sim, rk FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   {_DOT.format(a='q.emb', b='c.emb')} / (q.norm * c.norm) AS c,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DOT.format(a='q.emb', b='c.emb')} / (q.norm * c.norm) DESC,
+                                c.vec_id ASC) AS rk
+            FROM eb q JOIN eb c ON q.bucket = c.bucket
+             AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rk <= {LSH_TOP_K}
+    """,
+    "dedup_embedding_nearest": f"""
+        {_EMB_CTE},
+        pairs AS (
+            SELECT a.vec_id, b.vec_id AS o_id,
+                   {_DOT.format(a='a.emb', b='b.emb')} / (a.norm * b.norm) AS c
+            FROM en a JOIN en b ON a.vec_id < b.vec_id
+        ),
+        sym AS (
+            SELECT vec_id, o_id, c FROM pairs
+            UNION ALL
+            SELECT o_id AS vec_id, vec_id AS o_id, c FROM pairs
+        )
+        SELECT vec_id, o_id AS nearest_id, round(c, 6) AS cos_sim,
+               c >= 0.95 AS is_near_dup
+        FROM (
+            SELECT vec_id, o_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, o_id ASC) AS rk
+            FROM sym
+        ) WHERE rk = 1
+    """,
+}

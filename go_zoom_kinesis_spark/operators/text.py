@@ -1,2 +1,213 @@
-QUERIES = {}
-ORACLE = {}
+"""Text-analysis operators over ``documents`` — north-star extension
+(SURVEY.md §2.2): language-ID, quality scoring, token counting,
+document fingerprinting. All built-in higher-order functions (JVM
+codegen); ratio arithmetic is count/count division so values are
+bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashes as H
+from ..io import load_table
+
+P = H.P
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Priority order breaks score ties deterministically.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "de", "y", "los", "que", "en", "una"],
+    "de": ["der", "die", "und", "das", "ein", "mit", "von"],
+    "zh": ["de", "shi", "le", "zai", "wo", "you", "he"],
+}
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _toks(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", H.tokens_col(F.col("text")))
+
+
+def _stop_hits(lang: str) -> Column:
+    """# distinct tokens appearing in the language's stopword list."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("toks")),
+            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+        )
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: score each language by distinct
+    stopword matches; argmax with fixed priority, 'und' when no hits.
+    (This corpus draws every doc from one English-ish vocabulary, so
+    the interesting output is the deterministic scoring pipeline, not
+    accuracy against the random `lang` label.)"""
+    docs = _toks(_docs(spark, sf_dir))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_stop_hits(lang).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(
+            (F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        *[F.col(f"s_{lang}") for lang in LANG_ORDER],
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio, length saturation, stopword
+    ratio → weighted score. Exactly the filter stage of a pretraining
+    data pipeline (per-row, embarrassingly parallel)."""
+    docs = _toks(_docs(spark, sf_dir))
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    ttr = n_distinct / n_tokens
+    len_sat = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_ratio = _stop_hits("en") / n_distinct
+    score = F.round(0.4 * ttr + 0.3 * len_sat + 0.3 * stop_ratio, 6)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(len/4) per token — ~4 chars/token heuristic) + char length."""
+    docs = _toks(_docs(spark, sf_dir))
+    subwords = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.ceil(F.length(t) / 4)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_ws_tokens"),
+        subwords.alias("n_subwords_est"),
+        F.length("text").alias("n_text_chars"),
+        "n_chars",
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token hashes — fp = fold((acc*131 + h(tok)) % P). Same token
+    sequence ⇒ same fingerprint; any reorder changes it (vs simhash/
+    minhash which are order-blind)."""
+    docs = _toks(_docs(spark, sf_dir))
+    fp = F.aggregate(
+        F.transform(F.col("toks"), H.char_hash_col),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % P,
+    )
+    with_fp = docs.select("doc_id", fp.alias("fingerprint"))
+    clusters = with_fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members")
+    )
+    return with_fp.join(clusters, "fingerprint").select(
+        "doc_id", "fingerprint", "canonical_id", "n_members"
+    )
+
+
+QUERIES = {
+    "text_language_id": text_language_id,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "text_fingerprint": text_fingerprint,
+}
+
+
+# --- oracle SQL ---------------------------------------------------------
+
+_TOKS = H.TOKENS_SQL.format(text="text")
+
+
+def _stop_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(list_distinct(toks), [{lst}]))"
+
+
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN s_{lang} = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_{lang} > 0 "
+    f"THEN '{lang}'"
+    for lang in LANG_ORDER
+) + " ELSE 'und' END"
+
+ORACLE = {
+    "text_language_id": f"""
+        WITH tk AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        scored AS (
+            SELECT doc_id, lang,
+                   {", ".join(f"{_stop_hits_sql(lang)} AS s_{lang}" for lang in LANG_ORDER)}
+            FROM tk
+        )
+        SELECT doc_id, lang, {_PRED_SQL} AS predicted_lang,
+               s_en, s_fr, s_es, s_de, s_zh
+        FROM scored
+    """,
+    "text_quality": f"""
+        WITH tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+               round({_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks)), 6)
+                   AS stopword_ratio,
+               round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                   + 0.3 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * ({_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks))), 6)
+                   AS quality_score
+        FROM tk
+    """,
+    "text_token_stats": f"""
+        WITH tk AS (SELECT doc_id, n_chars, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_ws_tokens,
+               CAST(list_sum(list_transform(toks,
+                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)
+                   AS n_subwords_est,
+               length(text) AS n_text_chars,
+               n_chars
+        FROM tk
+    """,
+    "text_fingerprint": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        fps AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(toks, s -> {H.CHAR_HASH_SQL.format(s="s")})),
+                       (acc, h) -> (acc * 131 + h) % {P}) AS fingerprint
+            FROM tk
+        ),
+        clusters AS (
+            SELECT fingerprint, min(doc_id) AS canonical_id,
+                   count(*) AS n_members
+            FROM fps GROUP BY fingerprint
+        )
+        SELECT f.doc_id, f.fingerprint, c.canonical_id, c.n_members
+        FROM fps f JOIN clusters c USING (fingerprint)
+    """,
+}

@@ -61,6 +61,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # right-size shuffles for the local test scale (runtime-settable;
+        # a cluster deployment would size this to cores × 2-3)
+        "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }.items():
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,347 @@
+"""StreamProcessor — the reference's ``KinesisProcessor`` re-expressed
+on Structured Streaming (SURVEY.md §3.1 stage mapping).
+
+Reference pipeline (Rust, `/root/reference/src/processor.rs`):
+shard-parallel ordered consumption → per-record user map with soft/hard
+retry classification → before_checkpoint validation → at-least-once
+checkpoint → monitoring events.
+
+Spark mapping:
+- source            ⇒ any streaming DataFrame with the record-envelope
+                      columns (file source in tests; the AWS Kinesis
+                      connector emits the same envelope in production)
+- shard parallelism ⇒ input partitions (P1/P2 are free)
+- positioning (S2)  ⇒ envelope filters (TrimHorizon/Latest/AtSequence
+                      Number/AtTimestamp, src/processor.rs:313-322)
+- checkpoint-preferred resume (S3, src/processor.rs:801-868)
+                    ⇒ per-shard lower bounds read from the store at
+                      start and applied as a filter
+- user map + retry classification (T1/T2, src/processor.rs:1490-1525)
+                    ⇒ inside ``foreachBatch``: the user transform tags
+                      rows success/soft/hard; soft rows re-run with
+                      attempt+1 up to ``max_attempts`` with backoff
+                      (deliberate semantic change from the reference's
+                      retry-forever: bounded + quarantine, SURVEY §7),
+                      hard rows quarantine immediately (DLQ)
+- before_checkpoint barrier (K2, src/processor.rs:1580-1603)
+                    ⇒ validation hook before the commit; soft
+                      validation errors retry then fail the batch
+                      (stream redelivers ⇒ at-least-once), hard errors
+                      skip validation but proceed — exactly the
+                      reference's branch semantics
+- checkpoint (K1)   ⇒ store.save_checkpoint(shard, max success seq)
+                      per batch + Spark's own checkpointLocation
+- total timeout (T4, src/processor.rs:624-670)
+                    ⇒ awaitTermination(timeout) + stop()
+- graceful shutdown (P6) ⇒ query.stop() between micro-batches
+- monitoring (M1)   ⇒ MetricsAggregator events + StreamingQueryListener
+
+Per-record processing timeout (T3) has no Spark analog below task
+granularity — documented gap (SURVEY §7); enforce inside the user
+transform if needed.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import monitoring as M
+from .backoff import ExponentialBackoff
+from .checkpoint import CheckpointStore, pad_seq
+from .monitoring import MetricsAggregator
+
+# --- initial positions (src/processor.rs:313-322) -----------------------
+
+
+@dataclass
+class TrimHorizon:
+    pass
+
+
+@dataclass
+class Latest:
+    """Records strictly after the max sequence present at start."""
+
+
+@dataclass
+class AtSequenceNumber:
+    sequence_number: str
+
+    def __post_init__(self):
+        if not self.sequence_number:
+            # src/processor.rs:1701-1717 rejects empty sequence numbers
+            raise ValueError("AtSequenceNumber requires a non-empty sequence")
+
+
+@dataclass
+class AtTimestamp:
+    timestamp: datetime
+
+    def __post_init__(self):
+        if self.timestamp.timestamp() < 0:
+            # src/processor.rs:1701-1717 rejects pre-epoch timestamps
+            raise ValueError("AtTimestamp requires a post-epoch timestamp")
+
+
+InitialPosition = Union[TrimHorizon, Latest, AtSequenceNumber, AtTimestamp]
+
+
+class SoftValidationError(Exception):
+    """before_checkpoint soft failure ⇒ retry, block commit
+    (src/error.rs:238-246)."""
+
+
+class HardValidationError(Exception):
+    """before_checkpoint hard failure ⇒ stop validating, proceed
+    (src/error.rs:247-255)."""
+
+
+@dataclass
+class ProcessorConfig:
+    """↔ ProcessorConfig (src/processor.rs:339-385 defaults)."""
+
+    checkpoint_location: str
+    batch_size: int = 100  # GetRecords limit analog (src/processor.rs:373)
+    max_attempts: int = 3  # bounded soft retries (semantic change, SURVEY §7)
+    initial_position: InitialPosition = field(default_factory=TrimHorizon)
+    prefer_stored_checkpoint: bool = True  # src/processor.rs:362
+    total_timeout: float | None = None  # seconds (src/processor.rs:624-670)
+    validation_max_attempts: int = 3
+    backoff: ExponentialBackoff = field(default_factory=ExponentialBackoff)
+    shard_col: str = "shard_id"
+    seq_col: str = "sequence_number"
+    ts_col: str = "ts"
+
+
+# The user transform: DataFrame (+ attempt column) → DataFrame with an
+# `outcome` column ('success' | 'soft' | 'hard') and output columns.
+UserTransform = Callable[[DataFrame], DataFrame]
+ValidationHook = Callable[[DataFrame, int], None]
+
+
+class StreamProcessor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        processor: UserTransform,
+        store: CheckpointStore,
+        config: ProcessorConfig,
+        before_checkpoint: ValidationHook | None = None,
+        aggregator: MetricsAggregator | None = None,
+        sink: Callable[[DataFrame, int], None] | None = None,
+        dlq_sink: Callable[[DataFrame, int], None] | None = None,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.spark = spark
+        self.processor = processor
+        self.store = store
+        self.config = config
+        self.before_checkpoint = before_checkpoint
+        self.aggregator = aggregator or MetricsAggregator()
+        self.sink = sink
+        self.dlq_sink = dlq_sink
+        self._sleep = sleep
+        self._position_bounds: dict[str, str] | None = None
+
+    # --- positioning (S2/S3) -------------------------------------------
+
+    def _resolve_position_filter(self, source_snapshot: DataFrame | None):
+        """Build the envelope filter from stored checkpoints (preferred)
+        and the configured initial position — the get_initial_iterator
+        branch (src/processor.rs:801-868)."""
+        cfg = self.config
+        pos = cfg.initial_position
+        pad = F.lpad(F.col(cfg.seq_col).cast("string"), 128, "0")
+
+        checkpoint_filter = None
+        if cfg.prefer_stored_checkpoint and hasattr(self.store, "all_checkpoints"):
+            ckpts = self.store.all_checkpoints()
+            if ckpts:
+                # AfterSequenceNumber per shard: seq > checkpoint
+                conds = None
+                for shard, seq in ckpts.items():
+                    c = (F.col(cfg.shard_col) == shard) & (pad > pad_seq(seq))
+                    conds = c if conds is None else conds | c
+                unknown = ~F.col(cfg.shard_col).isin(list(ckpts))
+                checkpoint_filter = conds | unknown
+
+        if checkpoint_filter is not None:
+            return checkpoint_filter
+        if isinstance(pos, TrimHorizon):
+            return F.lit(True)
+        if isinstance(pos, Latest):
+            if source_snapshot is None:
+                return F.lit(True)
+            row = source_snapshot.select(
+                F.max(F.lpad(F.col(cfg.seq_col).cast("string"), 128, "0")).alias("m")
+            ).collect()[0]
+            return pad > F.lit(row["m"]) if row["m"] is not None else F.lit(True)
+        if isinstance(pos, AtSequenceNumber):
+            return pad >= F.lit(pad_seq(pos.sequence_number))
+        if isinstance(pos, AtTimestamp):
+            return F.col(cfg.ts_col) >= F.lit(pos.timestamp)
+        raise TypeError(f"unknown initial position {pos!r}")
+
+    # --- the foreachBatch body (T1/T2/K1/K2) ---------------------------
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        cfg = self.config
+        agg = self.aggregator
+        agg.emit("GLOBAL", M.BATCH_START, epoch=epoch_id)
+
+        batch_df = batch_df.filter(self._position_filter)
+
+        pending = batch_df.withColumn("attempt", F.lit(0))
+        successes: list[DataFrame] = []
+        quarantined: list[DataFrame] = []
+        attempt = 0
+        while True:
+            t0 = time.perf_counter()
+            out = self.processor(pending).cache()
+            n_soft = out.filter(F.col("outcome") == "soft").count()
+            n_hard = out.filter(F.col("outcome") == "hard").count()
+            n_ok = out.filter(F.col("outcome") == "success").count()
+            ms = (time.perf_counter() - t0) * 1000
+
+            if n_ok:
+                successes.append(out.filter(F.col("outcome") == "success"))
+            if n_hard:
+                # hard ⇒ skip permanently, continue (src/processor.rs:1511-1514)
+                quarantined.append(
+                    out.filter(F.col("outcome") == "hard").withColumn(
+                        "dlq_reason", F.lit("hard_failure")
+                    )
+                )
+            for shard_row in (
+                out.groupBy(cfg.shard_col, "outcome").count().collect()
+            ):
+                etype = {
+                    "success": M.RECORD_SUCCESS,
+                    "soft": M.RECORD_ATTEMPT,
+                    "hard": M.RECORD_FAILURE,
+                }[shard_row["outcome"]]
+                agg.emit(
+                    str(shard_row[cfg.shard_col]),
+                    etype,
+                    count=shard_row["count"],
+                    processing_ms=ms,
+                )
+
+            if n_soft == 0:
+                break
+            if attempt + 1 >= cfg.max_attempts:
+                # soft retries exhausted ⇒ quarantine (bounded-retry
+                # semantic change from the reference's retry-forever)
+                quarantined.append(
+                    out.filter(F.col("outcome") == "soft").withColumn(
+                        "dlq_reason", F.lit("soft_exhausted")
+                    )
+                )
+                break
+            # retry only the soft subset with attempt+1
+            # (src/processor.rs:1506-1510: attempt increments, same record)
+            attempt += 1
+            self._sleep(cfg.backoff.delay(attempt - 1))
+            pending = (
+                out.filter(F.col("outcome") == "soft")
+                .drop("outcome", "attempt")
+                .withColumn("attempt", F.lit(attempt))
+            )
+
+        items = None
+        if successes:
+            items = successes[0]
+            for s in successes[1:]:
+                items = items.unionByName(s)
+
+        # --- before_checkpoint barrier (K2) ----------------------------
+        if self.before_checkpoint is not None and items is not None:
+            v_attempt = 0
+            while True:
+                try:
+                    self.before_checkpoint(items, epoch_id)
+                    break
+                except HardValidationError:
+                    # stop validating but proceed (src/processor.rs:1595-1603)
+                    agg.emit("GLOBAL", M.VALIDATION_FAILURE, kind="hard")
+                    break
+                except SoftValidationError:
+                    agg.emit("GLOBAL", M.VALIDATION_FAILURE, kind="soft")
+                    v_attempt += 1
+                    if v_attempt >= cfg.validation_max_attempts:
+                        # checkpoint stays blocked: fail the batch; the
+                        # stream redelivers it (at-least-once), exactly
+                        # the reference's "retry validation forever"
+                        # semantics with a bounded local loop
+                        raise
+                    self._sleep(cfg.backoff.delay(v_attempt - 1))
+
+        # --- sinks ------------------------------------------------------
+        if items is not None and self.sink is not None:
+            self.sink(items, epoch_id)
+        if quarantined and self.dlq_sink is not None:
+            dlq = quarantined[0]
+            for q in quarantined[1:]:
+                dlq = dlq.unionByName(q)
+            self.dlq_sink(dlq, epoch_id)
+
+        # --- checkpoint commit (K1): max success seq per shard ----------
+        if items is not None:
+            rows = (
+                items.groupBy(cfg.shard_col)
+                .agg(
+                    F.max(
+                        F.lpad(F.col(cfg.seq_col).cast("string"), 128, "0")
+                    ).alias("max_seq")
+                )
+                .collect()
+            )
+            for r in rows:
+                seq = r["max_seq"].lstrip("0") or "0"
+                try:
+                    self.store.save_checkpoint(str(r[cfg.shard_col]), seq)
+                    agg.emit(str(r[cfg.shard_col]), M.CHECKPOINT_SUCCESS, seq=seq)
+                except Exception:
+                    agg.emit(str(r[cfg.shard_col]), M.CHECKPOINT_FAILURE)
+                    raise
+
+        agg.emit("GLOBAL", M.BATCH_COMPLETE, epoch=epoch_id)
+
+    # --- run (streaming) -----------------------------------------------
+
+    def run_stream(self, stream_df: DataFrame, source_snapshot: DataFrame | None = None):
+        """Start the streaming query; returns the StreamingQuery.
+        ``total_timeout`` races the run exactly like the reference's
+        tokio::select! (src/processor.rs:624-670)."""
+        self._position_filter = self._resolve_position_filter(source_snapshot)
+        query = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.config.checkpoint_location)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return query
+
+    def run_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        """Process a static DataFrame as one batch (test/replay path)."""
+        self._position_filter = self._resolve_position_filter(df)
+        self.process_batch(df, epoch_id)
+
+    def await_with_timeout(self, query) -> bool:
+        """awaitTermination with the configured total timeout; stops the
+        query on expiry (TotalProcessingTimeout analog). Returns True if
+        the query finished on its own."""
+        if self.config.total_timeout is None:
+            query.awaitTermination()
+            return True
+        done = query.awaitTermination(timeout=self.config.total_timeout)
+        if not done:
+            query.stop()
+        return done

@@ -1,0 +1,412 @@
+"""Behavioral tests for the streaming capability layer — ports of the
+reference's scenario assertions (SURVEY.md §5, FIXTURES.md §B):
+backoff math, retry engine, checkpoint stores, soft/hard
+classification, checkpoint-resume, initial positions, validation
+barrier, monitoring event sequences, and a real Structured Streaming
+end-to-end run."""
+
+from __future__ import annotations
+
+import random
+import threading
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_zoom_kinesis_spark.streaming import (
+    AtSequenceNumber,
+    AtTimestamp,
+    ExponentialBackoff,
+    FixedBackoff,
+    InMemoryCheckpointStore,
+    JsonFileCheckpointStore,
+    Latest,
+    MetricsAggregator,
+    ProcessorConfig,
+    RetryExhausted,
+    RetryHandle,
+    ShutdownRequested,
+    StreamProcessor,
+    TrimHorizon,
+)
+from go_zoom_kinesis_spark.streaming import monitoring as M
+
+# --- backoff (↔ src/retry/backoff.rs:153-232) ---------------------------
+
+
+def test_exponential_backoff_growth_and_cap():
+    b = ExponentialBackoff(initial=0.1, maximum=3.0, multiplier=2.0, jitter_factor=0)
+    assert b.delay(0) == pytest.approx(0.1)
+    assert b.delay(1) == pytest.approx(0.2)
+    assert b.delay(2) == pytest.approx(0.4)
+    assert b.delay(10) == pytest.approx(3.0)  # capped
+
+
+def test_backoff_jitter_bounds():
+    b = ExponentialBackoff(initial=1.0, maximum=10.0, jitter_factor=0.5, rng=random.Random(7))
+    for _ in range(200):
+        d = b.delay(0)
+        assert 0.5 <= d <= 1.5
+
+
+def test_fixed_backoff():
+    assert FixedBackoff(0.25).delay(5) == 0.25
+
+
+# --- retry engine (↔ src/retry/mod.rs:125-288) --------------------------
+
+
+def test_retry_success_after_n():
+    calls = []
+
+    def op(attempt):
+        calls.append(attempt)
+        if attempt < 2:
+            raise ValueError("soft")
+        return "ok"
+
+    h = RetryHandle(max_retries=5, backoff=ExponentialBackoff(0.001, 0.002), sleep=lambda s: None)
+    assert h.retry(op) == "ok"
+    assert calls == [0, 1, 2]
+
+
+def test_retry_exhausted():
+    h = RetryHandle(max_retries=2, backoff=ExponentialBackoff(0.001, 0.002))
+    with pytest.raises(RetryExhausted) as ei:
+        h.retry(lambda a: (_ for _ in ()).throw(ValueError("boom")))
+    assert ei.value.attempts == 3  # initial + 2 retries
+
+
+def test_retry_shutdown_interrupts_sleep():
+    shutdown = threading.Event()
+    h = RetryHandle(max_retries=None, backoff=ExponentialBackoff(5.0, 10.0, jitter_factor=0), shutdown=shutdown)
+
+    def trip(attempt):
+        shutdown.set()  # set during first attempt; sleep must abort
+        raise ValueError("always")
+
+    t0 = time.monotonic()
+    with pytest.raises(ShutdownRequested):
+        h.retry(trip)
+    assert time.monotonic() - t0 < 1.0  # did not serve the 5 s backoff
+
+
+# --- checkpoint stores (↔ src/store/memory.rs, dynamodb.rs) -------------
+
+
+def test_memory_store_roundtrip():
+    s = InMemoryCheckpointStore()
+    assert s.get_checkpoint("shard-1") is None
+    s.save_checkpoint("shard-1", "42")
+    assert s.get_checkpoint("shard-1") == "42"
+
+
+def test_json_store_roundtrip_and_prefix(tmp_path):
+    s = JsonFileCheckpointStore(str(tmp_path), key_prefix="app1-")
+    hundred_digit = "9" * 100  # boundary (initial_position_tests.rs:717)
+    s.save_checkpoint("shard-1", hundred_digit)
+    assert s.get_checkpoint("shard-1") == hundred_digit
+    assert s.all_checkpoints() == {"shard-1": hundred_digit}
+    # distinct prefixes do not collide
+    s2 = JsonFileCheckpointStore(str(tmp_path), key_prefix="app2-")
+    assert s2.get_checkpoint("shard-1") is None
+
+
+# --- processor fixtures -------------------------------------------------
+
+N_SHARDS = 4
+
+
+@pytest.fixture()
+def records(spark, sf_dir):
+    from go_zoom_kinesis_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(N_SHARDS)).cast("string").alias("shard_id"),
+        F.col("event_id").alias("sequence_number"),
+        "ts",
+        "event_type",
+        F.col("props").alias("data"),
+        "value",
+    )
+
+
+def classifier(df):
+    """hard on event_type='error'; soft on seq%17==0 for the first
+    attempt only (mock-style scripted failure, mocks.rs:306-326)."""
+    return df.withColumn(
+        "outcome",
+        F.when(F.col("event_type") == "error", F.lit("hard"))
+        .when(
+            (F.col("sequence_number") % 17 == 0) & (F.col("attempt") < 1),
+            F.lit("soft"),
+        )
+        .otherwise(F.lit("success")),
+    )
+
+
+def make_processor(spark, tmp_path, store=None, **kwargs):
+    cfg_kwargs = {}
+    for k in ("initial_position", "max_attempts", "prefer_stored_checkpoint", "validation_max_attempts"):
+        if k in kwargs:
+            cfg_kwargs[k] = kwargs.pop(k)
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "ckpt"),
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+        **cfg_kwargs,
+    )
+    sunk: list = []
+    dlq: list = []
+    proc = StreamProcessor(
+        spark,
+        processor=classifier,
+        store=store or InMemoryCheckpointStore(),
+        config=cfg,
+        sink=lambda df, e: sunk.extend(df.collect()),
+        dlq_sink=lambda df, e: dlq.extend(df.collect()),
+        sleep=lambda s: None,
+        **kwargs,
+    )
+    return proc, sunk, dlq
+
+
+# --- classification semantics (↔ test_suite3.rs:66-238) -----------------
+
+
+def test_soft_records_retried_not_lost(spark, tmp_path, records):
+    proc, sunk, dlq = make_processor(spark, tmp_path)
+    proc.run_batch(records)
+    total = records.count()
+    n_hard = records.filter(F.col("event_type") == "error").count()
+    # every non-hard record lands in the sink exactly once
+    assert len(sunk) == total - n_hard
+    seqs = [r["sequence_number"] for r in sunk]
+    assert len(seqs) == len(set(seqs))
+    # soft records appear with attempt=1 (retried once then succeeded)
+    soft_seqs = {r["sequence_number"] for r in sunk if r["attempt"] == 1}
+    expected_soft = {
+        r["sequence_number"]
+        for r in records.filter(
+            (F.col("sequence_number") % 17 == 0) & (F.col("event_type") != "error")
+        ).collect()
+    }
+    assert soft_seqs == expected_soft
+
+
+def test_hard_records_quarantined(spark, tmp_path, records):
+    proc, sunk, dlq = make_processor(spark, tmp_path)
+    proc.run_batch(records)
+    n_hard = records.filter(F.col("event_type") == "error").count()
+    hard_rows = [r for r in dlq if r["dlq_reason"] == "hard_failure"]
+    assert len(hard_rows) == n_hard
+
+
+def test_soft_exhaustion_quarantines(spark, tmp_path, records):
+    def always_soft(df):
+        return df.withColumn("outcome", F.lit("soft"))
+
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "c2"),
+        max_attempts=2,
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+    )
+    dlq: list = []
+    proc = StreamProcessor(
+        spark, always_soft, InMemoryCheckpointStore(), cfg,
+        dlq_sink=lambda df, e: dlq.extend(df.collect()), sleep=lambda s: None,
+    )
+    small = records.limit(20)
+    proc.run_batch(small)
+    assert len(dlq) == 20
+    assert all(r["dlq_reason"] == "soft_exhausted" for r in dlq)
+
+
+# --- checkpoint semantics (↔ test_suite2.rs:116-168) --------------------
+
+
+def test_checkpoint_is_max_success_seq(spark, tmp_path, records):
+    store = InMemoryCheckpointStore()
+    proc, sunk, dlq = make_processor(spark, tmp_path, store=store)
+    proc.run_batch(records)
+    expected = {
+        str(r["shard_id"]): str(r["m"])
+        for r in records.filter(F.col("event_type") != "error")
+        .groupBy("shard_id")
+        .agg(F.max("sequence_number").alias("m"))
+        .collect()
+    }
+    assert store.all_checkpoints() == expected
+
+
+def test_checkpoint_preferred_resume(spark, tmp_path, records):
+    store = InMemoryCheckpointStore()
+    ckpt = 500
+    for shard in range(N_SHARDS):
+        store.save_checkpoint(str(shard), str(ckpt))
+    proc, sunk, dlq = make_processor(spark, tmp_path, store=store)
+    proc.run_batch(records)
+    # first processed record strictly after the stored checkpoint
+    assert min(r["sequence_number"] for r in sunk) > ckpt
+
+
+def test_initial_position_at_sequence(spark, tmp_path, records):
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, initial_position=AtSequenceNumber("800"),
+        prefer_stored_checkpoint=False,
+    )
+    proc.run_batch(records)
+    assert min(r["sequence_number"] for r in sunk) >= 800
+
+
+def test_initial_position_at_timestamp(spark, tmp_path, records):
+    cut = datetime(2024, 1, 20)
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, initial_position=AtTimestamp(cut),
+        prefer_stored_checkpoint=False,
+    )
+    proc.run_batch(records)
+    assert min(r["ts"] for r in sunk) >= cut
+
+
+def test_initial_position_latest_empty(spark, tmp_path, records):
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, initial_position=Latest(), prefer_stored_checkpoint=False
+    )
+    proc.run_batch(records)
+    assert sunk == []  # nothing strictly after the snapshot max
+
+
+def test_position_validation_rejects_bad_config():
+    with pytest.raises(ValueError):
+        AtSequenceNumber("")
+    with pytest.raises(ValueError):
+        AtTimestamp(datetime(1960, 1, 1))
+
+
+# --- before_checkpoint barrier (↔ test_suite3.rs:239-541) ---------------
+
+
+def test_validation_soft_blocks_checkpoint(spark, tmp_path, records):
+    store = InMemoryCheckpointStore()
+
+    from go_zoom_kinesis_spark.streaming.processor import SoftValidationError
+
+    def always_soft_validation(items, epoch):
+        raise SoftValidationError("not yet")
+
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "c3"),
+        validation_max_attempts=3,
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+    )
+    proc = StreamProcessor(
+        spark, classifier, store, cfg,
+        before_checkpoint=always_soft_validation, sleep=lambda s: None,
+    )
+    with pytest.raises(SoftValidationError):
+        proc.run_batch(records.limit(50))
+    assert store.all_checkpoints() == {}  # commit stayed blocked
+
+
+def test_validation_hard_proceeds(spark, tmp_path, records):
+    store = InMemoryCheckpointStore()
+    from go_zoom_kinesis_spark.streaming.processor import HardValidationError
+
+    def hard_validation(items, epoch):
+        raise HardValidationError("give up validating")
+
+    cfg = ProcessorConfig(checkpoint_location=str(tmp_path / "c4"))
+    proc = StreamProcessor(
+        spark, classifier, store, cfg,
+        before_checkpoint=hard_validation, sleep=lambda s: None,
+    )
+    proc.run_batch(records.limit(50))
+    assert store.all_checkpoints() != {}  # proceeded to commit
+
+
+def test_validation_succeeds_after_retries(spark, tmp_path, records):
+    store = InMemoryCheckpointStore()
+    from go_zoom_kinesis_spark.streaming.processor import SoftValidationError
+
+    fails = {"n": 0}
+
+    def flaky(items, epoch):
+        if fails["n"] < 2:
+            fails["n"] += 1
+            raise SoftValidationError("retry me")
+
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "c5"), validation_max_attempts=5,
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+    )
+    proc = StreamProcessor(
+        spark, classifier, store, cfg, before_checkpoint=flaky, sleep=lambda s: None
+    )
+    proc.run_batch(records.limit(50))
+    assert fails["n"] == 2  # exactly 2 failures then success
+    assert store.all_checkpoints() != {}
+
+
+# --- monitoring (↔ monitoring_utils.rs:264-283) -------------------------
+
+
+def test_monitoring_event_sequence(spark, tmp_path, records):
+    agg = MetricsAggregator()
+    proc, sunk, dlq = make_processor(spark, tmp_path, aggregator=agg)
+    proc.run_batch(records.limit(100))
+    types = agg.event_types()
+    assert types[0] == M.BATCH_START
+    assert types[-1] == M.BATCH_COMPLETE
+    assert M.RECORD_SUCCESS in types
+    assert M.CHECKPOINT_SUCCESS in types
+    # ordering: all checkpoints after all record events
+    assert max(i for i, t in enumerate(types) if t == M.RECORD_SUCCESS) < min(
+        i for i, t in enumerate(types) if t == M.CHECKPOINT_SUCCESS
+    )
+
+
+def test_metrics_aggregation_counts(spark, tmp_path, records):
+    agg = MetricsAggregator()
+    proc, sunk, dlq = make_processor(spark, tmp_path, aggregator=agg)
+    proc.run_batch(records)
+    total_ok = sum(
+        m.records_processed for m in agg.emit_metrics().values() if m.shard_id != "GLOBAL"
+    )
+    assert total_ok == len(sunk)
+
+
+def test_metrics_idle_eviction():
+    agg = MetricsAggregator(window_seconds=0.01)
+    agg.emit("shard-1", M.RECORD_SUCCESS, count=1)
+    time.sleep(0.05)
+    assert "shard-1" not in agg.emit_metrics()
+
+
+# --- structured streaming end-to-end ------------------------------------
+
+
+def test_streaming_end_to_end(spark, tmp_path, records):
+    src_dir = str(tmp_path / "stream_src")
+    records.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    store = InMemoryCheckpointStore()
+    sunk: list = []
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "sckpt"),
+        total_timeout=120.0,
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+    )
+    proc = StreamProcessor(
+        spark, classifier, store, cfg,
+        sink=lambda df, e: sunk.extend(df.collect()), sleep=lambda s: None,
+    )
+    q = proc.run_stream(stream, source_snapshot=spark.read.parquet(src_dir))
+    assert proc.await_with_timeout(q)
+    n_expected = records.filter(F.col("event_type") != "error").count()
+    assert len(sunk) == n_expected
+    assert len(store.all_checkpoints()) == N_SHARDS

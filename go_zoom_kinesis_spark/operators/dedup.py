@@ -54,46 +54,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shared shingle-hash relation --------------------------------------
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, shash) distinct — word-3-gram shingles, portable hash."""
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<long>) — distinct word-3-gram shingle hashes
+    kept as ONE array per document. Shingling, hashing and dedup all
+    happen inside a single projection (no explode, no shuffle); the
+    exploded relation is derived from this when a per-shingle join is
+    genuinely needed (candidate generation)."""
     toks = H.tokens_col(F.col("text"))
-    return (
-        docs.select("doc_id", F.explode(H.shingles_col(toks)).alias("sh"))
-        .select("doc_id", H.char_hash_col(F.col("sh")).alias("shash"))
-        .distinct()
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(H.shingles_col(toks), H.char_hash_col)
+        ).alias("hs"),
     )
 
 
-def _shingle_counts(sh: DataFrame) -> DataFrame:
-    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
+    """Exact jaccard for candidate (doc_a, doc_b) pairs: join the pair
+    list against the per-doc shingle-array dictionary and intersect the
+    arrays in-row.
 
-
-def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact jaccard for candidate (doc_a, doc_b) pairs via a selective
-    join of only the candidates' shingle sets."""
-    counts = _shingle_counts(sh)
-    sh_b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shash").alias("b_shash"))
-    common = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("b_doc")) & (F.col("shash") == F.col("b_shash")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    Scale note: this replaces a candidates×shingles exploded join
+    (|cand|·~50 rows through two shuffles) with two joins that carry one
+    array per row. The dictionary side is only the candidates' docs —
+    at 100 TB it shrinks with a semi-join and broadcasts when under the
+    threshold; here it is explicitly broadcast (5k docs ≪ 10 MB)."""
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
-        common.join(
-            counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
-            "doc_a",
-        )
-        .join(
-            counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
-            "doc_b",
-        )
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .withColumn(
             "jaccard_raw",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+            / F.size(F.array_union("hs_a", "hs_b")),
         )
     )
 
@@ -106,13 +100,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (catches jaccard ≳ 0.5 with high probability), banded bucket join
     for candidates, exact jaccard verification ≥ 0.5."""
     docs = _docs(spark, sf_dir)
-    sh = _shingle_hashes(docs).cache()
+    arrs = _shingle_arrays(docs).cache()
 
-    sig = sh.groupBy("doc_id").agg(
+    # signature straight from the array — array_min(transform(...)) per
+    # hash family, zero shuffles (vs explode + 16-way groupBy-min)
+    def _affine(i: int):
+        # single-arg lambda: F.transform feeds the index to 2-arg lambdas
+        return lambda h: H.affine_col(h, i)
+
+    sig = arrs.filter(F.size("hs") > 0).select(
+        "doc_id",
         *[
-            F.min(H.affine_col(F.col("shash"), i)).alias(f"mh{i}")
+            F.array_min(F.transform("hs", _affine(i))).alias(f"mh{i}")
             for i in range(H.NUM_HASHES)
-        ]
+        ],
     )
     band_exprs = []
     for b in range(H.NUM_BANDS):
@@ -136,7 +137,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = _pair_jaccard(cand, sh)
+    jac = _pair_jaccard(cand, arrs)
     return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
@@ -151,16 +152,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures form a dup cluster. One groupBy(doc) + one groupBy(sig).
     """
     docs = _docs(spark, sf_dir)
-    toks = (
-        docs.select("doc_id", F.explode(H.tokens_col(F.col("text"))).alias("tok"))
-        .select("doc_id", H.char_hash_col(F.col("tok")).alias("thash"))
-        .distinct()
-    )
-    votes = toks.groupBy("doc_id").agg(
+    # distinct token hashes as one array per doc; the ±1 bit votes are
+    # integer folds over that array — order-insensitive, zero shuffles
+    # before the final signature groupBy (vs explode+distinct+groupBy)
+    th = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
+        ).alias("ths"),
+    ).filter(F.size("ths") > 0)
+    def _vote(j: int):
+        # single-arg lambda: F.transform feeds the index to 2-arg lambdas
+        return lambda t: (H.affine_col(t, j) % 2) * 2 - 1
+
+    votes = th.select(
+        "doc_id",
         *[
-            F.sum((H.affine_col(F.col("thash"), j) % 2) * 2 - 1).alias(f"v{j}")
+            F.aggregate(
+                F.transform("ths", _vote(j)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sig_expr = None
     for j in range(SIMHASH_BITS):
@@ -180,7 +194,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped) shingle, then exact jaccard ≥ 0.3. The df-cap bounds the
     per-shingle pair blowup (skew control at scale)."""
     docs = _docs(spark, sf_dir)
-    sh = _shingle_hashes(docs).cache()
+    arrs = _shingle_arrays(docs).cache()
+    sh = arrs.select("doc_id", F.explode("hs").alias("shash"))
     df_ok = (
         sh.groupBy("shash")
         .agg(F.count("*").alias("df"))
@@ -195,7 +210,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = _pair_jaccard(cand, sh)
+    jac = _pair_jaccard(cand, arrs)
     return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )

@@ -33,6 +33,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume",
+    "agg_grouping_sets",
+    "explode_tokens",
+    "session_window_events",
+    "sliding_window_counts",
     "topk_orders_per_customer",
     "asof_join_signup",
     "range_join_events",

@@ -1,0 +1,551 @@
+"""Relational coverage, part 2 — SURVEY.md §2.2 widening.
+
+More TPC-H-shaped queries (Q4/Q6/Q7/Q10/Q14/Q17/Q18 adapted to the
+slimmed test schema), GROUPING SETS, the full analytic-window function
+set (ntile/percent_rank/cume_dist/lead/first_value), pivot, scalar
+subquery, explode/UNNEST, and the two batch-checkable streaming window
+shapes the reference lacks entirely (SURVEY §2.2 "watermarks/event-time
+windows" row): gap-based session windows and sliding windows.
+
+Determinism follows relational.py: money sums via DECIMAL(25,6), top-k
+always tie-broken on a unique key, identical column aliases on both the
+Spark and DuckDB sides.
+
+Scale posture: dimensions broadcast; fact-fact joins shuffle on keys;
+the sliding window expands each row to exactly window/slide buckets
+(bounded fan-out, no theta join); sessionization is one shuffle on
+user_id + two ordered window passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DEC = "decimal(25,6)"
+
+SESSION_GAP_MIN = 120  # session window gap (minutes)
+SLIDE_MIN = 30  # sliding window: 60-min window every 30 min
+SLIDE_WINDOW_MIN = 60
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col: F.Column) -> F.Column:
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# --- TPC-H-shaped queries ----------------------------------------------
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one lineitem
+    shipped >60 days after the order date — correlated EXISTS with an
+    inequality, planned as a left-semi join on the order key."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + single aggregate. The whole query is one
+    parquet scan with every predicate pushed down (explain shows
+    PushedFilters on l_shipdate/l_discount/l_quantity) — the canonical
+    'Catalyst does the work' plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — fact⋈fact shuffle join plus two broadcast nation lookups
+    with a symmetric pair predicate."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns per customer in a quarter;
+    top-20 with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional aggregation over a
+    broadcast join, two exact decimal sums divided in double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0).cast(DEC)).cast(
+                "double"
+            )
+            / F.sum(disc.cast(DEC)).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue impact of small-quantity orders for one brand
+    — per-part average as a broadcast aggregate instead of a correlated
+    scalar subquery (identical semantics, one pass, no rescan).
+
+    The avg comparison is cross-multiplied (qty·n·5 < sum) so both
+    engines compare the same exactly-representable doubles."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    )
+    small = li_b.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") * F.col("n_li") * 5 < F.col("sum_qty"))
+    return small.agg(
+        (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_small"),
+    )
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — HAVING on a grouped fact, then
+    join back to orders/customer; top-50 deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+    return joined.orderBy(F.desc("total_qty"), F.asc("o_orderkey")).limit(50)
+
+
+# --- grouping sets ------------------------------------------------------
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) — the general
+    form of rollup/cube, one pass with Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(_dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+
+
+# --- analytic window functions -----------------------------------------
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic set over each customer's order history: ntile,
+    percent_rank, cume_dist, lead, first_value."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    )
+
+
+# --- pivot --------------------------------------------------------------
+
+
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders to a priority × status count matrix (explicit value
+    list ⇒ single-pass conditional aggregation, no value-discovery job)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+# --- scalar subquery ----------------------------------------------------
+
+
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5× the global average — the scalar subquery
+    re-expressed as a broadcast single-row aggregate (exact decimal
+    avg), so the fact side streams through one filter."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_row = orders.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) / F.count("*"))
+        .cast("double")
+        .alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price") * 1.5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# --- explode / UNNEST ---------------------------------------------------
+
+
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of whitespace tokens → top-10 tokens per language
+    (UDTF-shaped coverage: explode + two-level aggregation + windowed
+    top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 3)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+# --- session windows (gaps-and-islands, batch-checkable) ----------------
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch analog of Structured
+    Streaming's session_window): a new session starts when a user is
+    idle > SESSION_GAP_MIN. One shuffle on user_id; two ordered window
+    passes (lag → cumulative sum of session starts)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+# --- sliding windows (batch-checkable) ----------------------------------
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (60 min every 30 min) — each row lands
+    in exactly window/slide = 2 buckets (bounded fan-out, epoch-aligned
+    starts identical to Spark's streaming window())."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", f"{SLIDE_WINDOW_MIN} minutes", f"{SLIDE_MIN} minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.col("value").cast(DEC)) / F.count("*"))
+            .cast("double")
+            .alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+QUERIES = {
+    "q4_late_orders": q4_late_orders,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_volume": q18_large_volume,
+    "agg_grouping_sets": agg_grouping_sets,
+    "window_analytics": window_analytics,
+    "pivot_status_matrix": pivot_status_matrix,
+    "orders_above_avg": orders_above_avg,
+    "explode_tokens": explode_tokens,
+    "session_window_events": session_window_events,
+    "sliding_window_counts": sliding_window_counts,
+}
+
+ORACLE = {
+    "q4_late_orders": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                   AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "q17_small_quantity": """
+        WITH li_b AS (
+            SELECT l.* FROM lineitem l JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ),
+        per_part AS (
+            SELECT l_partkey AS a_partkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+                   count(*) AS n_li
+            FROM li_b GROUP BY 1
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               count(*) AS n_small
+        FROM li_b JOIN per_part ON l_partkey = a_partkey
+        WHERE l_quantity * n_li * 5 < sum_qty
+    """,
+    "q18_large_volume": """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "window_analytics": """
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               lead(o_orderkey) OVER w AS next_orderkey,
+               first_value(o_orderkey) OVER w AS first_orderkey
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "pivot_status_matrix": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "orders_above_avg": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) / count(*) AS DOUBLE)
+            FROM orders
+        ) * 1.5
+        GROUP BY o_orderpriority
+    """,
+    "explode_tokens": """
+        SELECT lang, token, n, rk FROM (
+            SELECT lang, token, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token ASC) AS rk
+            FROM (
+                SELECT lang, token, count(*) AS n
+                FROM (
+                    SELECT lang, unnest(list_filter(
+                        string_split(lower(text), ' '),
+                        x -> length(x) > 3)) AS token
+                    FROM documents
+                )
+                GROUP BY lang, token
+            )
+        ) WHERE rk <= 10
+    """,
+    "session_window_events": f"""
+        SELECT user_id, session_idx,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               min(event_id) AS first_event_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_epoch IS NULL
+                                 OR epoch_s - prev_epoch > {SESSION_GAP_MIN * 60}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CAST(epoch(ts) AS BIGINT) AS epoch_s,
+                           lag(CAST(epoch(ts) AS BIGINT))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               AS prev_epoch
+                    FROM events
+                )
+            )
+        )
+        GROUP BY user_id, session_idx
+    """,
+    "sliding_window_counts": f"""
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + to_seconds({SLIDE_MIN * 60} * (CAST(floor(epoch(ts) / {SLIDE_MIN * 60}) AS BIGINT) - g))
+                   AS window_start,
+               TIMESTAMP '1970-01-01 00:00:00'
+                   + to_seconds({SLIDE_MIN * 60} * (CAST(floor(epoch(ts) / {SLIDE_MIN * 60}) AS BIGINT) - g) + {SLIDE_WINDOW_MIN * 60})
+                   AS window_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_value
+        FROM events CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) grid
+        GROUP BY 1, 2
+    """,
+}

@@ -23,12 +23,13 @@ def _modules():
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         streaming_analogs,
         text,
     )
 
-    return [streaming_analogs, relational, dedup, similarity, text, multimodal]
+    return [streaming_analogs, relational, relational2, dedup, similarity, text, multimodal]
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):

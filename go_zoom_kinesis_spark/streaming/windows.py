@@ -1,0 +1,104 @@
+"""Event-time windowed aggregation for streams — the capability the
+reference lacks entirely (SURVEY.md §2.2 "watermarks / event-time
+windows": the reference exposes ``approximate_arrival_timestamp``,
+src/processor.rs:241-245, but never windows on it; its metrics windows
+are processing-time ticks, src/monitoring/metrics.rs:96-112).
+
+These builders work on BOTH batch and streaming DataFrames — the same
+plan verified against the DuckDB oracle in batch runs unchanged as a
+Structured Streaming query with watermark-driven state eviction (the
+Spark analog of the reference's 2×-window idle-shard eviction,
+src/monitoring/metrics.rs:357-360).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SHARDS = 8  # FIXTURES.md §B: shard_id = user_id % N_SHARDS
+
+
+def with_shard(df: DataFrame) -> DataFrame:
+    return df.withColumn("shard_id", F.col("user_id") % N_SHARDS)
+
+
+def tumbling_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-shard tumbling-window metrics (SURVEY §2.1 A2/A3 on event
+    time). In streaming mode the watermark bounds state: windows older
+    than (max event time − watermark) are finalized and evicted."""
+    src = with_shard(events)
+    if streaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy("shard_id", F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("checkpoint_seq"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            "shard_id",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "checkpoint_seq",
+            "avg_value",
+        )
+    )
+
+
+def sliding_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-shard sliding-window counts; each event contributes to
+    window/slide buckets."""
+    src = with_shard(events)
+    if streaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy("shard_id", F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "shard_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_metrics(
+    events: DataFrame,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-user session windows with a merge gap — Structured
+    Streaming's session_window; closes (and evicts state for) a session
+    once the watermark passes its end."""
+    src = events
+    if streaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_event_id",
+        )
+    )

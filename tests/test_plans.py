@@ -1,0 +1,121 @@
+"""Physical-plan assertions — the scale-posture regression suite.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives 100 TB: filters reach the parquet scan, column
+pruning happens, dimensions broadcast, fact joins avoid cartesian
+blowups, aggregation is partial (map-side) before the shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """TPC-H Q6 is one scan — every predicate must appear as a parquet
+    PushedFilter, not a post-scan Filter-only plan."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    """Q6 touches 4 columns; the scan must not read the other 7."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in schema
+    assert "l_returnflag" not in schema and "l_orderkey" not in schema
+
+
+def test_star_join_dimensions_broadcast(spark, sf_dir):
+    """Q5: all five dimension joins broadcast; only the lineitem⋈orders
+    fact join may shuffle."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Q1 must plan a two-phase aggregate: map-side partial_ functions
+    before the exchange, final after."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_" in plan  # HashAggregate(... functions=[partial_sum...])
+    assert "Exchange hashpartitioning" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "range_join_events",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+    ],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """Joins that must stay equi-join shaped at scale: no cartesian or
+    unconditioned nested-loop plans."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """Per-customer top-k uses a partitioned window, not a global sort
+    of the whole fact table."""
+    plan = _plan(spark, sf_dir, "topk_orders_per_customer")
+    assert "WindowExec" in plan or "Window" in plan
+    # the only Sort allowed is the window's local (per-partition) sort
+    for line in plan.splitlines():
+        if "Sort " in line and "global=true" in line:
+            raise AssertionError(f"unexpected global sort: {line.strip()}")
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    """EXISTS/NOT EXISTS plan as semi/anti joins (no distinct+inner)."""
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi_orders")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti_orders")
+
+
+def test_whole_stage_codegen_hot_paths(spark, sf_dir):
+    """Scan→filter→project→partial-agg pipelines stay inside whole-stage
+    codegen (no interpreted row processing in the hot path). The *(n)
+    markers only appear in the FINAL adaptive plan, so execute first.
+    (record_map is exempt: from_json is a CodegenFallback expression.)"""
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "failure_classification"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, f"{name}: no WholeStageCodegen stage\n{plan[:800]}"
+
+
+def test_position_filter_prunes_scan(spark, sf_dir):
+    """S2 position filters (the reference's AtSequenceNumber/AtTimestamp)
+    must push to the parquet scan — this is what makes 'resume from
+    position' cheap at scale."""
+    plan = _plan(spark, sf_dir, "position_after_sequence")
+    assert "PushedFilters: [" in plan
+    assert "event_id" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_brand")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

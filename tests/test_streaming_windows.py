@@ -1,0 +1,117 @@
+"""Event-time windows + custom stateful operator over real streams.
+
+Strategy: run each windowed plan twice — once in batch (verified shape)
+and once as a Structured Streaming query over a file source with an
+availableNow trigger — and assert the streaming result equals the batch
+result. This is the strongest check Spark allows for watermark plans:
+with a bounded source and complete/update semantics the two must agree.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_zoom_kinesis_spark.io import load_table
+from go_zoom_kinesis_spark.streaming.stateful import running_checkpoint_stream
+from go_zoom_kinesis_spark.streaming.windows import (
+    session_metrics,
+    sliding_metrics,
+    tumbling_metrics,
+)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path, events_batch):
+    src = str(tmp_path / "ev_src")
+    events_batch.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _run_complete(query_df, tmp_path, name):
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _rows(spark, df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path, events_batch, events_stream):
+    batch = tumbling_metrics(events_batch, streaming=False)
+    name = _run_complete(tumbling_metrics(events_stream), tmp_path, "tumbling_t")
+    got = spark.sql(f"SELECT * FROM {name}")
+    assert _rows(spark, got) == _rows(spark, batch)
+
+
+def test_sliding_stream_equals_batch(spark, tmp_path, events_batch, events_stream):
+    batch = sliding_metrics(events_batch, streaming=False)
+    name = _run_complete(sliding_metrics(events_stream), tmp_path, "sliding_t")
+    got = spark.sql(f"SELECT * FROM {name}")
+    assert _rows(spark, got) == _rows(spark, batch)
+
+
+def test_session_stream_counts(spark, tmp_path, events_batch, events_stream):
+    """session_window in streaming must partition every event into
+    exactly one session per user (counts preserved)."""
+    name = _run_complete(session_metrics(events_stream), tmp_path, "session_t")
+    got = spark.sql(f"SELECT * FROM {name}")
+    assert got.agg(F.sum("n_events")).collect()[0][0] == events_batch.count()
+    # sessions for one user never overlap
+    sess = got.localCheckpoint()
+    other = sess.select(*[F.col(c).alias(f"b_{c}") for c in sess.columns])
+    overlaps = sess.join(
+        other,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("session_start") < F.col("b_session_start"))
+        & (F.col("b_session_start") < F.col("session_end")),
+    ).count()
+    assert overlaps == 0
+
+
+def test_running_checkpoint_state(spark, tmp_path, events_batch, events_stream):
+    """applyInPandasWithState: final per-shard state must equal the
+    batch groupBy(max(event_id), count(*)) fold."""
+    out = running_checkpoint_stream(events_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ckpt_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit once per shard per batch — keep the last row
+    got = spark.sql(
+        """
+        SELECT shard_id, checkpoint_seq, n_processed FROM (
+            SELECT *, row_number() OVER (PARTITION BY shard_id
+                                         ORDER BY n_batches DESC) rk
+            FROM ckpt_state
+        ) WHERE rk = 1
+        """
+    )
+    expected = (
+        events_batch.withColumn("shard_id", F.col("user_id") % 8)
+        .groupBy("shard_id")
+        .agg(
+            F.max("event_id").alias("checkpoint_seq"),
+            F.count("*").alias("n_processed"),
+        )
+    )
+    assert _rows(spark, got) == _rows(spark, expected)

@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_lsh_buckets",
+    "similarity_ivf_topk",
     "dedup_embedding_nearest",
     "text_quality",
     "text_fingerprint",

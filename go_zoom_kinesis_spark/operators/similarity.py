@@ -211,9 +211,76 @@ def dedup_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16  # coarse-quantizer size (vectors vec_id < 16)
+IVF_NPROBE = 2
+IVF_TOP_K = 3
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a 16-vector coarse quantizer (deterministic seed
+    vectors stand in for trained centroids — identical join shape),
+    every vector assigned to its nearest centroid (inverted lists),
+    queries probe their nprobe=2 nearest lists only.
+
+    Scale shape: assignment is a broadcast-centroids map-side pass (one
+    O(n·K) scan, no shuffle), the probe join is equi on the bucket key
+    — candidates ∝ n·nprobe/K instead of n per query."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored_cent = (
+        lambda df, id_col: df.join(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "c_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_id"))
+            ),
+        )
+    )
+    assign = (
+        scored_cent(emb, "vec_id")
+        .filter(F.col("c_rk") == 1)
+        .select("vec_id", F.col("c_id").alias("bucket"))
+    )
+    probes = (
+        scored_cent(emb.filter(F.col("vec_id") < N_QUERIES), "vec_id")
+        .filter(F.col("c_rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("probe"))
+    )
+    q = emb.select(
+        F.col("vec_id").alias("qv_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ).filter(F.col("qv_id") < N_QUERIES)
+    cand = (
+        probes.join(assign, F.col("bucket") == F.col("probe"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(q), F.col("q_id") == F.col("qv_id"))
+    )
+    scored = cand.withColumn(
+        "cos_sim_raw",
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim_raw", 6).alias("cos_sim"), "rk")
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_lsh_buckets": similarity_lsh_buckets,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_nearest": dedup_embedding_nearest,
 }
 
@@ -272,6 +339,40 @@ ORACLE = {
             FROM eb q JOIN eb c ON q.bucket = c.bucket
              AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
         ) WHERE rk <= {LSH_TOP_K}
+    """,
+    "similarity_ivf_topk": f"""
+        {_EMB_CTE},
+        cent AS (
+            SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+            FROM en WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        scored_cent AS (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT.format(a='e.emb', b='c.c_emb')} / (e.norm * c.c_norm) DESC,
+                                c.c_id ASC) AS c_rk
+            FROM en e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, c_id AS bucket FROM scored_cent WHERE c_rk = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, c_id AS probe
+            FROM scored_cent WHERE vec_id < {N_QUERIES} AND c_rk <= {IVF_NPROBE}
+        )
+        SELECT q_id, vec_id, round(c, 6) AS cos_sim, rk FROM (
+            SELECT p.q_id, a.vec_id,
+                   {_DOT.format(a='q.emb', b='e.emb')} / (q.norm * e.norm) AS c,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {_DOT.format(a='q.emb', b='e.emb')} / (q.norm * e.norm) DESC,
+                                a.vec_id ASC) AS rk
+            FROM probes p
+            JOIN assign a ON a.bucket = p.probe AND a.vec_id <> p.q_id
+            JOIN en e ON e.vec_id = a.vec_id
+            JOIN en q ON q.vec_id = p.q_id
+        ) WHERE rk <= {IVF_TOP_K}
     """,
     "dedup_embedding_nearest": f"""
         {_EMB_CTE},

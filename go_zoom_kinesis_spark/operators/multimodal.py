@@ -135,10 +135,102 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features_pipeline(docs)
 
 
+N_FRAMES = 4  # frames sampled per video payload
+FRAME_LEN = 32  # bytes per sampled frame
+RESIZE_DIM = 16  # downsampled frame representation length
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset int, frame_len int, "
+    "frame_sha string, resized array<double>"
+)
+
+
+def sample_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Deterministic frame sampler: N_FRAMES evenly-strided FRAME_LEN
+    byte slices (the video-keyframe-sampling access pattern; a real
+    decoder would seek keyframes the same way)."""
+    n = len(payload)
+    if n == 0:
+        return []
+    k = min(N_FRAMES, max(n // FRAME_LEN, 1))
+    stride = max((n - FRAME_LEN) // max(k - 1, 1), 1) if k > 1 else 0
+    out = []
+    for i in range(k):
+        off = min(i * stride, max(n - FRAME_LEN, 0))
+        out.append((i, off, payload[off : off + FRAME_LEN]))
+    return out
+
+
+def resize_frame(frame: bytes, dim: int = RESIZE_DIM) -> list[float]:
+    """Deterministic 'resize': box-filter the byte sequence down to
+    ``dim`` buckets (stand-in for image resize; same mean-pool shape)."""
+    if not frame:
+        return [0.0] * dim
+    buckets = [0.0] * dim
+    counts = [0] * dim
+    for i, b in enumerate(frame):
+        j = i * dim // len(frame)
+        buckets[j] += float(b)
+        counts[j] += 1
+    return [round(buckets[j] / counts[j], 6) if counts[j] else 0.0 for j in range(dim)]
+
+
+def multimodal_frame_pipeline(docs: DataFrame) -> DataFrame:
+    """Frame-sample + resize over video payloads via ``mapInPandas`` —
+    one Arrow batch in, a frames-exploded batch out (the batch shape a
+    GPU decode stage consumes). Only 'video'-modality payloads are
+    scanned (predicate applied before the Python stage)."""
+    src = with_payload(docs).filter(F.col("meta.modality") == "video").select(
+        "doc_id", "payload"
+    )
+
+    def frames(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off, fb in sample_frames(bytes(payload)):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            off,
+                            len(fb),
+                            hashlib.sha256(fb).hexdigest(),
+                            resize_frame(fb),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "frame_offset",
+                    "frame_len",
+                    "frame_sha",
+                    "resized",
+                ],
+            )
+
+    return src.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize plumbing (deterministic byte-slice
+    frames) — no SQL oracle (Python batch stage + blob hashing DuckDB
+    lacks); driver records rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal_frame_pipeline(docs)
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_modality_stats": multimodal_modality_stats,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {

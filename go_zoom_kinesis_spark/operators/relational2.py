@@ -352,7 +352,66 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- statistical aggregates --------------------------------------------
+
+
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/correlation via exact decimal power sums + an
+    identical closed-form in both engines — deterministic where the
+    built-in streaming moment algorithms (Welford etc.) are not."""
+    li = _t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+# --- array functions ----------------------------------------------------
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage on generated sequences (size/index/
+    slice/contains/fold/max), integer-exact on both engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    arr = F.sequence(F.lit(1), F.col("p_size"))
+    return part.select(
+        "p_partkey",
+        F.size(arr).alias("arr_len"),
+        F.element_at(arr, 1).alias("first_elem"),
+        F.slice(arr, 2, 3).alias("mid_slice"),
+        F.array_contains(arr, 7).alias("has7"),
+        F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("arr_sum"),
+        F.array_max(arr).alias("arr_max"),
+    )
+
+
 QUERIES = {
+    "stats_summary": stats_summary,
+    "array_functions": array_functions,
     "q4_late_orders": q4_late_orders,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -370,6 +429,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stats_summary": """
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               round(sx / n, 6) AS mean_qty,
+               round((n * sxx - sx * sx) / (n * (n - 1)), 6) AS var_qty,
+               round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   AS corr_qty_price
+        FROM (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+    "array_functions": """
+        SELECT p_partkey,
+               len(arr) AS arr_len,
+               arr[1] AS first_elem,
+               arr[2:4] AS mid_slice,
+               list_contains(arr, 7) AS has7,
+               CAST(list_aggregate(arr, 'sum') AS BIGINT) AS arr_sum,
+               list_aggregate(arr, 'max') AS arr_max
+        FROM (
+            SELECT p_partkey, generate_series(1, p_size) AS arr
+            FROM part WHERE p_partkey < 100
+        )
+    """,
     "q4_late_orders": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

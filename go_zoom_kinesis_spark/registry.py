@@ -25,11 +25,21 @@ def _modules():
         relational,
         relational2,
         similarity,
+        skew,
         streaming_analogs,
         text,
     )
 
-    return [streaming_analogs, relational, relational2, dedup, similarity, text, multimodal]
+    return [
+        streaming_analogs,
+        relational,
+        relational2,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        skew,
+    ]
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):

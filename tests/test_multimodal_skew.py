@@ -1,0 +1,74 @@
+"""Frame-sampling plumbing determinism + skew-rewrite equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_zoom_kinesis_spark.io import load_table
+from go_zoom_kinesis_spark.operators.multimodal import (
+    FRAME_LEN,
+    N_FRAMES,
+    RESIZE_DIM,
+    multimodal_frame_pipeline,
+    resize_frame,
+    sample_frames,
+)
+from go_zoom_kinesis_spark.operators.skew import salted_agg
+
+
+def test_sample_frames_deterministic_and_bounded():
+    payload = bytes(range(256)) * 3
+    frames = sample_frames(payload)
+    assert frames == sample_frames(payload)
+    assert 1 <= len(frames) <= N_FRAMES
+    for idx, off, fb in frames:
+        assert len(fb) <= FRAME_LEN
+        assert payload[off : off + len(fb)] == fb
+    assert sample_frames(b"") == []
+
+
+def test_resize_frame_shape():
+    out = resize_frame(bytes(range(100)))
+    assert len(out) == RESIZE_DIM
+    assert resize_frame(b"") == [0.0] * RESIZE_DIM
+    # mean-pool of a constant sequence is that constant
+    assert resize_frame(bytes([7] * 64)) == [7.0] * RESIZE_DIM
+
+
+def test_frame_pipeline_matches_local(spark, sf_dir):
+    """The distributed mapInPandas output must equal a driver-local
+    re-computation over the same payloads (plumbing adds nothing)."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_offset, r.frame_len, r.frame_sha)
+        for r in multimodal_frame_pipeline(docs).collect()
+    }
+    local = {}
+    for r in docs.select("doc_id", "text").collect():
+        payload = r.text.encode("utf-8")
+        if len(payload) % 3 != 2:  # modality assignment: 'video' bucket
+            continue
+        for idx, off, fb in sample_frames(payload):
+            local[(r.doc_id, idx)] = (off, len(fb), hashlib.sha256(fb).hexdigest())
+    assert got == local
+    assert len(got) > 0
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_agg(ev, "event_type")
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_salted_agg_two_shuffles(spark, sf_dir):
+    """The salted plan must actually stage two exchanges: (key, salt)
+    then (key) — otherwise it silently degenerated to the naive plan."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = salted_agg(ev, "event_type")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) + cross-engine hash portability.
+
+The reference's own unit tiers (SURVEY.md §5: backoff math bounds,
+retry timing) carried over as properties; plus the portability
+invariant this engine's dedup/LSH correctness rests on: the Spark
+column expressions, the DuckDB SQL fragments, and a plain-Python
+reference implementation of the polynomial hash must agree exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from go_zoom_kinesis_spark.functions import hashes as H
+from go_zoom_kinesis_spark.streaming.backoff import ExponentialBackoff, FixedBackoff
+
+
+# --- backoff properties (src/retry/backoff.rs:153-232 analog) -----------
+
+
+@given(
+    initial=st.floats(0.001, 10.0),
+    maximum=st.floats(0.001, 100.0),
+    attempt=st.integers(0, 60),
+    jitter=st.floats(0.0, 0.5),
+)
+@settings(max_examples=200, deadline=None)
+def test_backoff_bounded(initial, maximum, attempt, jitter):
+    b = ExponentialBackoff(initial, maximum, jitter_factor=jitter)
+    d = b.delay(attempt)
+    cap = max(initial, maximum)
+    assert 0.0 <= d <= cap * (1 + jitter) + 1e-9
+
+
+@given(attempt=st.integers(0, 40))
+@settings(max_examples=50, deadline=None)
+def test_backoff_monotone_without_jitter(attempt):
+    b = ExponentialBackoff(0.1, 30.0, jitter_factor=0.0)
+    assert b.delay(attempt) <= b.delay(attempt + 1) + 1e-12
+
+
+@given(delay=st.floats(0.0, 10.0), attempt=st.integers(0, 100))
+@settings(max_examples=50, deadline=None)
+def test_fixed_backoff_constant(delay, attempt):
+    assert FixedBackoff(delay).delay(attempt) == delay
+
+
+# --- portable hash: python reference ------------------------------------
+
+
+def char_hash_py(s: str) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % H.P
+    return acc
+
+
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_affine_families_stay_in_range(s):
+    h = char_hash_py(s)
+    for i in range(H.NUM_HASHES):
+        v = (h * H.A[i] + H.B[i]) % H.P
+        assert 0 <= v < H.P
+        # products stay below 2^63 (the int64-safety claim in hashes.py)
+        assert h * H.A[i] + H.B[i] < 2**63
+
+
+def test_char_hash_three_engines_agree(spark):
+    """Spark column expr == DuckDB SQL fragment == python fold, on a
+    corpus of tricky strings."""
+    corpus = [
+        "",
+        "a",
+        "hello world",
+        "the quick brown fox " * 5,
+        "punctuation: !@#$%^&*()",
+        "numbers 0123456789",
+        "  leading and trailing  ",
+        "mixed CASE Words",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in corpus], ["s"])
+    spark_vals = [
+        r[0] for r in sdf.select(H.char_hash_col(F.col("s"))).collect()
+    ]
+    con = duckdb.connect()
+    duck_vals = [
+        con.execute(
+            f"SELECT {H.CHAR_HASH_SQL.format(s='?')}", [s]
+        ).fetchone()[0]
+        for s in corpus
+    ]
+    py_vals = [char_hash_py(s) for s in corpus]
+    assert spark_vals == py_vals
+    assert duck_vals == py_vals
+
+
+def test_minhash_affine_three_engines_agree(spark):
+    hs = [0, 1, 12345, H.P - 1, 987654321]
+    sdf = spark.createDataFrame([(h,) for h in hs], ["h"])
+    for i in (0, 7, 15):
+        spark_vals = [
+            r[0] for r in sdf.select(H.affine_col(F.col("h"), i)).collect()
+        ]
+        duck_vals = [
+            duckdb.sql(
+                f"SELECT {H.affine_sql(f'CAST({h} AS BIGINT)', i)}"
+            ).fetchone()[0]
+            for h in hs
+        ]
+        py_vals = [(h * H.A[i] + H.B[i]) % H.P for h in hs]
+        assert spark_vals == py_vals, f"family {i}"
+        assert duck_vals == py_vals, f"family {i}"

@@ -409,7 +409,22 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark percentile() and
+    DuckDB quantile_cont share the (n-1)·p rank convention — verified
+    bit-equal at round-6). At 100 TB the same query swaps in
+    approx_percentile (t-digest) with a declared error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
+    "percentile_stats": percentile_stats,
     "stats_summary": stats_summary,
     "array_functions": array_functions,
     "q4_late_orders": q4_late_orders,
@@ -429,6 +444,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "percentile_stats": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "stats_summary": """
         SELECT l_returnflag,
                CAST(n AS BIGINT) AS n_rows,

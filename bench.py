@@ -35,7 +35,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_order_distribution",
+    "q19_disjunctive_predicates",
     "q18_large_volume",
     "agg_grouping_sets",
     "explode_tokens",

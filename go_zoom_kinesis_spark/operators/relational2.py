@@ -203,6 +203,144 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.orderBy(F.desc("total_qty"), F.asc("o_orderkey")).limit(50)
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ASIA-region revenue per
+    order year — conditional aggregation over a 7-table star join, all
+    dimensions broadcast."""
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", disc)
+                .otherwise(0.0)
+                .cast(DEC)
+            ).cast("double")
+            / F.sum(disc.cast(DEC)).cast("double")
+        ).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer INCLUDING
+    zero-order customers — left outer join, two-level aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicates (brand × size ×
+    quantity bands) — the disjunction stays above the scan but each
+    conjunct's columns still prune; join remains equi on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return joined.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no orders — scalar
+    subquery (avg positive balance) + anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)) / F.count("*"))
+        .cast("double")
+        .alias("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function coverage: path extraction + typed cast +
+    conditional aggregation over the extracted value."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling / conditional scalar coverage: coalesce, nullif,
+    least, greatest, CASE chains."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NOT_P")).alias(
+            "status_or_default"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
+        F.greatest(F.col("o_custkey") % 7, F.col("o_custkey") % 11).alias("max_mod"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
 # --- grouping sets ------------------------------------------------------
 
 
@@ -429,6 +567,12 @@ QUERIES = {
     "array_functions": array_functions,
     "q4_late_orders": q4_late_orders,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q13_order_distribution": q13_order_distribution,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_no_order_customers": q22_no_order_customers,
+    "json_functions": json_functions,
+    "conditional_functions": conditional_functions,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
@@ -484,6 +628,77 @@ ORACLE = {
             SELECT p_partkey, generate_series(1, p_size) AS arr
             FROM part WHERE p_partkey < 100
         )
+    """,
+    "q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_5'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                   AS mkt_share,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    """,
+    "q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                                  AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "q19_disjunctive_predicates": """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_no_order_customers": """
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) / count(*) AS DOUBLE)
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "json_functions": """
+        SELECT event_type,
+               sum(k) AS sum_k,
+               count(*) FILTER (WHERE k % 2 = 0) AS n_even_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ) GROUP BY event_type
+    """,
+    "conditional_functions": """
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_or_default,
+               least(o_totalprice, 100000.0) AS capped_price,
+               greatest(o_custkey % 7, o_custkey % 11) AS max_mod,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders WHERE o_orderkey < 1000
     """,
     "q4_late_orders": """
         SELECT o_orderpriority, count(*) AS order_count

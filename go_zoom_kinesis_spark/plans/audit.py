@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame
 
 
 def _executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AQE plan prints Final AND Initial sections — audit the
+    # final one only, or every node would be counted twice
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
+    return plan
 
 
 def explain_formatted(df: DataFrame) -> str:

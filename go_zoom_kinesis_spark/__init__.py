@@ -9,9 +9,12 @@ Layout:
   session     — SparkSession factory (local test defaults, AQE on)
   io          — parquet table loading over the driver test data
   operators/  — batch query library (the driver-checkable surface)
+  sources/    — file-format scans/sinks + stream source builders
   streaming/  — Structured Streaming capability layer (checkpointing,
-                retry/DLQ classification, monitoring) mirroring the
-                reference's processor semantics
+                retry/DLQ classification, monitoring, event-time
+                windows, keyed state) mirroring the reference's
+                processor semantics
+  plans/      — physical-plan audit utilities
 """
 
 __version__ = "0.1.0"

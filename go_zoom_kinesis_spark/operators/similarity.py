@@ -231,8 +231,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
+    # one centroid-scoring pass serves both the inverted-list assignment
+    # (rank 1 for every vector) and the query probe lists (rank ≤ nprobe
+    # for query vectors)
     scored_cent = (
-        lambda df, id_col: df.join(F.broadcast(cent))
+        emb.join(F.broadcast(cent))
         .withColumn(
             "c_cos",
             _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")),
@@ -240,18 +243,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "c_rk",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_id"))
+                Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
             ),
         )
+        .select("vec_id", "c_id", "c_rk")
+        .cache()
     )
-    assign = (
-        scored_cent(emb, "vec_id")
-        .filter(F.col("c_rk") == 1)
-        .select("vec_id", F.col("c_id").alias("bucket"))
+    assign = scored_cent.filter(F.col("c_rk") == 1).select(
+        "vec_id", F.col("c_id").alias("bucket")
     )
     probes = (
-        scored_cent(emb.filter(F.col("vec_id") < N_QUERIES), "vec_id")
-        .filter(F.col("c_rk") <= IVF_NPROBE)
+        scored_cent.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("c_rk") <= IVF_NPROBE)
+        )
         .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("probe"))
     )
     q = emb.select(

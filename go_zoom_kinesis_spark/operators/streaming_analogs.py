@@ -188,8 +188,13 @@ def metrics_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("outcome") != "hard", 1)).alias("records_processed"),
         F.count(F.when(F.col("outcome") == "hard", 1)).alias("records_failed"),
         F.count(F.when(F.col("outcome") == "soft", 1)).alias("soft_retries"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+        # decimal-exact sum → double ÷ count: bit-identical on both
+        # engines. No in-query round() — Spark and DuckDB disagree on
+        # round-half boundaries for doubles (seen at sf0.1); emit the
+        # exact double and let consumers format.
+        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*"))
+        .alias("avg_value"),
+        F.max("value").alias("max_value"),
         F.min("ts").alias("first_event_ts"),
         F.max("ts").alias("last_event_ts"),
     )
@@ -209,8 +214,11 @@ def windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("shard_id", F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.max("value"), 4).alias("max_value"),
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value"),
+            F.max("value").alias("max_value"),
             F.max("event_id").alias("checkpoint_seq"),
         )
         .select(
@@ -318,8 +326,9 @@ ORACLE = {
                count(*) FILTER (WHERE {_OUTCOME_SQL} <> 'hard') AS records_processed,
                count(*) FILTER (WHERE {_OUTCOME_SQL} = 'hard') AS records_failed,
                count(*) FILTER (WHERE {_OUTCOME_SQL} = 'soft') AS soft_retries,
-               round(avg(value), 4) AS avg_value,
-               round(max(value), 4) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                   AS avg_value,
+               max(value) AS max_value,
                min(ts) AS first_event_ts,
                max(ts) AS last_event_ts
         FROM events GROUP BY 1
@@ -328,8 +337,9 @@ ORACLE = {
         SELECT user_id % {N_SHARDS} AS shard_id,
                date_trunc('hour', ts) AS window_start,
                count(*) AS n_events,
-               round(avg(value), 4) AS avg_value,
-               round(max(value), 4) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                   AS avg_value,
+               max(value) AS max_value,
                max(event_id) AS checkpoint_seq
         FROM events GROUP BY 1, 2
     """,

@@ -81,14 +81,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = n_distinct / n_tokens
     len_sat = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
     stop_ratio = _stop_hits("en") / n_distinct
-    score = F.round(0.4 * ttr + 0.3 * len_sat + 0.3 * stop_ratio, 6)
+    # no in-query round(): these ratios of small ints can terminate
+    # exactly on a round-half boundary where Spark and DuckDB round()
+    # disagree; the raw doubles are bit-identical across engines
+    score = 0.4 * ttr + 0.3 * len_sat + 0.3 * stop_ratio
     return docs.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
     )
 
@@ -172,12 +175,12 @@ ORACLE = {
         SELECT doc_id, source,
                len(toks) AS n_tokens,
                len(list_distinct(toks)) AS n_distinct_tokens,
-               round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
-               round({_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks)), 6)
+               len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+               {_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks))
                    AS stopword_ratio,
-               round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
-                   + 0.3 * least(len(toks) / 100.0, 1.0)
-                   + 0.3 * ({_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks))), 6)
+               0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                   + 0.3 * least(len(toks)::DOUBLE / 100.0, 1.0)
+                   + 0.3 * ({_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks)))
                    AS quality_score
         FROM tk
     """,

@@ -57,11 +57,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
         _dsum(disc_price).alias("sum_disc_price"),
         _dsum(charge).alias("sum_charge"),
-        (F.sum(F.col("l_quantity").cast(DEC)) / F.count("*")).cast("double").alias("avg_qty"),
-        (F.sum(F.col("l_extendedprice").cast(DEC)) / F.count("*"))
-        .cast("double")
+        # sum→double BEFORE dividing (engine decimal-division scale
+        # rules differ; double division is pure IEEE)
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*"))
         .alias("avg_price"),
-        (F.sum(F.col("l_discount").cast(DEC)) / F.count("*")).cast("double").alias("avg_disc"),
+        (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -409,9 +410,9 @@ ORACLE = {
                CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
-               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_price,
-               CAST(sum(CAST(l_discount AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

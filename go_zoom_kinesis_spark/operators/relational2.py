@@ -293,8 +293,7 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery (avg positive balance) + anti join."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(F.col("c_acctbal").cast(DEC)) / F.count("*"))
-        .cast("double")
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*"))
         .alias("avg_bal")
     )
     orders = _t(spark, sf_dir, "orders")
@@ -403,8 +402,7 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg), so the fact side streams through one filter."""
     orders = _t(spark, sf_dir, "orders")
     avg_row = orders.agg(
-        (F.sum(F.col("o_totalprice").cast(DEC)) / F.count("*"))
-        .cast("double")
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*"))
         .alias("avg_price")
     )
     return (
@@ -477,8 +475,9 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(F.col("value").cast(DEC)) / F.count("*"))
-            .cast("double")
+            # sum→double BEFORE dividing: decimal-division scale rules
+            # differ between engines; double division is pure IEEE
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"))
             .alias("avg_value"),
         )
         .select(
@@ -672,7 +671,7 @@ ORACLE = {
                CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
         FROM customer
         WHERE c_acctbal > (
-            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) / count(*) AS DOUBLE)
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*)
             FROM customer WHERE c_acctbal > 0.0
         )
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -816,7 +815,7 @@ ORACLE = {
                CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
         FROM orders
         WHERE o_totalprice > (
-            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) / count(*) AS DOUBLE)
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)
             FROM orders
         ) * 1.5
         GROUP BY o_orderpriority
@@ -874,7 +873,7 @@ ORACLE = {
                    + to_seconds({SLIDE_MIN * 60} * (CAST(floor(epoch(ts) / {SLIDE_MIN * 60}) AS BIGINT) - g) + {SLIDE_WINDOW_MIN * 60})
                    AS window_end,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(25,6))) / count(*) AS DOUBLE) AS avg_value
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_value
         FROM events CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) grid
         GROUP BY 1, 2
     """,

@@ -24,6 +24,7 @@ def _modules():
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         skew,
         streaming_analogs,
@@ -34,6 +35,7 @@ def _modules():
         streaming_analogs,
         relational,
         relational2,
+        relational3,
         dedup,
         similarity,
         text,

@@ -50,6 +50,22 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a narrow scan up to the session's default parallelism
+    before a CPU-heavy projection. A single-file parquet table arrives
+    as ONE input partition (row-group granularity blocks splitting), so
+    per-row work like shingling/hashing serializes onto one core;
+    shuffling the few raw rows is cheap next to the projection itself.
+    Inputs already at ≥ cores partitions pass through untouched — at
+    100 TB the scan is thousands of splits and this is a no-op (never a
+    shuffle of the full raw text)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

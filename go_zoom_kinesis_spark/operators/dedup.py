@@ -25,11 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashes as H
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 JACCARD_THRESHOLD = 0.5  # minhash verify threshold
 NGRAM_THRESHOLD = 0.3  # exact n-gram jaccard report threshold
 MAX_DOC_FREQ = 100  # hot-shingle cap for the exact candidate join
+MIN_SHARED_SHINGLES = 2  # candidate policy: pairs must share ≥2 capped shingles
 SIMHASH_BITS = 16
 
 
@@ -61,6 +62,7 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     exploded relation is derived from this when a per-shingle join is
     genuinely needed (candidate generation)."""
     toks = H.tokens_col(F.col("text"))
+    docs = fan_out_narrow(docs)
     return docs.select(
         "doc_id",
         F.array_distinct(
@@ -155,7 +157,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct token hashes as one array per doc; the ±1 bit votes are
     # integer folds over that array — order-insensitive, zero shuffles
     # before the final signature groupBy (vs explode+distinct+groupBy)
-    th = docs.select(
+    th = fan_out_narrow(docs).select(
         "doc_id",
         F.array_distinct(
             F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
@@ -190,25 +192,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram jaccard: candidates = pairs sharing ≥1 (frequency-
-    capped) shingle, then exact jaccard ≥ 0.3. The df-cap bounds the
-    per-shingle pair blowup (skew control at scale)."""
+    """Exact n-gram jaccard: candidates = pairs sharing ≥2 (frequency-
+    capped) shingles, then exact jaccard ≥ 0.3. The df-cap bounds the
+    per-shingle pair blowup (skew control at scale); the ≥2 shared-
+    shingle policy prunes the one-coincidental-shingle flood before the
+    exact verify (a 0.3-jaccard pair of ~50-shingle docs shares ~20+
+    shingles, so real matches always survive). Both knobs are mirrored
+    in the oracle SQL."""
     docs = _docs(spark, sf_dir)
     arrs = _shingle_arrays(docs).cache()
     sh = arrs.select("doc_id", F.explode("hs").alias("shash"))
-    df_ok = (
+    # one shuffle builds the inverted index; the df-cap becomes a size()
+    # filter on the posting list (no separate df aggregation + re-join),
+    # and pairs expand in-row from the sorted list instead of a
+    # self-join + distinct over the exploded relation: 2 shuffles total
+    # (groupBy + distinct) where the join formulation needs 4
+    postings = (
         sh.groupBy("shash")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DOC_FREQ)
-        .select("shash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_DOC_FREQ))
     )
-    sh_capped = sh.join(df_ok, "shash")
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - 1),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    # shared-shingle count ≥2 — the groupBy replaces the distinct (same
+    # single shuffle) and the HAVING prunes the exact-verify input ~100×
     cand = (
-        sh_capped.select(F.col("doc_id").alias("doc_a"), "shash")
-        .join(sh_capped.select(F.col("doc_id").alias("doc_b"), "shash"), "shash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        pairs.groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+        .select(F.col("doc_a"), F.col("doc_b"))
     )
     jac = _pair_jaccard(cand, arrs)
     return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
@@ -312,8 +335,9 @@ ORACLE = {
         ),
         shc AS (SELECT sh.doc_id, sh.shash FROM sh JOIN df_ok USING (shash)),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM shc a JOIN shc b ON a.shash = b.shash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED_SHINGLES}
         )
         SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
             SELECT doc_a, doc_b, {_JACCARD_SQL} AS j

@@ -1,0 +1,142 @@
+"""UDF/UDAF and SQL-API surface coverage (SURVEY.md §2.2 "UDF/UDAF/UDTF
+surface" row; UDTF shape lives in ``explode_tokens``).
+
+The reference's whole user-extension surface is ONE scalar-ish map
+(`RecordProcessor::process_record`, /root/reference/src/processor.rs:133-155)
+plus a commit hook; Spark's is much wider. This module pins the pieces
+the rest of the repo doesn't already exercise:
+
+- ``udaf_weighted_qty``: a grouped-agg *pandas UDAF* (Arrow-batched,
+  the fast Python aggregation path). Kept oracle-checkable by summing
+  integer-valued doubles (exact in IEEE below 2^53, order-independent,
+  so the hash matches DuckDB bit-for-bit despite Python execution).
+- ``map_functions``: MapType coverage — ``from_json`` →
+  ``map<string,bigint>`` → map_keys/map_values/element_at/size.
+- ``sql_api_nation_revenue``: the same engine through the *SQL text*
+  API (``spark.sql`` over registered temp views) — proves the driver
+  contract isn't DataFrame-only. Catalyst plans text and DataFrame
+  identically, so scale posture is unchanged.
+
+Scale notes: the pandas UDAF ships one Arrow batch per group-partition
+(partial aggregation is NOT available to Python UDAFs — documented
+trade-off; the built-in ``sum`` path in relational.py is the 100 TB
+default, this entry pins the mechanism). Map parsing is JVM-side
+whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, MapType, StringType
+
+from ..io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# explicit returnType instance, not a DDL string (strings parse at
+# import time and need a live SparkContext) and not type-hint inference
+# (broken under `from __future__ import annotations`)
+@pandas_udf(DoubleType())
+def _weighted_qty_sum(qty: pd.Series, weight: pd.Series) -> float:
+    # integer-valued doubles: addition is exact and order-independent
+    return float((qty * weight).sum())
+
+
+# a pandas group-agg UDF cannot share an agg() with JVM aggregates
+# (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas UDAF too
+@pandas_udf(LongType())
+def _count_rows(qty: pd.Series) -> int:
+    return int(len(qty))
+
+
+def udaf_weighted_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF: linenumber-weighted quantity per
+    return flag. The weighted products and their sum are all integers
+    held in doubles, so the Arrow→pandas→sum path is bit-identical to
+    the SQL oracle regardless of row order or batching."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _weighted_qty_sum(
+            F.col("l_quantity"), F.col("l_linenumber").cast("double")
+        ).alias("weighted_qty"),
+        _count_rows(F.col("l_quantity")).alias("n_rows"),
+    )
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType scalar coverage: parse events.props into a map, then
+    map_keys / map_values / element_at / size — all JVM-side."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json(F.col("props"), MapType(StringType(), LongType()))
+    return ev.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_props"),
+        F.array_max(F.map_values(m)).alias("max_value"),
+    )
+
+
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry point: revenue per customer nation, written
+    as a SQL string over temp views. Identical logical plan to the
+    DataFrame formulation (one shuffle agg over broadcast-joined
+    dims); included to pin the spark.sql surface of the engine."""
+    for name in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"gzk_{name}")
+    return spark.sql(
+        """
+        SELECT n_name AS nation_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM gzk_lineitem
+        JOIN gzk_orders ON l_orderkey = o_orderkey
+        JOIN gzk_customer ON o_custkey = c_custkey
+        JOIN gzk_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+QUERIES = {
+    "udaf_weighted_qty": udaf_weighted_qty,
+    "map_functions": map_functions,
+    "sql_api_nation_revenue": sql_api_nation_revenue,
+}
+
+ORACLE = {
+    "udaf_weighted_qty": """
+        SELECT l_returnflag,
+               sum(l_quantity * l_linenumber) AS weighted_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "map_functions": """
+        SELECT event_id,
+               list_sort(json_keys(props)) AS prop_keys,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               len(json_keys(props)) AS n_props,
+               list_max(list_transform(json_keys(props),
+                   key -> CAST(json_extract_string(props, '$.' || key) AS BIGINT)))
+                   AS max_value
+        FROM events WHERE event_id < 500
+    """,
+    "sql_api_nation_revenue": """
+        SELECT n_name AS nation_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+}

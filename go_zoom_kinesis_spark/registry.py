@@ -29,6 +29,7 @@ def _modules():
         skew,
         streaming_analogs,
         text,
+        udf_surface,
     )
 
     return [
@@ -41,6 +42,7 @@ def _modules():
         text,
         multimodal,
         skew,
+        udf_surface,
     ]
 
 

@@ -40,6 +40,14 @@ HEADLINE = [
     "q13_order_distribution",
     "q19_disjunctive_predicates",
     "q18_large_volume",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_only_late_supplier",
     "agg_grouping_sets",
     "explode_tokens",
     "session_window_events",
@@ -58,6 +66,9 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "multimodal_features",
+    "udaf_weighted_qty",
+    "map_functions",
+    "sql_api_nation_revenue",
 ]
 
 

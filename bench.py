@@ -69,6 +69,8 @@ HEADLINE = [
     "udaf_weighted_qty",
     "map_functions",
     "sql_api_nation_revenue",
+    "sample_hash_events",
+    "sample_stratified_documents",
 ]
 
 

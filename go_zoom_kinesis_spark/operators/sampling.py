@@ -1,0 +1,106 @@
+"""Deterministic distributed sampling — training-data-pipeline
+operators (north-star extension; the reference has no sampling at all,
+its only row-dropping is the hard-failure skip at
+/root/reference/src/processor.rs:1511-1514).
+
+Random `df.sample()` is seeded-deterministic within one engine but not
+portable across engines (and not stable under repartitioning), so a
+100 TB pipeline that must *reproduce* its training subsets samples by
+content hash instead: a row is in the sample iff
+``int(md5(key)[:4], 16) < rate * 0xffff``. Same rows selected on any
+engine, any partitioning, any day — and the driver can hash-compare
+results exactly, which seeded sampling can never offer.
+
+Both entries are single-scan, shuffle-free selections (the filter is a
+pure projection predicate, pushed to the scan's batch evaluation), so
+at 100 TB they cost one pass with no data movement before the
+downstream aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DEC = "decimal(25,6)"
+
+SAMPLE_PCT = 10  # ~10% of the 16-bit hash space
+STRATA_PCT = 25  # per-language document sample
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _hash_bucket(key: F.Column) -> F.Column:
+    """16-bit bucket from the md5 of the key's decimal string — the
+    engine-portable deterministic sampler (conv hex→int is JVM-side)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+
+
+def sample_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of events by content-hash of the
+    event id, then the standard per-type rollup over the sample."""
+    ev = _t(spark, sf_dir, "events")
+    keep = _hash_bucket(F.col("event_id")) < int(SAMPLE_PCT / 100 * 0xFFFF)
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language (per-stratum) ~25% deterministic sample of
+    documents — equal-rate strata keep the language mix of the corpus
+    while cutting volume; counts + mean length audit the result."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = _hash_bucket(F.col("doc_id")) < int(STRATA_PCT / 100 * 0xFFFF)
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+QUERIES = {
+    "sample_hash_events": sample_hash_events,
+    "sample_stratified_documents": sample_stratified_documents,
+}
+
+_BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INTEGER)"
+
+ORACLE = {
+    "sample_hash_events": f"""
+        SELECT event_type,
+               count(*) AS n_sampled,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+               min(event_id) AS min_event_id,
+               max(event_id) AS max_event_id
+        FROM events
+        WHERE {_BUCKET.format(key="event_id")} < {int(SAMPLE_PCT / 100 * 0xFFFF)}
+        GROUP BY event_type
+    """,
+    "sample_stratified_documents": f"""
+        SELECT lang,
+               count(*) AS n_sampled,
+               sum(CAST(length(text) AS BIGINT)) AS total_chars,
+               min(doc_id) AS min_doc_id
+        FROM documents
+        WHERE {_BUCKET.format(key="doc_id")} < {int(STRATA_PCT / 100 * 0xFFFF)}
+        GROUP BY lang
+    """,
+}

@@ -25,6 +25,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        sampling,
         similarity,
         skew,
         streaming_analogs,
@@ -38,6 +39,7 @@ def _modules():
         relational2,
         relational3,
         dedup,
+        sampling,
         similarity,
         text,
         multimodal,

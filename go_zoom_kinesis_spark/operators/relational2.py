@@ -560,8 +560,27 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile (Greenwald-Khanna
+    sketch, mergeable across partitions — one pass, bounded memory,
+    no global sort). Accuracy 1e6 bounds rank error to n/accuracy
+    rows; below ~1e6 rows per group that is < 1 row, i.e. EXACT, and
+    it returns an actual data element — so it hash-matches DuckDB's
+    quantile_disc at test scales while remaining the genuinely
+    approximate operator you'd run (with lower accuracy) at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    ap = "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000000)"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(ap).getItem(0).alias("p25"),
+        F.expr(ap).getItem(1).alias("p50"),
+        F.expr(ap).getItem(2).alias("p95"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "percentile_stats": percentile_stats,
+    "approx_percentile_stats": approx_percentile_stats,
     "stats_summary": stats_summary,
     "array_functions": array_functions,
     "q4_late_orders": q4_late_orders,
@@ -587,6 +606,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "approx_percentile_stats": """
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS p25,
+               quantile_disc(l_extendedprice, 0.5) AS p50,
+               quantile_disc(l_extendedprice, 0.95) AS p95,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "percentile_stats": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -147,3 +147,33 @@ def attach_query_listener(spark, aggregator: MetricsAggregator):
     listener = _Listener()
     spark.streams.addListener(listener)
     return listener
+
+
+def observe_batch_metrics(df, name: str = "gzk_metrics"):
+    """Dataset-level counters via ``DataFrame.observe`` — the batch
+    half of SURVEY §2 M1 (the reference's BatchComplete event carries
+    successful/failed counts, src/monitoring/types.rs:52-58; here the
+    engine computes them on the data path itself, zero extra scans).
+
+    Wraps ``df`` with an :class:`~pyspark.sql.Observation`; after any
+    action on the returned DataFrame, ``observation.get`` yields
+    ``{"n_rows": ..., "n_null_keys": ...}`` computed during that pass.
+    The metric expressions run inside the same whole-stage-codegen
+    pipeline as the query — at 100 TB observability costs nothing
+    beyond the aggregation registers.
+
+    Returns ``(observed_df, observation)``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    first = df.columns[0]
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(first).isNull(), 1).otherwise(0)).alias(
+            "n_null_keys"
+        ),
+    )
+    return observed, obs

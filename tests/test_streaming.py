@@ -378,6 +378,20 @@ def test_metrics_aggregation_counts(spark, tmp_path, records):
     assert total_ok == len(sunk)
 
 
+def test_observe_batch_metrics(spark, sf_dir):
+    """DataFrame.observe: in-pass counters must equal the same facts
+    computed by a separate aggregation (M1's BatchComplete counts on
+    the data path, no extra scan)."""
+    from go_zoom_kinesis_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    observed, obs = M.observe_batch_metrics(ev)
+    n_collected = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n_collected
+    assert got["n_null_keys"] == ev.filter(ev.event_id.isNull()).count()
+
+
 def test_metrics_idle_eviction():
     agg = MetricsAggregator(window_seconds=0.01)
     agg.emit("shard-1", M.RECORD_SUCCESS, count=1)

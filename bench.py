@@ -71,6 +71,8 @@ HEADLINE = [
     "sql_api_nation_revenue",
     "sample_hash_events",
     "sample_stratified_documents",
+    "approx_percentile_stats",
+    "kmeans_update_step",
 ]
 
 

@@ -281,8 +281,63 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-iteration M-step: element-wise mean of every
+    cluster's member vectors (E-step assignment = the IVF coarse
+    quantizer above). With the E-step this is k-means on DataFrames —
+    the clustering primitive of a training-data pipeline (corpus
+    bucketing, diversity sampling).
+
+    Shape: posexplode to (bucket, dim) then one shuffle agg — 16×64
+    output rows regardless of corpus size. Determinism: per-dimension
+    sums fold sequentially over members ordered by vec_id (collect_list
+    → array_sort → fold), bit-identical to the DuckDB oracle's
+    list(ORDER BY) + list_reduce. At 100 TB the fold becomes a plain
+    `sum()` (mathematically identical, order-free) — the ordered fold
+    is the oracle-parity harness, not the scale path."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    assign = (
+        emb.join(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "c_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+            ),
+        )
+        .filter(F.col("c_rk") == 1)
+        .select("vec_id", F.col("c_id").alias("bucket"))
+    )
+    ex = assign.join(emb.select("vec_id", "emb"), "vec_id").select(
+        "bucket", "vec_id", F.posexplode("emb").alias("pos", "x")
+    )
+    agg = ex.groupBy("bucket", "pos").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("vec_id", "x"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("dim_sum"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        "bucket",
+        "pos",
+        (F.col("dim_sum") / F.col("n_members")).alias("centroid_val"),
+        "n_members",
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
+    "kmeans_update_step": kmeans_update_step,
     "similarity_lsh_buckets": similarity_lsh_buckets,
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_nearest": dedup_embedding_nearest,
@@ -377,6 +432,35 @@ ORACLE = {
             JOIN en e ON e.vec_id = a.vec_id
             JOIN en q ON q.vec_id = p.q_id
         ) WHERE rk <= {IVF_TOP_K}
+    """,
+    "kmeans_update_step": f"""
+        {_EMB_CTE},
+        cent AS (
+            SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+            FROM en WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, c_id AS bucket FROM (
+                SELECT e.vec_id, c.c_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DOT.format(a='e.emb', b='c.c_emb')} / (e.norm * c.c_norm) DESC,
+                                    c.c_id ASC) AS c_rk
+                FROM en e CROSS JOIN cent c
+            ) WHERE c_rk = 1
+        ),
+        ex AS (
+            SELECT a.bucket, e.vec_id, i - 1 AS pos, e.emb[i] AS x
+            FROM assign a
+            JOIN en e ON e.vec_id = a.vec_id,
+            generate_series(1, 64) t(i)
+        )
+        SELECT bucket, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(x ORDER BY vec_id)),
+                           (acc, v) -> acc + v) / count(*) AS centroid_val,
+               count(*) AS n_members
+        FROM ex GROUP BY bucket, pos
     """,
     "dedup_embedding_nearest": f"""
         {_EMB_CTE},

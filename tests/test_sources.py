@@ -92,3 +92,20 @@ def test_plan_summary_shape(spark, sf_dir, events):
     s = plan_summary(events.filter(F.col("event_id") > 10).select("event_id"))
     assert s["pushed_filters"] and not s["cartesian"]
     assert any("event_id" in p for p in s["pushed_filters"])
+
+
+def test_fan_out_narrow(spark, sf_dir):
+    """Single-file scans widen to default parallelism; already-wide
+    inputs pass through without an extra shuffle."""
+    from go_zoom_kinesis_spark.io import fan_out_narrow, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    wide = fan_out_narrow(docs)
+    assert (
+        wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    assert wide.count() == docs.count()
+    # already wide ⇒ identity (no repartition node added)
+    again = fan_out_narrow(wide)
+    assert again is wide

@@ -293,7 +293,39 @@ def q21_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.orderBy(F.desc("numwait"), F.asc("s_name")).limit(50)
 
 
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) on
+    true multisets: each supplier's 1996 vs 1997 shipment-line bags.
+    EXCEPT ALL keeps surplus multiplicity (n96 - n97 copies survive),
+    INTERSECT ALL keeps the overlap (min(n96, n97)) — semantics the
+    distinct-based set ops cannot express. Grouped after the op so the
+    output stays small at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def year_bag(y: int) -> DataFrame:
+        return li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("l_suppkey")
+
+    a, b = year_bag(1996), year_bag(1997)
+    surplus = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("tag", F.lit("surplus_96"))
+    )
+    common = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("tag", F.lit("common"))
+    )
+    return surplus.unionByName(common)
+
+
 QUERIES = {
+    "set_ops_bag": set_ops_bag,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -305,6 +337,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "set_ops_bag": """
+        WITH a AS (SELECT l_suppkey FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        b AS (SELECT l_suppkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        SELECT l_suppkey, count(*) AS n, 'surplus_96' AS tag
+        FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        GROUP BY l_suppkey
+        UNION ALL
+        SELECT l_suppkey, count(*) AS n, 'common' AS tag
+        FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+        GROUP BY l_suppkey
+    """,
     "q2_min_cost_supplier": """
         WITH per_pair AS (
             SELECT l_partkey, l_suppkey,

@@ -114,6 +114,33 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]+"  # GPT-style pre-tokenizer classes
+
+
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenization (the BPE front half): word runs, single
+    digits, punctuation runs — the GPT-2-style class split on
+    lowercased text. Pattern is leftmost-first in both Java regex and
+    RE2, so the token streams are identical across engines. One
+    projection, no shuffle before the per-language rollup."""
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    word = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    digit = F.filter(toks, lambda t: t.rlike("^[0-9]$"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(word).alias("n_word"),
+        F.size(digit).alias("n_digit"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_word").alias("total_words"),
+        F.sum("n_digit").alias("total_digits"),
+        F.max("n_tok").alias("max_doc_tokens"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash
     over token hashes — fp = fold((acc*131 + h(tok)) % P). Same token
@@ -138,6 +165,7 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_quality": text_quality,
     "text_token_stats": text_token_stats,
+    "text_regex_tokens": text_regex_tokens,
     "text_fingerprint": text_fingerprint,
 }
 
@@ -159,6 +187,23 @@ _PRED_SQL = "CASE " + " ".join(
 ) + " ELSE 'und' END"
 
 ORACLE = {
+    "text_regex_tokens": f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_tok,
+                   len(list_filter(regexp_extract_all(lower(text), '{BPE_PATTERN}'),
+                                   t -> regexp_matches(t, '^[a-z]+$'))) AS n_word,
+                   len(list_filter(regexp_extract_all(lower(text), '{BPE_PATTERN}'),
+                                   t -> regexp_matches(t, '^[0-9]$'))) AS n_digit
+            FROM documents
+        )
+        SELECT lang,
+               sum(n_tok) AS total_tokens,
+               sum(n_word) AS total_words,
+               sum(n_digit) AS total_digits,
+               max(n_tok) AS max_doc_tokens
+        FROM per_doc GROUP BY lang
+    """,
     "text_language_id": f"""
         WITH tk AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
         scored AS (

@@ -424,3 +424,73 @@ def test_streaming_end_to_end(spark, tmp_path, records):
     n_expected = records.filter(F.col("event_type") != "error").count()
     assert len(sunk) == n_expected
     assert len(store.all_checkpoints()) == N_SHARDS
+
+
+# --- parallel stress (↔ test_suite.rs:707-815) --------------------------
+
+
+def test_parallel_stress_8x80(spark, tmp_path):
+    """The reference's flagship stress scenario: 8 shards × 80 records
+    with mixed soft/hard failures — every non-hard record lands exactly
+    once, every hard record quarantines, per-shard checkpoints equal
+    the max successful sequence, within a small wall-clock bound
+    (reference: 5 s with fully mocked I/O; here real Spark jobs run,
+    so the bound is proportionally generous)."""
+    n_shards, per_shard = 8, 80
+    recs = spark.range(n_shards * per_shard).select(
+        F.pmod(F.col("id"), F.lit(n_shards)).cast("string").alias("shard_id"),
+        F.col("id").alias("sequence_number"),
+        F.lit("stress").alias("event_type"),
+        F.col("id").cast("string").alias("data"),
+    )
+
+    def stress_classifier(df):
+        return df.withColumn(
+            "outcome",
+            F.when(F.col("sequence_number") % 101 == 0, F.lit("hard"))
+            .when(
+                (F.col("sequence_number") % 13 == 0) & (F.col("attempt") < 2),
+                F.lit("soft"),
+            )
+            .otherwise(F.lit("success")),
+        )
+
+    store = InMemoryCheckpointStore()
+    sunk: list = []
+    dlq: list = []
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "stress_ckpt"),
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+        max_attempts=5,
+    )
+    proc = StreamProcessor(
+        spark,
+        processor=stress_classifier,
+        store=store,
+        config=cfg,
+        sink=lambda df, e: sunk.extend(df.collect()),
+        dlq_sink=lambda df, e: dlq.extend(df.collect()),
+        sleep=lambda s: None,
+    )
+    t0 = time.monotonic()
+    proc.run_batch(recs)
+    wall = time.monotonic() - t0
+
+    n_hard = (n_shards * per_shard + 100) // 101  # seq % 101 == 0
+    assert len(sunk) == n_shards * per_shard - n_hard
+    seqs = [r["sequence_number"] for r in sunk]
+    assert len(seqs) == len(set(seqs))  # exactly-once per record
+    assert {r["sequence_number"] for r in dlq} == {
+        s for s in range(0, n_shards * per_shard, 101)
+    }
+    # soft records took exactly 2 retries
+    assert {r["attempt"] for r in sunk if r["sequence_number"] % 13 == 0
+            and r["sequence_number"] % 101 != 0} == {2}
+    # per-shard checkpoint = max successful sequence on that shard
+    for shard in range(n_shards):
+        expected = max(
+            s for s in range(shard, n_shards * per_shard, n_shards)
+            if s % 101 != 0
+        )
+        assert store.get_checkpoint(str(shard)) == str(expected)
+    assert wall < 60.0, f"stress run took {wall:.1f}s"

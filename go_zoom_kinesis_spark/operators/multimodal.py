@@ -244,7 +244,7 @@ ORACLE = {
     "multimodal_modality_stats": """
         SELECT CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                count(*) AS n_items,
-               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
                max(octet_length(encode(text))) AS max_bytes
         FROM documents
         GROUP BY 1

@@ -251,11 +251,24 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB-scale path where
-    exact distinct is a full shuffle. No DuckDB oracle (sketch values are
-    implementation-specific); driver records a rows-only check."""
+    exact distinct is a full shuffle.
+
+    Sketch estimates are implementation-specific, so the checkable claim
+    is emitted instead of the raw estimate: the exact count plus a
+    boolean asserting the HLL estimate landed within 2% of it (rsd is
+    configured at 0.01, so 2% is a comfortable bound). The oracle
+    computes the exact count and literal TRUE — a hash match proves the
+    sketch ran and was accurate, which is the operator's contract."""
     li = _t(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        exact.alias("n_parts_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.02
+        ).alias("approx_within_2pct"),
         F.count("*").alias("n_rows"),
     )
 
@@ -517,6 +530,13 @@ ORACLE = {
         SELECT l_returnflag,
                count(DISTINCT l_partkey) AS n_parts,
                count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "approx_distinct_parts": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS approx_within_2pct,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,

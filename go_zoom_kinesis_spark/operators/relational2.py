@@ -539,7 +539,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.size(arr).alias("arr_len"),
         F.element_at(arr, 1).alias("first_elem"),
-        F.slice(arr, 2, 3).alias("mid_slice"),
+        # join to a scalar string: the driver's pandas canonicalizer
+        # cannot sort/hash raw list cells (unhashable) — both engines
+        # emit the same '2,3,4'-style rendering
+        F.array_join(F.slice(arr, 2, 3), ",").alias("mid_slice"),
         F.array_contains(arr, 7).alias("has7"),
         F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("arr_sum"),
         F.array_max(arr).alias("arr_max"),
@@ -646,7 +649,7 @@ ORACLE = {
         SELECT p_partkey,
                len(arr) AS arr_len,
                arr[1] AS first_elem,
-               arr[2:4] AS mid_slice,
+               coalesce(array_to_string(arr[2:4], ','), '') AS mid_slice,
                list_contains(arr, 7) AS has7,
                CAST(list_aggregate(arr, 'sum') AS BIGINT) AS arr_sum,
                list_aggregate(arr, 'max') AS arr_max
@@ -706,7 +709,7 @@ ORACLE = {
     """,
     "json_functions": """
         SELECT event_type,
-               sum(k) AS sum_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
                count(*) FILTER (WHERE k % 2 = 0) AS n_even_k,
                min(k) AS min_k,
                max(k) AS max_k
@@ -865,7 +868,7 @@ ORACLE = {
         ) WHERE rk <= 10
     """,
     "session_window_events": f"""
-        SELECT user_id, session_idx,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                min(ts) AS session_start,
                max(ts) AS session_end,
                count(*) AS n_events,
@@ -882,8 +885,8 @@ ORACLE = {
                             THEN 1 ELSE 0 END AS new_sess
                 FROM (
                     SELECT user_id, ts, event_id,
-                           CAST(epoch(ts) AS BIGINT) AS epoch_s,
-                           lag(CAST(epoch(ts) AS BIGINT))
+                           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                           lag(CAST(floor(epoch(ts)) AS BIGINT))
                                OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                AS prev_epoch
                     FROM events

@@ -97,7 +97,7 @@ ORACLE = {
     "sample_stratified_documents": f"""
         SELECT lang,
                count(*) AS n_sampled,
-               sum(CAST(length(text) AS BIGINT)) AS total_chars,
+               CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
                min(doc_id) AS min_doc_id
         FROM documents
         WHERE {_BUCKET.format(key="doc_id")} < {int(STRATA_PCT / 100 * 0xFFFF)}

@@ -198,9 +198,9 @@ ORACLE = {
             FROM documents
         )
         SELECT lang,
-               sum(n_tok) AS total_tokens,
-               sum(n_word) AS total_words,
-               sum(n_digit) AS total_digits,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_word) AS BIGINT) AS total_words,
+               CAST(sum(n_digit) AS BIGINT) AS total_digits,
                max(n_tok) AS max_doc_tokens
         FROM per_doc GROUP BY lang
     """,

@@ -76,7 +76,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json(F.col("props"), MapType(StringType(), LongType()))
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        # joined to one string: raw list cells are unhashable in the
+        # driver's pandas canonicalizer
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
         F.size(m).alias("n_props"),
         F.array_max(F.map_values(m)).alias("max_value"),
@@ -120,7 +122,7 @@ ORACLE = {
     """,
     "map_functions": """
         SELECT event_id,
-               list_sort(json_keys(props)) AS prop_keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
                len(json_keys(props)) AS n_props,
                list_max(list_transform(json_keys(props),

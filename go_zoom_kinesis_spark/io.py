@@ -61,9 +61,18 @@ def fan_out_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     shuffle of the full raw text)."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # metadata-only checks: df.rdd.getNumPartitions() would materialize
+    # the RDD conversion path on every call; the input-file count is the
+    # same signal (files ≥ cores ⇒ the scan already parallelizes), and
+    # an already-fanned frame short-circuits via the marker
+    if getattr(df, "_gzk_fanned_out", False):
+        return df
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
+    wide = df.repartition(target)
+    wide._gzk_fanned_out = True
+    return wide
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -78,14 +78,23 @@ def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
 
     Scale note: this replaces a candidates×shingles exploded join
     (|cand|·~50 rows through two shuffles) with two joins that carry one
-    array per row. The dictionary side is only the candidates' docs —
-    at 100 TB it shrinks with a semi-join and broadcasts when under the
-    threshold; here it is explicitly broadcast (5k docs ≪ 10 MB)."""
-    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    array per row. The dictionary is first semi-joined down to only the
+    docs that appear in a candidate pair (∝ near-dups, not corpus size),
+    then joined WITHOUT a broadcast hint: AQE sees the post-semi-join
+    size at runtime and broadcasts exactly when it fits under
+    autoBroadcastJoinThreshold — safe at 100 TB, broadcast-fast at
+    test scale."""
+    docs_in_play = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi")
+    a = dict_small.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = dict_small.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
-        cand.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jaccard_raw",
             F.size(F.array_intersect("hs_a", "hs_b")).cast("double")

@@ -12,6 +12,7 @@ of the reference's stream processor (SURVEY.md §2.1 / §3):
 
 from .backoff import ExponentialBackoff, FixedBackoff
 from .checkpoint import InMemoryCheckpointStore, JsonFileCheckpointStore
+from .limits import limit_shard_concurrency, record_timeout_transform
 from .monitoring import MetricsAggregator, MonitoringEvent
 from .processor import (
     AtSequenceNumber,
@@ -31,7 +32,9 @@ __all__ = [
     "InMemoryCheckpointStore",
     "JsonFileCheckpointStore",
     "Latest",
+    "limit_shard_concurrency",
     "MetricsAggregator",
+    "record_timeout_transform",
     "MonitoringEvent",
     "ProcessorConfig",
     "RetryExhausted",

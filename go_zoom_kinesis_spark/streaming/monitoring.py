@@ -32,6 +32,8 @@ CHECKPOINT_FAILURE = "checkpoint_failure"
 SHARD_STARTED = "shard_started"
 SHARD_COMPLETED = "shard_completed"
 VALIDATION_FAILURE = "validation_failure"
+ITERATOR_EXPIRED = "iterator_expired"  # src/monitoring/types.rs Iterator variants
+ITERATOR_RENEWED = "iterator_renewed"
 
 
 @dataclass
@@ -53,6 +55,7 @@ class ShardMetrics:
     checkpoints: int = 0
     checkpoint_failures: int = 0
     validation_failures: int = 0
+    iterator_renewals: int = 0
     total_processing_ms: float = 0.0
     max_processing_ms: float = 0.0
     last_event_at: float = 0.0
@@ -68,15 +71,42 @@ class MetricsAggregator:
     ``emit_metrics`` snapshots and evicts idle shards (2× window, as
     src/monitoring/metrics.rs:357-360)."""
 
-    def __init__(self, buffer_size: int = 1000, window_seconds: float = 60.0):
+    def __init__(
+        self,
+        buffer_size: int = 1000,
+        window_seconds: float = 60.0,
+        rate_limit: int | None = 1000,
+        clock=time.time,
+    ):
+        """``rate_limit`` caps accepted events per wall-clock second
+        (the reference's ``rate_limit: Some(1000)``,
+        src/monitoring/types.rs:34); excess events are counted in
+        ``dropped_events`` and discarded. ``clock`` is injectable for
+        deterministic tests."""
         self.window_seconds = window_seconds
+        self.rate_limit = rate_limit
+        self.dropped_events = 0
+        self._clock = clock
+        self._rate_window_start = 0.0
+        self._rate_window_count = 0
         self.events: deque[MonitoringEvent] = deque(maxlen=buffer_size)
         self._metrics: dict[str, ShardMetrics] = {}
         self._lock = threading.Lock()
 
     def emit(self, shard_id: str, event_type: str, **detail) -> None:
-        ev = MonitoringEvent(time.time(), shard_id, event_type, detail)
+        now = self._clock()
+        ev = MonitoringEvent(now, shard_id, event_type, detail)
         with self._lock:
+            if self.rate_limit is not None:
+                if now - self._rate_window_start >= 1.0:
+                    self._rate_window_start = now
+                    self._rate_window_count = 0
+                if self._rate_window_count >= self.rate_limit:
+                    # over budget: the reference's bounded channel drops
+                    # the send; the event never reaches the aggregator
+                    self.dropped_events += 1
+                    return
+                self._rate_window_count += 1
             self.events.append(ev)
             m = self._metrics.setdefault(shard_id, ShardMetrics(shard_id))
             m.last_event_at = ev.timestamp
@@ -95,6 +125,8 @@ class MetricsAggregator:
                 m.checkpoint_failures += 1
             elif event_type == VALIDATION_FAILURE:
                 m.validation_failures += 1
+            elif event_type == ITERATOR_RENEWED:
+                m.iterator_renewals += 1
 
     def event_types(self) -> list[str]:
         with self._lock:
@@ -107,7 +139,7 @@ class MetricsAggregator:
     def emit_metrics(self) -> dict[str, ShardMetrics]:
         """Snapshot all shard metrics, evicting idle shards (> 2×
         window without events)."""
-        now = time.time()
+        now = self._clock()
         with self._lock:
             stale = [
                 s

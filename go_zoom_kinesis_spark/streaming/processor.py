@@ -36,14 +36,20 @@ Spark mapping:
 - graceful shutdown (P6) ⇒ query.stop() between micro-batches
 - monitoring (M1)   ⇒ MetricsAggregator events + StreamingQueryListener
 
-Per-record processing timeout (T3) has no Spark analog below task
-granularity — documented gap (SURVEY §7); enforce inside the user
-transform if needed.
+Per-record processing timeout (T3): JVM expression pipelines cannot
+hang per-record; the guard applies to the opaque-user-code path via
+``limits.record_timeout_transform`` (mapInPandas race against a
+deadline, src/processor.rs:1520-1522) — rows that overrun come back
+with outcome ``timeout`` and are quarantined with reason
+``processing_timeout``. Shard-concurrency limiting (P2) is
+``ProcessorConfig.max_concurrent_shards`` via shard-keyed partition
+count (``limits.limit_shard_concurrency``).
 """
 
 from __future__ import annotations
 
 import time
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -113,6 +119,9 @@ class ProcessorConfig:
     initial_position: InitialPosition = field(default_factory=TrimHorizon)
     prefer_stored_checkpoint: bool = True  # src/processor.rs:362
     total_timeout: float | None = None  # seconds (src/processor.rs:624-670)
+    # P2: bound on concurrently-processing shards (src/processor.rs:679-695);
+    # enforced as shard-keyed partition count (see limits.py)
+    max_concurrent_shards: int | None = None
     validation_max_attempts: int = 3
     backoff: ExponentialBackoff = field(default_factory=ExponentialBackoff)
     shard_col: str = "shard_id"
@@ -152,32 +161,26 @@ class StreamProcessor:
 
     # --- positioning (S2/S3) -------------------------------------------
 
-    def _resolve_position_filter(self, source_snapshot: DataFrame | None):
-        """Build the envelope filter from stored checkpoints (preferred)
-        and the configured initial position — the get_initial_iterator
-        branch (src/processor.rs:801-868)."""
+    def _initial_position_predicate(self, source_snapshot: DataFrame | None):
+        """The configured initial position as an envelope predicate
+        (src/processor.rs:313-322)."""
         cfg = self.config
         pos = cfg.initial_position
         pad = F.lpad(F.col(cfg.seq_col).cast("string"), 128, "0")
-
-        checkpoint_filter = None
-        if cfg.prefer_stored_checkpoint and hasattr(self.store, "all_checkpoints"):
-            ckpts = self.store.all_checkpoints()
-            if ckpts:
-                # AfterSequenceNumber per shard: seq > checkpoint
-                conds = None
-                for shard, seq in ckpts.items():
-                    c = (F.col(cfg.shard_col) == shard) & (pad > pad_seq(seq))
-                    conds = c if conds is None else conds | c
-                unknown = ~F.col(cfg.shard_col).isin(list(ckpts))
-                checkpoint_filter = conds | unknown
-
-        if checkpoint_filter is not None:
-            return checkpoint_filter
         if isinstance(pos, TrimHorizon):
             return F.lit(True)
         if isinstance(pos, Latest):
             if source_snapshot is None:
+                # Without a snapshot there is no "max sequence at start":
+                # the filter degrades to TrimHorizon. Warn loudly — the
+                # reference's Latest never reprocesses history.
+                warnings.warn(
+                    "initial_position=Latest with no source_snapshot: "
+                    "cannot determine the stream head, falling back to "
+                    "TrimHorizon (full history). Pass source_snapshot to "
+                    "run_stream for true Latest semantics.",
+                    stacklevel=3,
+                )
                 return F.lit(True)
             row = source_snapshot.select(
                 F.max(F.lpad(F.col(cfg.seq_col).cast("string"), 128, "0")).alias("m")
@@ -189,6 +192,32 @@ class StreamProcessor:
             return F.col(cfg.ts_col) >= F.lit(pos.timestamp)
         raise TypeError(f"unknown initial position {pos!r}")
 
+    def _resolve_position_filter(self, source_snapshot: DataFrame | None):
+        """Build the envelope filter from stored checkpoints (preferred)
+        and the configured initial position — the get_initial_iterator
+        branch (src/processor.rs:801-868).
+
+        Shards with a stored checkpoint resume strictly after it; shards
+        absent from the store (e.g. children that appeared after a
+        reshard, P7) fall back to the *configured initial position*,
+        exactly the reference's per-shard branch — not TrimHorizon."""
+        cfg = self.config
+        pad = F.lpad(F.col(cfg.seq_col).cast("string"), 128, "0")
+
+        if cfg.prefer_stored_checkpoint and hasattr(self.store, "all_checkpoints"):
+            ckpts = self.store.all_checkpoints()
+            if ckpts:
+                # AfterSequenceNumber per shard: seq > checkpoint
+                conds = None
+                for shard, seq in ckpts.items():
+                    c = (F.col(cfg.shard_col) == shard) & (pad > pad_seq(seq))
+                    conds = c if conds is None else conds | c
+                unknown = ~F.col(cfg.shard_col).isin(list(ckpts))
+                init_pred = self._initial_position_predicate(source_snapshot)
+                return conds | (unknown & init_pred)
+
+        return self._initial_position_predicate(source_snapshot)
+
     # --- the foreachBatch body (T1/T2/K1/K2) ---------------------------
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -197,69 +226,109 @@ class StreamProcessor:
         agg.emit("GLOBAL", M.BATCH_START, epoch=epoch_id)
 
         batch_df = batch_df.filter(self._position_filter)
+        if cfg.max_concurrent_shards is not None:
+            from .limits import limit_shard_concurrency
+
+            batch_df = limit_shard_concurrency(
+                batch_df, cfg.shard_col, cfg.max_concurrent_shards
+            )
 
         pending = batch_df.withColumn("attempt", F.lit(0))
         successes: list[DataFrame] = []
         quarantined: list[DataFrame] = []
+        cached: list[DataFrame] = []
         attempt = 0
-        while True:
-            t0 = time.perf_counter()
-            out = self.processor(pending).cache()
-            n_soft = out.filter(F.col("outcome") == "soft").count()
-            n_hard = out.filter(F.col("outcome") == "hard").count()
-            n_ok = out.filter(F.col("outcome") == "success").count()
-            ms = (time.perf_counter() - t0) * 1000
-
-            if n_ok:
-                successes.append(out.filter(F.col("outcome") == "success"))
-            if n_hard:
-                # hard ⇒ skip permanently, continue (src/processor.rs:1511-1514)
-                quarantined.append(
-                    out.filter(F.col("outcome") == "hard").withColumn(
-                        "dlq_reason", F.lit("hard_failure")
+        try:
+            while True:
+                t0 = time.perf_counter()
+                out = self.processor(pending).cache()
+                cached.append(out)
+                # ONE action per attempt: the O(shards × outcomes) rollup
+                # both fills the monitoring events and yields the global
+                # outcome counts (src/processor.rs:1490-1525 classifies
+                # per record; the rollup is its batched equivalent)
+                outcome_rows = (
+                    out.groupBy(cfg.shard_col, "outcome").count().collect()
+                )
+                ms = (time.perf_counter() - t0) * 1000
+                totals: dict[str, int] = {}
+                for shard_row in outcome_rows:
+                    outcome = shard_row["outcome"]
+                    totals[outcome] = totals.get(outcome, 0) + shard_row["count"]
+                    etype = {
+                        "success": M.RECORD_SUCCESS,
+                        "soft": M.RECORD_ATTEMPT,
+                        "hard": M.RECORD_FAILURE,
+                        "timeout": M.RECORD_FAILURE,
+                    }[outcome]
+                    agg.emit(
+                        str(shard_row[cfg.shard_col]),
+                        etype,
+                        count=shard_row["count"],
+                        processing_ms=ms,
+                        **({"reason": "processing_timeout"} if outcome == "timeout" else {}),
                     )
-                )
-            for shard_row in (
-                out.groupBy(cfg.shard_col, "outcome").count().collect()
-            ):
-                etype = {
-                    "success": M.RECORD_SUCCESS,
-                    "soft": M.RECORD_ATTEMPT,
-                    "hard": M.RECORD_FAILURE,
-                }[shard_row["outcome"]]
-                agg.emit(
-                    str(shard_row[cfg.shard_col]),
-                    etype,
-                    count=shard_row["count"],
-                    processing_ms=ms,
-                )
+                n_soft = totals.get("soft", 0)
 
-            if n_soft == 0:
-                break
-            if attempt + 1 >= cfg.max_attempts:
-                # soft retries exhausted ⇒ quarantine (bounded-retry
-                # semantic change from the reference's retry-forever)
-                quarantined.append(
-                    out.filter(F.col("outcome") == "soft").withColumn(
-                        "dlq_reason", F.lit("soft_exhausted")
+                if totals.get("success", 0):
+                    successes.append(out.filter(F.col("outcome") == "success"))
+                if totals.get("hard", 0):
+                    # hard ⇒ skip permanently, continue (src/processor.rs:1511-1514)
+                    quarantined.append(
+                        out.filter(F.col("outcome") == "hard").withColumn(
+                            "dlq_reason", F.lit("hard_failure")
+                        )
                     )
-                )
-                break
-            # retry only the soft subset with attempt+1
-            # (src/processor.rs:1506-1510: attempt increments, same record)
-            attempt += 1
-            self._sleep(cfg.backoff.delay(attempt - 1))
-            pending = (
-                out.filter(F.col("outcome") == "soft")
-                .drop("outcome", "attempt")
-                .withColumn("attempt", F.lit(attempt))
-            )
+                if totals.get("timeout", 0):
+                    # per-record processing timeout (T3): quarantine like a
+                    # hard failure, batch completes (src/processor.rs:1520-1522)
+                    quarantined.append(
+                        out.filter(F.col("outcome") == "timeout").withColumn(
+                            "dlq_reason", F.lit("processing_timeout")
+                        )
+                    )
 
-        items = None
-        if successes:
-            items = successes[0]
-            for s in successes[1:]:
-                items = items.unionByName(s)
+                if n_soft == 0:
+                    break
+                if attempt + 1 >= cfg.max_attempts:
+                    # soft retries exhausted ⇒ quarantine (bounded-retry
+                    # semantic change from the reference's retry-forever)
+                    quarantined.append(
+                        out.filter(F.col("outcome") == "soft").withColumn(
+                            "dlq_reason", F.lit("soft_exhausted")
+                        )
+                    )
+                    break
+                # retry only the soft subset with attempt+1
+                # (src/processor.rs:1506-1510: attempt increments, same record)
+                attempt += 1
+                self._sleep(cfg.backoff.delay(attempt - 1))
+                pending = (
+                    out.filter(F.col("outcome") == "soft")
+                    .drop("outcome", "attempt")
+                    .withColumn("attempt", F.lit(attempt))
+                )
+
+            items = None
+            if successes:
+                items = successes[0]
+                for s in successes[1:]:
+                    items = items.unionByName(s)
+            self._finish_batch(items, quarantined, epoch_id)
+        finally:
+            # per-attempt caches would otherwise accumulate for the
+            # lifetime of the streaming query (executor storage leak)
+            for c in cached:
+                c.unpersist()
+
+    def _finish_batch(
+        self,
+        items: DataFrame | None,
+        quarantined: list[DataFrame],
+        epoch_id: int,
+    ) -> None:
+        cfg = self.config
+        agg = self.aggregator
 
         # --- before_checkpoint barrier (K2) ----------------------------
         if self.before_checkpoint is not None and items is not None:
@@ -333,6 +402,36 @@ class StreamProcessor:
         """Process a static DataFrame as one batch (test/replay path)."""
         self._position_filter = self._resolve_position_filter(df)
         self.process_batch(df, epoch_id)
+
+    # --- iterator-expiry recovery (P5) ---------------------------------
+
+    def recover_iterator(
+        self, shard_id: str, source_snapshot: DataFrame | None = None
+    ) -> None:
+        """The iterator-expiry fallback chain (src/processor.rs:870-994):
+        when a shard's iterator expires, the reference renews it from the
+        stored checkpoint (falling back to the initial position when none
+        exists) and resumes — emitting ``iterator_expired`` then
+        ``iterator_renewed``, after which processing continues and the
+        monitoring stream shows ``record_success``
+        (src/tests/test_suite.rs:102-256's required sequence).
+
+        The Spark analog: connectors renew iterators internally, so
+        expiry surfaces here as a source-level retry. This re-resolves
+        the position filter from the checkpoint store (the renewal), logs
+        the event pair, and counts the renewal per shard."""
+        ckpt = self.store.get_checkpoint(shard_id)
+        self.aggregator.emit(
+            shard_id,
+            M.ITERATOR_EXPIRED,
+            had_checkpoint=ckpt is not None,
+        )
+        self._position_filter = self._resolve_position_filter(source_snapshot)
+        self.aggregator.emit(
+            shard_id,
+            M.ITERATOR_RENEWED,
+            resumed_from=ckpt if ckpt is not None else "initial_position",
+        )
 
     def await_with_timeout(self, query) -> bool:
         """awaitTermination with the configured total timeout; stops the

@@ -31,6 +31,10 @@ from go_zoom_kinesis_spark.streaming import (
     StreamProcessor,
     TrimHorizon,
 )
+from go_zoom_kinesis_spark.streaming import (
+    limit_shard_concurrency,
+    record_timeout_transform,
+)
 from go_zoom_kinesis_spark.streaming import monitoring as M
 
 # --- backoff (↔ src/retry/backoff.rs:153-232) ---------------------------
@@ -150,7 +154,7 @@ def classifier(df):
 
 def make_processor(spark, tmp_path, store=None, **kwargs):
     cfg_kwargs = {}
-    for k in ("initial_position", "max_attempts", "prefer_stored_checkpoint", "validation_max_attempts"):
+    for k in ("initial_position", "max_attempts", "prefer_stored_checkpoint", "validation_max_attempts", "max_concurrent_shards"):
         if k in kwargs:
             cfg_kwargs[k] = kwargs.pop(k)
     cfg = ProcessorConfig(
@@ -494,3 +498,193 @@ def test_parallel_stress_8x80(spark, tmp_path):
         )
         assert store.get_checkpoint(str(shard)) == str(expected)
     assert wall < 60.0, f"stress run took {wall:.1f}s"
+
+# --- per-record timeout T3 (↔ test_suite.rs:257-292) --------------------
+
+
+def test_record_timeout_quarantines_and_batch_completes(spark, tmp_path):
+    # defined in-test so cloudpickle ships it by value to executors
+    def _hang_aware(rec):
+        if rec["event_type"] == "hang":
+            time.sleep(8.0)  # far past the guard deadline
+        return "success"
+
+    recs = spark.range(20).select(
+        F.lit("0").alias("shard_id"),
+        F.col("id").alias("sequence_number"),
+        F.when(F.col("id") == 7, "hang").otherwise("ok").alias("event_type"),
+    )
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "t3ckpt"),
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+    )
+    store = InMemoryCheckpointStore()
+    sunk: list = []
+    dlq: list = []
+    proc = StreamProcessor(
+        spark,
+        processor=record_timeout_transform(_hang_aware, timeout_s=0.5),
+        store=store,
+        config=cfg,
+        sink=lambda df, e: sunk.extend(df.collect()),
+        dlq_sink=lambda df, e: dlq.extend(df.collect()),
+        sleep=lambda s: None,
+    )
+    t0 = time.monotonic()
+    proc.run_batch(recs)
+    wall = time.monotonic() - t0
+    # the hung record is quarantined with the timeout reason; every
+    # other record still lands (batch completes — the quarantine
+    # variant of the reference's ProcessingTimeout error)
+    assert len(sunk) == 19
+    assert [r["sequence_number"] for r in dlq] == [7]
+    assert dlq[0]["dlq_reason"] == "processing_timeout"
+    # checkpoint advanced past the timed-out record's successors
+    assert store.get_checkpoint("0") == "19"
+    # the batch did NOT wait out the 8 s hang
+    assert wall < 8.0
+
+
+# --- shard-concurrency limiter P2 (↔ test_suite2.rs:215-273) ------------
+
+
+def test_concurrency_limit_enforced_wall_clock(spark):
+    def _sleep_per_shard(batches):
+        seen = set()
+        for pdf in batches:
+            for s in pdf["shard_id"].unique():
+                if s not in seen:
+                    seen.add(s)
+                    time.sleep(0.2)  # the reference's 200 ms pre-process delay
+            yield pdf
+
+    recs = spark.range(4 * 5).select(
+        F.pmod(F.col("id"), F.lit(4)).cast("string").alias("shard_id"),
+        F.col("id").alias("sequence_number"),
+    )
+    limited = limit_shard_concurrency(recs, "shard_id", 2)
+    assert limited.rdd.getNumPartitions() == 2
+    t0 = time.monotonic()
+    limited.mapInPandas(_sleep_per_shard, schema=recs.schema).collect()
+    elapsed = time.monotonic() - t0
+    # 4 shards × 200 ms at ≤2 concurrent ⇒ ≥400 ms (the reference's
+    # exact wall-clock assertion)
+    assert elapsed >= 0.4, f"{elapsed:.3f}s — limiter not enforced"
+
+
+def test_concurrency_limit_preserves_semantics(spark, tmp_path, records):
+    store = InMemoryCheckpointStore()
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, store=store, max_concurrent_shards=2
+    )
+    proc.run_batch(records)
+    total = records.count()
+    n_hard = records.filter(F.col("event_type") == "error").count()
+    assert len(sunk) == total - n_hard
+    seqs = [r["sequence_number"] for r in sunk]
+    assert len(seqs) == len(set(seqs))
+    assert len(store.all_checkpoints()) == N_SHARDS
+
+
+# --- resharding pickup P7 + per-shard initial-position fallback ---------
+
+
+def test_resharding_new_shards_picked_up(spark, tmp_path, records):
+    """After a 4→8 reshard, re-listing must pick up child shards
+    (src/processor.rs:535-548, test_suite2.rs:53-114). Checkpointed
+    parents resume after their checkpoint; children absent from the
+    store fall back to the CONFIGURED initial position (AtSequenceNumber
+    here), not TrimHorizon (src/processor.rs:801-868)."""
+    store = InMemoryCheckpointStore()
+    proc, sunk, dlq = make_processor(spark, tmp_path, store=store)
+    proc.run_batch(records)
+    ckpts = {k: int(v) for k, v in store.all_checkpoints().items()}
+    assert set(ckpts) == {str(s) for s in range(N_SHARDS)}
+
+    # reshard: same stream, now keyed into 8 shards
+    resharded = records.withColumn(
+        "shard_id", F.pmod(F.col("sequence_number"), F.lit(8)).cast("string")
+    )
+    proc2, sunk2, dlq2 = make_processor(
+        spark, tmp_path, store=store,
+        initial_position=AtSequenceNumber("800"),
+    )
+    proc2.run_batch(resharded)
+
+    got = {r["sequence_number"] for r in sunk2}
+    ckpt_expr = F.create_map(
+        *[x for k, v in ckpts.items() for x in (F.lit(k), F.lit(v))]
+    )
+    expected_df = resharded.filter(F.col("event_type") != "error").filter(
+        F.when(
+            F.col("shard_id").isin(list(ckpts)),
+            F.col("sequence_number") > ckpt_expr[F.col("shard_id")],
+        ).otherwise(F.col("sequence_number") >= 800)
+    )
+    expected = {r["sequence_number"] for r in expected_df.collect()}
+    assert got == expected
+    # the new child shards were genuinely picked up and processed
+    assert {r["shard_id"] for r in sunk2} >= {"4", "5", "6", "7"}
+    # and only from the configured initial position onward
+    assert min(
+        int(r["sequence_number"]) for r in sunk2 if r["shard_id"] in "4567"
+    ) >= 800
+    # children now have checkpoints of their own
+    assert {str(s) for s in range(8)} <= set(store.all_checkpoints())
+
+
+def test_latest_without_snapshot_warns(spark, tmp_path, records):
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, initial_position=Latest(), prefer_stored_checkpoint=False
+    )
+    with pytest.warns(UserWarning, match="Latest"):
+        proc._resolve_position_filter(None)
+
+
+# --- iterator-expiry recovery P5 (↔ test_suite.rs:102-256) --------------
+
+
+def test_iterator_expiry_recovery_sequence(spark, tmp_path, records):
+    """The required monitoring sequence on expiry recovery:
+    iterator_expired → iterator_renewed → record_success
+    (src/tests/monitoring_utils.rs:264-283), with the renewal counted
+    per shard and processing resuming after the stored checkpoint."""
+    agg = MetricsAggregator()
+    store = InMemoryCheckpointStore()
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, store=store, aggregator=agg
+    )
+    first_half = records.filter(F.col("sequence_number") < 500)
+    proc.run_batch(first_half)
+    n_first = len(sunk)
+
+    proc.recover_iterator("1")
+    proc.process_batch(records, epoch_id=1)
+
+    evs = [e.event_type for e in agg.events if e.shard_id == "1"]
+    i_exp = evs.index(M.ITERATOR_EXPIRED)
+    assert evs[i_exp + 1] == M.ITERATOR_RENEWED
+    assert M.RECORD_SUCCESS in evs[i_exp + 2 :]
+    assert agg.metrics("1").iterator_renewals == 1
+    # renewal resumed from the checkpoint: no pre-checkpoint replay
+    post = [r["sequence_number"] for r in sunk[n_first:]]
+    assert post and min(post) >= 500
+
+
+# --- monitoring rate limit M1 (↔ src/monitoring/types.rs:34) ------------
+
+
+def test_monitoring_rate_limit_drops_and_recovers():
+    now = [1000.0]
+    agg = MetricsAggregator(rate_limit=5, clock=lambda: now[0])
+    for _ in range(8):
+        agg.emit("s", M.RECORD_SUCCESS, count=1)
+    assert len(agg.events) == 5
+    assert agg.dropped_events == 3
+    # dropped events never reach the metrics fold
+    assert agg.metrics("s").records_processed == 5
+    # next second: budget refreshes
+    now[0] += 1.0
+    agg.emit("s", M.RECORD_SUCCESS, count=1)
+    assert len(agg.events) == 6
+    assert agg.metrics("s").records_processed == 6

@@ -21,7 +21,7 @@ the oracle SQL so results stay bit-identical).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashes as H
@@ -84,6 +84,10 @@ def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     size at runtime and broadcasts exactly when it fits under
     autoBroadcastJoinThreshold — safe at 100 TB, broadcast-fast at
     test scale."""
+    # cache: cand (the expensive candidate-generation join) feeds the
+    # two semi-join branches AND the verify join — without it the whole
+    # upstream recomputes three times
+    cand = cand.cache()
     docs_in_play = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -248,11 +252,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- connected components over the near-dup pair graph ------------------
+
+MAX_CC_ITERS = 50  # propagation rounds ≥ graph diameter; dup chains are short
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph — the step that turns pairwise matches into keep-one-
+    per-cluster decisions (survivor = min doc_id = the component label).
+
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its own and its neighbors' labels (one join + one groupBy
+    per round); lineage is truncated per round with localCheckpoint.
+    Rounds needed = graph diameter — near-dup chains are a handful of
+    hops, and at 100 TB the alternating large-star/small-star variant
+    (same join/groupBy primitives, O(log d) rounds) drops in without
+    changing the output contract. Convergence is detected by the
+    monotone-decreasing label sum (one scalar action per round).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(MAX_CC_ITERS):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
+        .withColumn("n_members", F.count("*").over(w))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_components": dedup_components,
 }
 
 
@@ -336,6 +394,43 @@ ORACLE = {
         )
         SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_members
         FROM sigs GROUP BY simhash
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE pairs AS (
+            {_SH_CTES},
+            sig AS (
+                SELECT doc_id, {_MH_COLS}
+                FROM shd WHERE len(hs) > 0
+            ),
+            bands AS ({_BAND_SELECTS}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b, {_JACCARD_SQL} AS j
+                FROM cand
+                JOIN shd x ON x.doc_id = doc_a
+                JOIN shd y ON y.doc_id = doc_b
+            ) WHERE j >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        reach AS (
+            SELECT node, node AS lbl FROM nodes
+            UNION
+            SELECT e.d AS node, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node)
+        SELECT doc_id, component_id,
+               count(*) OVER (PARTITION BY component_id) AS n_members
+        FROM comp
     """,
     "dedup_ngram_jaccard": f"""
         {_SH_CTES},

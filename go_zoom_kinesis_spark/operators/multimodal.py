@@ -67,13 +67,20 @@ def decode_image(payload: bytes) -> object:
 
 
 def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a media feature extractor: a rolling
-    byte histogram. Same bytes → same features, any language."""
-    acc = [0.0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += float(b)
-    n = max(len(payload), 1)
-    return [round(v / n, 6) for v in acc]
+    """Deterministic stand-in for a media feature extractor: a strided
+    byte histogram (channel i sums bytes at positions ≡ i mod dim).
+    Vectorized via ``np.frombuffer`` — byte sums are exact integers in
+    float64, so the result is bit-identical to the sequential fold
+    regardless of numpy's summation order."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    n = max(arr.size, 1)
+    pad = (-arr.size) % dim
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad)])
+    acc = arr.reshape(-1, dim).sum(axis=0) if arr.size else np.zeros(dim)
+    return [round(float(v) / n, 6) for v in acc]
 
 
 def multimodal_features_pipeline(docs: DataFrame) -> DataFrame:

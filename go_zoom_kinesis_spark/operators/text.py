@@ -161,12 +161,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K terms by TF-IDF (linear-idf variant:
+    score = tf · N/df). The linear idf keeps every arithmetic step
+    inside IEEE-mandated correctly-rounded ops (*, /), so the ranking
+    key is bit-identical across engines — ln() is not IEEE-mandated and
+    a 1-ulp engine difference could flip a near-tie in the top-K cut.
+    At 100 TB swap in log-idf freely; only the cross-engine oracle
+    needs the bit-exact variant. Two shuffles (tf, df) + a broadcast
+    single-row N + a per-doc window top-K (no global sort).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 3)
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_raw", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round("score_raw", 6).alias("tfidf"),
+            "rk",
+        )
+    )
+
+
 QUERIES = {
     "text_language_id": text_language_id,
     "text_quality": text_quality,
     "text_token_stats": text_token_stats,
     "text_regex_tokens": text_regex_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_topterms": text_tfidf_topterms,
 }
 
 
@@ -187,6 +235,28 @@ _PRED_SQL = "CASE " + " ".join(
 ) + " ELSE 'und' END"
 
 ORACLE = {
+    "text_tfidf_topterms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split(lower(text), ' '), x -> length(x) > 3)) AS token
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, token, tf, df,
+                   tf * (CAST(n_docs AS DOUBLE) / df) AS score_raw
+            FROM tf JOIN dfq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df,
+               round(score_raw, 6) AS tfidf, rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_raw DESC, token ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {TFIDF_TOP_K}
+    """,
     "text_regex_tokens": f"""
         WITH per_doc AS (
             SELECT lang,

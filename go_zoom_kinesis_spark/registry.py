@@ -22,6 +22,7 @@ def _modules():
     from .operators import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational2,
         relational3,
@@ -45,6 +46,7 @@ def _modules():
         multimodal,
         skew,
         udf_surface,
+        pipeline,
     ]
 
 

@@ -1,0 +1,399 @@
+"""Time-series operators over ``events`` — hypertable-style rollups,
+gap-filling, ordered-fold EWMA, and closed-form z-score outliers.
+
+These are the batch analogs of what a metrics/observability pipeline
+does downstream of the reference's per-shard metric stream
+(ref ``src/monitoring/metrics.rs:149-156`` keeps running avg/max per
+shard; a real deployment rolls those up by time bucket and scans for
+anomalies). All arithmetic follows the repo's determinism rules:
+counts stay integral, value sums go through ``decimal(25,6)`` before
+any division, and sequential folds fix the float evaluation order so
+Spark and DuckDB produce bit-identical doubles.
+
+Scale notes (100 TB):
+- ``ts_rollup_multires`` is ONE hash-aggregate pass (ROLLUP expands
+  grouping sets inside the same shuffle) — no per-resolution rescans.
+- ``ts_gapfill_hours`` joins real buckets onto a generated time grid;
+  the grid is O(buckets × types), independent of fact-table size, and
+  the carry-forward window partitions by type, so state per task is
+  one row.
+- ``ts_ewma_user`` collects each user's history into one row before
+  the fold. That is the textbook sequential-dependency tradeoff: a
+  per-key O(history) array. For unbounded streams the stateful
+  processor (`streaming/stateful.py`) carries the same fold
+  incrementally; this batch form bounds memory by partitioning on
+  user_id (Spark spills whole rows, and a 30-day history per user is
+  KB-scale).
+- ``ts_zscore_outliers`` computes per-type moments with exact decimal
+  power sums (5 rows), broadcasts them back, and filters — one
+  shuffle + one broadcast join, no second scan of the facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DEC = "decimal(25,6)"
+Z_THRESHOLD = 2.5
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (day → hour) per event type in one
+    ROLLUP pass — the continuous-aggregate / hypertable pattern. The
+    resolution of each output row is derived from NULLness of the
+    truncated buckets (engine-portable, unlike grouping_id bit
+    orders)."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+    )
+    rolled = ev.rollup("event_type", "bucket_day", "bucket_hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").alias("sum_value"),
+    )
+    level = (
+        F.when(F.col("bucket_hour").isNotNull(), F.lit("hour"))
+        .when(F.col("bucket_day").isNotNull(), F.lit("day"))
+        .when(F.col("event_type").isNotNull(), F.lit("type"))
+        .otherwise(F.lit("total"))
+    )
+    return rolled.select(
+        "event_type",
+        "bucket_day",
+        "bucket_hour",
+        level.alias("resolution"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def ts_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly series per event type over the full [min, max] range with
+    zero-filled counts and last-observation-carried-forward sums: the
+    gapfill/locf operator of a timeseries store. The dense grid comes
+    from one ``sequence`` explode over the broadcast global bounds."""
+    ev = _events(spark, sf_dir)
+    per_hour = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket_hour"),
+    )
+    dense = grid.join(per_hour, ["event_type", "bucket_hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "event_type",
+        "bucket_hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.col("n_events").isNull()).alias("gap_filled"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
+    )
+
+
+def ts_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2) over the time-ordered event values:
+    ewma_0 = x_0, ewma_i = (ewma_{i-1} + x_i) / 2. The fold order is
+    pinned by sorting (ts, event_id, value) structs, so the double
+    result is bit-identical across engines. Alpha of exactly one half
+    keeps every step a single IEEE add + halving."""
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("hist")
+    )
+    vals = F.transform(F.col("hist"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: (acc + x) / 2,
+    )
+    return seq.select(
+        "user_id",
+        F.size(vals).alias("n_events"),
+        F.element_at(vals, -1).alias("last_value"),
+        ewma.alias("ewma_value"),
+    )
+
+
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous events: |z| > 2.5 against the per-type mean/stddev.
+    Moments come from exact decimal power sums (same closed form as
+    ``stats_summary``), broadcast back onto the facts — one aggregate
+    shuffle, one broadcast join, raw doubles out (no in-query round:
+    identical bits on both engines)."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stats = stats.select(
+        "event_type",
+        (sx / n).alias("mean_v"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("std_v"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        joined.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: collapse each user's event stream into
+    status validity intervals — a new version starts whenever
+    event_type changes (change-data-capture compaction). lead() closes
+    each interval; the open interval is flagged current. Pure window
+    functions, one shuffle on user_id."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        (F.col("prev_type").isNull())
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version_no"),
+    )
+
+
+MERGE_CUTOFF = "2024-01-20 00:00:00"
+
+
+def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: the pre-cutoff
+    last event per user is the base snapshot, post-cutoff events are
+    the change feed; full-outer merge classifies each key as
+    update / insert / carry and emits the merged state plus the number
+    of feed rows folded in. One window per side + one key-equi merge
+    join — the same plan a Delta/Iceberg MERGE compiles to."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def last_state(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias(f"{prefix}_status"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    base = last_state(ev.filter(F.col("ts") < cutoff), "base")
+    feed = ev.filter(F.col("ts") >= cutoff)
+    updates = last_state(feed, "upd").join(
+        feed.groupBy("user_id").agg(F.count("*").alias("n_feed_rows")),
+        "user_id",
+    )
+    merged = base.join(updates, "user_id", "full_outer")
+    kind = (
+        F.when(F.col("base_status").isNull(), F.lit("insert"))
+        .when(F.col("upd_status").isNull(), F.lit("carry"))
+        .otherwise(F.lit("update"))
+    )
+    return merged.select(
+        "user_id",
+        F.coalesce("upd_status", "base_status").alias("final_status"),
+        F.coalesce("upd_value", "base_value").alias("final_value"),
+        kind.alias("change_kind"),
+        F.coalesce("n_feed_rows", F.lit(0)).alias("n_updates_applied"),
+    )
+
+
+QUERIES = {
+    "ts_rollup_multires": ts_rollup_multires,
+    "ts_gapfill_hours": ts_gapfill_hours,
+    "ts_ewma_user": ts_ewma_user,
+    "ts_zscore_outliers": ts_zscore_outliers,
+    "scd2_user_status": scd2_user_status,
+    "merge_upsert_state": merge_upsert_state,
+}
+
+
+ORACLE = {
+    "ts_rollup_multires": """
+        SELECT event_type,
+               bucket_day,
+               bucket_hour,
+               CASE WHEN bucket_hour IS NOT NULL THEN 'hour'
+                    WHEN bucket_day IS NOT NULL THEN 'day'
+                    WHEN event_type IS NOT NULL THEN 'type'
+                    ELSE 'total' END AS resolution,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6))
+                   AS sum_value
+        FROM (
+            SELECT event_type,
+                   date_trunc('day', ts) AS bucket_day,
+                   date_trunc('hour', ts) AS bucket_hour,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP (event_type, bucket_day, bucket_hour)
+    """,
+    "ts_gapfill_hours": """
+        WITH per_hour AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6))
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.bucket_hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket_hour
+                FROM bounds
+            ) g
+        )
+        SELECT g.event_type, g.bucket_hour,
+               coalesce(p.n_events, 0) AS n_events,
+               p.n_events IS NULL AS gap_filled,
+               last_value(p.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket_hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_sum_value
+        FROM grid g
+        LEFT JOIN per_hour p
+            ON p.event_type = g.event_type
+            AND p.bucket_hour = g.bucket_hour
+    """,
+    "ts_ewma_user": """
+        WITH hist AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id, value) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               len(vals) AS n_events,
+               vals[-1] AS last_value,
+               list_reduce(vals, (acc, x) -> (acc + x) / 2)
+                   AS ewma_value
+        FROM hist
+    """,
+    "ts_zscore_outliers": """
+        WITH sums AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+                       AS sxx
+            FROM events GROUP BY event_type
+        ),
+        stats AS (
+            SELECT event_type,
+                   sx / n AS mean_v,
+                   sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std_v
+            FROM sums
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s.mean_v) / s.std_v AS zscore
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mean_v) / s.std_v) > 2.5
+    """,
+    "scd2_user_status": """
+        WITH changes AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id,
+               event_type AS status,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current,
+               CAST(row_number() OVER w AS INT) AS version_no
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "merge_upsert_state": f"""
+        WITH base AS (
+            SELECT user_id, event_type AS base_status, value AS base_value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rk
+                FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rk = 1
+        ),
+        feed AS (
+            SELECT * FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+        ),
+        upd AS (
+            SELECT u.user_id, u.event_type AS upd_status,
+                   u.value AS upd_value, c.n_feed_rows
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rk
+                FROM feed
+            ) u
+            JOIN (
+                SELECT user_id, count(*) AS n_feed_rows
+                FROM feed GROUP BY user_id
+            ) c USING (user_id)
+            WHERE u.rk = 1
+        )
+        SELECT coalesce(b.user_id, u.user_id) AS user_id,
+               coalesce(u.upd_status, b.base_status) AS final_status,
+               coalesce(u.upd_value, b.base_value) AS final_value,
+               CASE WHEN b.base_status IS NULL THEN 'insert'
+                    WHEN u.upd_status IS NULL THEN 'carry'
+                    ELSE 'update' END AS change_kind,
+               coalesce(u.n_feed_rows, 0) AS n_updates_applied
+        FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+    """,
+}

@@ -31,6 +31,7 @@ def _modules():
         skew,
         streaming_analogs,
         text,
+        timeseries,
         udf_surface,
     )
 
@@ -47,6 +48,7 @@ def _modules():
         skew,
         udf_surface,
         pipeline,
+        timeseries,
     ]
 
 

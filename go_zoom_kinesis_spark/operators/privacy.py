@@ -1,0 +1,168 @@
+"""PII detection / redaction over ``documents`` — the privacy-scrub
+stage of a pretraining-data pipeline (run before dedup so redacted
+text dedups consistently).
+
+The synthetic corpus contains no real PII, so each query first
+*injects* deterministic PII spans derived from ``doc_id`` (identical
+CASE logic on both engines), then detects and scrubs them. That keeps
+the operator's regex machinery fully exercised with non-trivial,
+verifiable counts. Patterns stay inside the Java-regex ∩ RE2 common
+subset (character classes, bounded quantifiers, ``\\b``) so Spark and
+the DuckDB oracle tokenize identically.
+
+Scale: one projection pass, zero shuffles for the per-doc scrub and a
+single hash-aggregate for the rollup; regex work is per-row JVM
+codegen — the shape survives 100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b555-[0-9]{4}\\b"
+IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected PII: every doc gets an email, even doc_ids
+    a phone, doc_id % 3 == 0 an IPv4."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(F.lit(" u"), did.cast("string"), F.lit("@example.com"))
+    phone = F.when(
+        did % 2 == 0,
+        F.concat(F.lit(" 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".7")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "aug_text", F.concat(F.col("text"), email, phone, ip)
+    )
+
+
+def _n_matches(col: str, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(pattern), 0))
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: count each PII class, then redact in a
+    fixed order (email → phone → ip) and emit the md5 of the redacted
+    text as the verifiable content witness."""
+    aug = _augmented(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug_text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        "source",
+        _n_matches("aug_text", EMAIL_RE).alias("n_emails"),
+        _n_matches("aug_text", PHONE_RE).alias("n_phones"),
+        _n_matches("aug_text", IP_RE).alias("n_ips"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def pii_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII prevalence rollup: total spans per class and the
+    fraction of documents carrying ≥2 PII classes (int/int ratio —
+    bit-identical doubles on both engines)."""
+    aug = _augmented(spark, sf_dir)
+    per_doc = aug.select(
+        "source",
+        _n_matches("aug_text", EMAIL_RE).alias("n_emails"),
+        _n_matches("aug_text", PHONE_RE).alias("n_phones"),
+        _n_matches("aug_text", IP_RE).alias("n_ips"),
+    )
+    multi = (
+        (F.col("n_emails") > 0).cast("int")
+        + (F.col("n_phones") > 0).cast("int")
+        + (F.col("n_ips") > 0).cast("int")
+        >= 2
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum("n_ips").alias("total_ips"),
+        (
+            F.count(F.when(multi, 1)).cast("double") / F.count("*")
+        ).alias("multi_pii_frac"),
+    )
+
+
+QUERIES = {
+    "pii_scrub": pii_scrub,
+    "pii_summary": pii_summary,
+}
+
+# DuckDB mirrors. Injection CASE logic and regexes are character-for-
+# character the Spark expressions above.
+_AUG_SQL = """
+    SELECT *,
+           text
+           || concat(' u', CAST(doc_id AS VARCHAR), '@example.com')
+           || CASE WHEN doc_id % 2 = 0
+                   THEN concat(' 555-',
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN concat(' 10.0.',
+                        CAST(doc_id % 256 AS VARCHAR), '.7')
+                   ELSE '' END
+           AS aug_text
+    FROM documents
+"""
+
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(aug_text, "
+    f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{PHONE_RE}', '<PHONE>', 'g'), "
+    f"'{IP_RE}', '<IP>', 'g')"
+)
+
+ORACLE = {
+    "pii_scrub": f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT doc_id, source,
+               len(regexp_extract_all(aug_text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(aug_text, '{PHONE_RE}')) AS n_phones,
+               len(regexp_extract_all(aug_text, '{IP_RE}')) AS n_ips,
+               length({_REDACT_SQL}) AS redacted_len,
+               md5({_REDACT_SQL}) AS redacted_md5
+        FROM aug
+    """,
+    "pii_summary": f"""
+        WITH aug AS ({_AUG_SQL}),
+        per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(aug_text, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(aug_text, '{PHONE_RE}')) AS n_phones,
+                   len(regexp_extract_all(aug_text, '{IP_RE}')) AS n_ips
+            FROM aug
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_emails) AS BIGINT) AS total_emails,
+               CAST(sum(n_phones) AS BIGINT) AS total_phones,
+               CAST(sum(n_ips) AS BIGINT) AS total_ips,
+               CAST(count(*) FILTER (WHERE
+                   (CASE WHEN n_emails > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN n_phones > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN n_ips > 0 THEN 1 ELSE 0 END) >= 2)
+                   AS DOUBLE) / count(*) AS multi_pii_frac
+        FROM per_doc GROUP BY source
+    """,
+}

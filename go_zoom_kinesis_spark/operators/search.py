@@ -1,0 +1,232 @@
+"""Document-search primitives over ``documents`` — inverted-index
+build, BM25-style ranked retrieval, and exact heavy hitters. The
+retrieval side of a training-data pipeline (find near-query documents
+for eval-set decontamination, rank corpus slices for curriculum mix).
+
+Determinism rules as elsewhere in the repo: integer statistics stay
+integral; the BM25 score uses only IEEE-mandated ops (+ - * /) over
+values derived from integers, with the per-term partial scores summed
+in a *pinned order* (term-sorted fold) so the double total is
+bit-identical across engines. The classic ``ln``-idf is swapped for
+the linear ``N/df`` variant for the same reason as
+``text_tfidf_topterms`` — ``ln`` is not correctly-rounded-mandated
+and a 1-ulp engine gap could flip a ranking tie; at 100 TB swap the
+log form in freely.
+
+Scale notes:
+- ``search_inverted_postings``: explode → one (doc,token) aggregate →
+  one token aggregate. Postings are capped at the first 10 sorted
+  doc_ids per token (the df counter keeps the true frequency), so no
+  unbounded per-key state.
+- ``search_bm25_topk``: the query-term filter lands BEFORE the tf
+  aggregate, so only matching (doc, term) pairs shuffle; doc-length
+  and N/avgdl are single-row broadcasts; final top-k is
+  TakeOrderedAndProject (no global sort materialization).
+- ``search_heavy_hitters``: map-side partial aggregation then a
+  25-row ordered take — the exact two-phase top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashes as H
+from ..io import load_table
+
+POSTINGS_CAP = 10
+MIN_DF = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["batch", "table", "vector", "window"]
+TOP_K_DOCS = 20
+HEAVY_HITTER_K = 25
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(H.tokens_col(F.col("text"))).alias("token")
+    )
+
+
+def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per token, document frequency, total term
+    frequency, and the first POSTINGS_CAP sorted doc_ids rendered as a
+    comma string (driver-hashable scalar)."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    postings = F.array_join(
+        F.transform(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+            lambda d: d.cast("string"),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            postings.alias("postings_head"),
+        )
+        .filter(F.col("df") >= MIN_DF)
+    )
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (linear-idf) top-K documents for a fixed conjunctive-OR
+    term set. score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl)) with idf = N/df, summed over terms in sorted order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _doc_tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    hits = toks.filter(F.col("token").isin(BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.col("n_docs").cast("double") / F.col("df")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    term_score = idf * (
+        tf_d
+        * (BM25_K1 + 1)
+        / (tf_d + BM25_K1 * (1 - BM25_B + BM25_B * (dl_d / avgdl)))
+    )
+    per_term = scored.select(
+        "doc_id", "token", term_score.alias("term_score")
+    )
+    # term-sorted fold: the float sum order is pinned on both engines
+    folded = per_term.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token", "term_score"))),
+                lambda s: s["term_score"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("bm25_score"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    return (
+        folded.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(TOP_K_DOCS)
+    )
+
+
+def search_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global heavy hitters: top-K tokens by corpus frequency
+    with corpus share. Two-phase (partial-agg then 25-row ordered
+    take); ties broken on the token itself."""
+    counts = _doc_tokens(spark, sf_dir).groupBy("token").agg(
+        F.count("*").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(HEAVY_HITTER_K)
+    )
+
+
+QUERIES = {
+    "search_inverted_postings": search_inverted_postings,
+    "search_bm25_topk": search_bm25_topk,
+    "search_heavy_hitters": search_heavy_hitters,
+}
+
+_TOKS = H.TOKENS_SQL.format(text="text")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+
+ORACLE = {
+    "search_inverted_postings": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT token,
+               count(*) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_to_string(
+                   list_sort(list(doc_id))[1:{POSTINGS_CAP}], ',')
+                   AS postings_head
+        FROM tf GROUP BY token
+        HAVING count(*) >= {MIN_DF}
+    """,
+    "search_bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        corpus AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks WHERE token IN ({_TERMS_SQL})
+            GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        per_term AS (
+            SELECT t.doc_id, t.token,
+                   (CAST(c.n_docs AS DOUBLE) / f.df)
+                   * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1)
+                      / (CAST(t.tf AS DOUBLE)
+                         + {BM25_K1} * (1 - {BM25_B}
+                            + {BM25_B} * (CAST(d.dl AS DOUBLE)
+                               / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))))
+                   AS term_score
+            FROM tf t
+            JOIN dfreq f USING (token)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN corpus c
+        ),
+        folded AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(
+                           list_sort(list({{'token': token,
+                                            'term_score': term_score}})),
+                           s -> s.term_score)),
+                       (acc, x) -> acc + x) AS bm25_score,
+                   count(*) AS n_terms_hit
+            FROM per_term GROUP BY doc_id
+        )
+        SELECT f.doc_id, f.bm25_score, f.n_terms_hit, d.source
+        FROM folded f JOIN documents d USING (doc_id)
+        ORDER BY f.bm25_score DESC, f.doc_id ASC
+        LIMIT {TOP_K_DOCS}
+    """,
+    "search_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+        SELECT token, cnt,
+               CAST(cnt AS DOUBLE) / total AS share
+        FROM counts CROSS JOIN total
+        ORDER BY cnt DESC, token ASC
+        LIMIT {HEAVY_HITTER_K}
+    """,
+}

@@ -208,8 +208,54 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-
+    common-token fraction, most-common-bigram fraction, duplicate-
+    token fraction. High values flag boilerplate/spam for the
+    pretraining filter. All in-row higher-order functions (JVM
+    codegen, zero shuffles before the final projection); the in-row
+    frequency scan is O(tokens · distinct) — bounded by document
+    length, which a real pipeline caps upstream anyway."""
+    docs = _toks(_docs(spark, sf_dir))
+    toks = F.col("toks")
+    n = F.size(toks)
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (top_tok.cast("double") / n).alias("top_token_frac"),
+        F.when(n >= 2, top_bg.cast("double") / (n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        (
+            (n - F.size(F.array_distinct(toks))).cast("double") / n
+        ).alias("dup_token_frac"),
+    )
+
+
 QUERIES = {
     "text_language_id": text_language_id,
+    "text_repetition_stats": text_repetition_stats,
     "text_quality": text_quality,
     "text_token_stats": text_token_stats,
     "text_regex_tokens": text_regex_tokens,
@@ -235,6 +281,31 @@ _PRED_SQL = "CASE " + " ".join(
 ) + " ELSE 'und' END"
 
 ORACLE = {
+    "text_repetition_stats": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(
+                            generate_series(1, len(toks) - 1),
+                            i -> concat(toks[i], ' ', toks[i+1]))
+                        ELSE [] END AS bigrams
+            FROM tk
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                   / len(toks) AS top_token_frac,
+               CASE WHEN len(toks) >= 2
+                    THEN CAST(list_max(list_transform(list_distinct(bigrams),
+                         b -> len(list_filter(bigrams, x -> x = b))))
+                         AS DOUBLE) / (len(toks) - 1)
+                    ELSE 0.0 END AS top_bigram_frac,
+               CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks) AS dup_token_frac
+        FROM bg
+    """,
     "text_tfidf_topterms": f"""
         WITH toks AS (
             SELECT doc_id, unnest(list_filter(

@@ -23,10 +23,12 @@ def _modules():
         dedup,
         multimodal,
         pipeline,
+        privacy,
         relational,
         relational2,
         relational3,
         sampling,
+        search,
         similarity,
         skew,
         streaming_analogs,
@@ -49,6 +51,8 @@ def _modules():
         udf_surface,
         pipeline,
         timeseries,
+        privacy,
+        search,
     ]
 
 

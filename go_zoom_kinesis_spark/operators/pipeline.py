@@ -92,9 +92,103 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 ⇒ held-out eval document
+DECON_N = 5  # n-gram width for contamination matching
+QUALITY_CUT = 0.38  # funnel quality threshold (median-ish of the corpus)
+PREFIX_LEN = 10  # tokens of document prefix used as the dedup key
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    word 5-gram with the held-out eval slice (doc_id % 97 == 0) — the
+    benchmark-leakage scan every pretraining pipeline runs before
+    training. Real pipelines use 13-grams; the width is a constant.
+
+    Plan shape: the eval slice is tiny by construction, so its
+    exploded shingle set is broadcast; training shingles stream past
+    it in one equi-join and roll up per training doc. No shuffle of
+    the training corpus, no all-pairs anything — at 100 TB this is a
+    broadcast-hash-join over a scan, the cheapest possible shape.
+    """
+    from ..functions import hashes as H
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            H.shingles_col(H.tokens_col(F.col("text")), n=DECON_N)
+        ).alias("shingle"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+    )
+    train_sh = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = train_sh.join(F.broadcast(eval_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_ngrams"),
+        F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        F.min("shingle").alias("first_shared_ngram"),
+    )
+
+
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel audit, composed from the suite's own
+    stages: quality filter (``text_quality`` score ≥ QUALITY_CUT) →
+    prefix dedup (md5 of the first 10 tokens, min-doc_id survivor) →
+    per-source counts and surviving token mass. This is the funnel
+    report a data-curation run emits; each stage reuses the exact
+    operator the suite verifies standalone.
+
+    One window over the passed slice (partitioned by prefix key) +
+    one broadcast-sized rollup; the quality stage is a pure
+    projection. Nothing here widens at 100 TB.
+    """
+    from ..functions import hashes as H
+    from .text import text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = H.tokens_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_LEN))).alias(
+            "prefix_key"
+        ),
+    ).join(
+        text_quality(spark, sf_dir).select(
+            "doc_id", "n_tokens", "quality_score"
+        ),
+        "doc_id",
+    )
+    passed = base.filter(F.col("quality_score") >= QUALITY_CUT)
+    w = Window.partitionBy("prefix_key").orderBy("doc_id")
+    canon = (
+        passed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("is_canonical"))
+    )
+    flagged = base.join(canon, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        (F.col("quality_score") >= QUALITY_CUT).alias("passed"),
+        F.coalesce("is_canonical", F.lit(False)).alias("kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("passed"), 1)).alias("n_quality_passed"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "corpus_mix_sample": corpus_mix_sample,
+    "decontaminate_ngram": decontaminate_ngram,
+    "pipeline_funnel": pipeline_funnel,
 }
 
 _BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
@@ -104,7 +198,70 @@ _RATE_CUT = "CASE " + " ".join(
     for lang, rate in MIX_RATES.items()
 ) + " ELSE 0 END"
 
+_TOKS_SQL = "list_filter(split(lower(text), ' '), x -> x <> '')"
+
+_SHINGLE5_SQL = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 4), "
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', "
+    "toks[i+3], ' ', toks[i+4])))"
+)
+
+_QSCORE_SQL = (
+    "0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)) "
+    "+ 0.3 * least(len(toks)::DOUBLE / 100.0, 1.0) "
+    "+ 0.3 * (len(list_intersect(list_distinct(toks), "
+    "['the','a','of','and','to','is','in']))::DOUBLE "
+    "/ len(list_distinct(toks)))"
+)
+
 ORACLE = {
+    "decontaminate_ngram": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLE5_SQL}) AS shingle FROM tk
+        ),
+        ev AS (
+            SELECT doc_id AS eval_doc_id, shingle FROM sh
+            WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        tr AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+        SELECT tr.doc_id,
+               count(DISTINCT tr.shingle) AS n_shared_ngrams,
+               count(DISTINCT ev.eval_doc_id) AS n_eval_docs_hit,
+               min(tr.shingle) AS first_shared_ngram
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY tr.doc_id
+    """,
+    "pipeline_funnel": f"""
+        WITH tk AS (
+            SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   len(toks) AS n_tokens,
+                   md5(array_to_string(toks[1:{PREFIX_LEN}], ' '))
+                       AS prefix_key,
+                   {_QSCORE_SQL} AS quality_score
+            FROM tk
+        ),
+        canon AS (
+            SELECT doc_id, TRUE AS is_canonical FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY prefix_key ORDER BY doc_id) AS rn
+                FROM scored WHERE quality_score >= {QUALITY_CUT}
+            ) WHERE rn = 1
+        )
+        SELECT s.source,
+               count(*) AS n_docs,
+               count(*) FILTER (s.quality_score >= {QUALITY_CUT})
+                   AS n_quality_passed,
+               count(*) FILTER (coalesce(c.is_canonical, FALSE)) AS n_kept,
+               CAST(sum(CASE WHEN coalesce(c.is_canonical, FALSE)
+                             THEN s.n_tokens ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
+        FROM scored s LEFT JOIN canon c USING (doc_id)
+        GROUP BY s.source
+    """,
     "pack_sequences": f"""
         SELECT doc_id, lang, n_tok, off_excl,
                off_excl // {PACK_BUDGET} AS pack_id,

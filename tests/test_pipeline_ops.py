@@ -9,6 +9,7 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
+from go_zoom_kinesis_spark.io import load_table
 from go_zoom_kinesis_spark.operators.dedup import (
     dedup_components,
     dedup_minhash_lsh,
@@ -99,3 +100,55 @@ def test_tfidf_topk_shape(spark, sf_dir):
         rs.sort(key=lambda r: r["rk"])
         for a, b in zip(rs, rs[1:]):
             assert a["tfidf"] >= b["tfidf"]
+
+
+def test_decontaminate_flags_true_overlaps(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.pipeline import (
+        DECON_N,
+        EVAL_MOD,
+        decontaminate_ngram,
+    )
+
+    rows = decontaminate_ngram(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+
+    def shingles(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return {
+            " ".join(toks[i : i + DECON_N])
+            for i in range(len(toks) - DECON_N + 1)
+        }
+
+    eval_sh = {}
+    train_sh = {}
+    for d in docs:
+        (eval_sh if d["doc_id"] % EVAL_MOD == 0 else train_sh)[
+            d["doc_id"]
+        ] = shingles(d["text"])
+    all_eval = set().union(*eval_sh.values()) if eval_sh else set()
+    expected = {
+        did: sh & all_eval
+        for did, sh in train_sh.items()
+        if sh & all_eval
+    }
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == set(expected)
+    for did, shared in expected.items():
+        assert got[did]["n_shared_ngrams"] == len(shared)
+        assert got[did]["first_shared_ngram"] == min(shared)
+        hit_docs = {
+            ed for ed, esh in eval_sh.items() if esh & train_sh[did]
+        }
+        assert got[did]["n_eval_docs_hit"] == len(hit_docs)
+
+
+def test_pipeline_funnel_monotone(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.pipeline import pipeline_funnel
+
+    rows = pipeline_funnel(spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["n_kept"] <= r["n_quality_passed"] <= r["n_docs"]
+        assert (r["tokens_kept"] > 0) == (r["n_kept"] > 0)

@@ -88,12 +88,15 @@ def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     # two semi-join branches AND the verify join — without it the whole
     # upstream recomputes three times
     cand = cand.cache()
-    docs_in_play = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # no .distinct(): the left-semi join dedups by construction, and
+    # skipping it saves a full shuffle of the pair list
+    docs_in_play = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
-    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi")
+    # cache the reduced dictionary: it is ∝ docs-in-near-dup-pairs (KB
+    # to MB at any corpus size), and both pair sides consume it — an
+    # uncached reference would rescan + reshingle the corpus twice
+    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi").cache()
     a = dict_small.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = dict_small.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (

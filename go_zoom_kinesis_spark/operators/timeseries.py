@@ -263,8 +263,10 @@ ORACLE = {
                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6))
                    AS sum_value
         FROM (
+            -- CAST: DuckDB's date_trunc('day') narrows to DATE; Spark
+            -- keeps TIMESTAMP — align the types explicitly
             SELECT event_type,
-                   date_trunc('day', ts) AS bucket_day,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
                    date_trunc('hour', ts) AS bucket_hour,
                    value
             FROM events

@@ -145,10 +145,53 @@ def search_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: candidate part pairs share a
+    blocking key (last name word + size) and match when full-name edit
+    distance ≤ 2 — the classic entity-resolution blocking pattern.
+    The block join bounds pair expansion to within-block quadratics
+    (blocks here are noun × size, dozens of rows each); levenshtein is
+    a codegen'd JVM intrinsic on both engines. No blocking key ⇒ n²
+    corpus pairs ⇒ never do that at 100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    noun = F.element_at(F.split(F.col("p_name"), " "), -1)
+    keyed = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        noun.alias("block_noun"),
+        F.col("p_size").alias("block_size"),
+    )
+    a = keyed.select(
+        F.col("pk").alias("pk_a"),
+        F.col("name").alias("name_a"),
+        "block_noun",
+        "block_size",
+    )
+    b = keyed.select(
+        F.col("pk").alias("pk_b"),
+        F.col("name").alias("name_b"),
+        "block_noun",
+        "block_size",
+    )
+    pairs = a.join(b, ["block_noun", "block_size"]).filter(
+        F.col("pk_a") < F.col("pk_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("pk_a", "pk_b", "name_a", "name_b", "edit_dist")
+    )
+
+
 QUERIES = {
     "search_inverted_postings": search_inverted_postings,
     "search_bm25_topk": search_bm25_topk,
     "search_heavy_hitters": search_heavy_hitters,
+    "fuzzy_match_parts": fuzzy_match_parts,
 }
 
 _TOKS = H.TOKENS_SQL.format(text="text")
@@ -216,6 +259,24 @@ ORACLE = {
         FROM folded f JOIN documents d USING (doc_id)
         ORDER BY f.bm25_score DESC, f.doc_id ASC
         LIMIT {TOP_K_DOCS}
+    """,
+    "fuzzy_match_parts": f"""
+        WITH keyed AS (
+            SELECT p_partkey AS pk, p_name AS name,
+                   list_extract(string_split(p_name, ' '), -1)
+                       AS block_noun,
+                   p_size AS block_size
+            FROM part
+        )
+        SELECT a.pk AS pk_a, b.pk AS pk_b,
+               a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS edit_dist
+        FROM keyed a
+        JOIN keyed b
+          ON a.block_noun = b.block_noun
+         AND a.block_size = b.block_size
+         AND a.pk < b.pk
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     """,
     "search_heavy_hitters": f"""
         WITH toks AS (

@@ -240,7 +240,37 @@ def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, trailing-1-hour event
+    count and decimal-exact value sum at every event. The frame is
+    defined on the epoch-seconds VALUE range (peers included), so
+    same-second ties cannot reorder results — deterministic without a
+    unique tiebreak. One shuffle on user_id; frame state is a running
+    two-pointer, not a rescan."""
+    ev = _events(spark, sf_dir)
+    epoch_s = F.col("ts").cast("long")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        epoch_s.alias("epoch_s"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum("v").over(w).alias("sum_trailing_1h"),
+    )
+
+
 QUERIES = {
+    "window_time_range_sum": window_time_range_sum,
     "ts_rollup_multires": ts_rollup_multires,
     "ts_gapfill_hours": ts_gapfill_hours,
     "ts_ewma_user": ts_ewma_user,
@@ -251,6 +281,19 @@ QUERIES = {
 
 
 ORACLE = {
+    "window_time_range_sum": """
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               count(*) OVER w AS n_trailing_1h,
+               sum(CAST(value AS DECIMAL(25,6))) OVER w
+                   AS sum_trailing_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
     "ts_rollup_multires": """
         SELECT event_type,
                bucket_day,

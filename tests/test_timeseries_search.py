@@ -182,3 +182,45 @@ def test_heavy_hitters_exact(spark, sf_dir):
     total = sum(counts.values())
     for r in rows:
         assert r["share"] == r["cnt"] / total
+
+
+def test_time_range_window_matches_python(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.timeseries import (
+        window_time_range_sum,
+    )
+
+    rows = window_time_range_sum(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(
+            (int(r["ts"].timestamp()), r["event_id"])
+        )
+    got = {r["event_id"]: r for r in rows}
+    for uid, pts in by_user.items():
+        for es, eid in pts:
+            n = sum(1 for s, _ in pts if es - 3600 <= s <= es)
+            assert got[eid]["n_trailing_1h"] == n
+            assert got[eid]["epoch_s"] == es
+
+
+def test_fuzzy_match_symmetric_and_bounded(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.search import (
+        FUZZY_MAX_DIST,
+        fuzzy_match_parts,
+    )
+
+    rows = fuzzy_match_parts(spark, sf_dir).collect()
+    parts = {
+        r["p_partkey"]: (r["p_name"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    for r in rows:
+        assert r["pk_a"] < r["pk_b"]
+        # 0 = exact duplicate names within the block (legit match)
+        assert 0 <= r["edit_dist"] <= FUZZY_MAX_DIST
+        name_a, size_a = parts[r["pk_a"]]
+        name_b, size_b = parts[r["pk_b"]]
+        # same blocking key
+        assert name_a.split(" ")[-1] == name_b.split(" ")[-1]
+        assert size_a == size_b

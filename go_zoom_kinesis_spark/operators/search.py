@@ -78,46 +78,60 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (linear-idf) top-K documents for a fixed conjunctive-OR
     term set. score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
-    b·dl/avgdl)) with idf = N/df, summed over terms in sorted order."""
+    b·dl/avgdl)) with idf = N/df, summed over terms in sorted order.
+
+    Because the query-term set is a compile-time constant, per-term
+    tfs pivot into ONE conditional aggregation per document and the
+    corpus statistics (N, Σdl, per-term df) collapse into ONE
+    single-row aggregate broadcast back — 2 shuffles total where the
+    relational shape (tf ⋈ df ⋈ dl ⋈ corpus + fold) took 7. The score
+    is bit-identical to the oracle's term-sorted fold: terms are added
+    in the same sorted order and absent terms contribute an exact 0.0
+    (guarded, so a df=0 term can never inject Inf·0 = NaN)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _doc_tokens(spark, sf_dir)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
+    terms = sorted(BM25_TERMS)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("token") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    hits = toks.filter(F.col("token").isin(BM25_TERMS))
-    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(corpus))
-    )
+    j = per_doc.join(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.col("n_docs").cast("double") / F.col("df")
-    tf_d = F.col("tf").cast("double")
-    dl_d = F.col("dl").cast("double")
-    term_score = idf * (
-        tf_d
-        * (BM25_K1 + 1)
-        / (tf_d + BM25_K1 * (1 - BM25_B + BM25_B * (dl_d / avgdl)))
-    )
-    per_term = scored.select(
-        "doc_id", "token", term_score.alias("term_score")
-    )
-    # term-sorted fold: the float sum order is pinned on both engines
-    folded = per_term.groupBy("doc_id").agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("token", "term_score"))),
-                lambda s: s["term_score"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("bm25_score"),
-        F.count("*").alias("n_terms_hit"),
-    )
+
+    def term_score(i: int):
+        tf_d = F.col(f"tf_{i}").cast("double")
+        dl_d = F.col("dl").cast("double")
+        idf = F.col("n_docs").cast("double") / F.col(f"df_{i}")
+        s = idf * (
+            tf_d
+            * (BM25_K1 + 1)
+            / (tf_d + BM25_K1 * (1 - BM25_B + BM25_B * (dl_d / avgdl)))
+        )
+        return F.when(F.col(f"tf_{i}") > 0, s).otherwise(F.lit(0.0))
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + term_score(i)
+    n_hit = None
+    for i in range(len(terms)):
+        hit = (F.col(f"tf_{i}") > 0).cast("long")
+        n_hit = hit if n_hit is None else n_hit + hit
+    folded = j.select(
+        "doc_id",
+        score.alias("bm25_score"),
+        n_hit.alias("n_terms_hit"),
+    ).filter(F.col("n_terms_hit") >= 1)
     return (
         folded.join(docs.select("doc_id", "source"), "doc_id")
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))

@@ -119,3 +119,39 @@ def test_broadcast_hint_respected(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_broadcast_brand")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """At 100 TB, fact⋈fact joins run as sort-merge with a runtime
+    bloom-filter semi-join reduction: Spark builds a bloom filter on
+    the selective (filtered) side and pushes `might_contain` into the
+    big side's scan, cutting shuffle volume before the exchange. The
+    optimizer conf is default-on; at test scale the size thresholds
+    suppress it, so this pin lowers them and disables broadcast to
+    reproduce the at-scale plan shape."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:800]
+        assert "bloom_filter_agg" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -1,0 +1,132 @@
+"""Streaming curation stages: cross-micro-batch exact dedup with
+watermark-bounded state, and batch/stream equivalence of the stateless
+PII scrub projection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from go_zoom_kinesis_spark.io import load_table
+from go_zoom_kinesis_spark.streaming.dedup_stream import (
+    scrub_documents,
+    streaming_exact_dedup,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ingest_ts", TimestampType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    # batch 1: two distinct docs + an intra-batch duplicate of doc A
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, "alpha beta gamma"),
+            (2, t0, "delta epsilon zeta"),
+            (3, t0, "alpha beta gamma"),
+        ],
+    )
+    # batch 2 (separate file => separate micro-batch with
+    # maxFilesPerTrigger=1): duplicate of doc A again + one new doc,
+    # all within the 1h watermark horizon
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, t0 + dt.timedelta(minutes=5), "alpha beta gamma"),
+            (5, t0 + dt.timedelta(minutes=5), "eta theta iota"),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_stream_t").collect()
+
+    texts = sorted(r["text"] for r in out)
+    assert texts == [
+        "alpha beta gamma",
+        "delta epsilon zeta",
+        "eta theta iota",
+    ]
+    # the surviving 'alpha beta gamma' is the FIRST arrival
+    alpha = [r for r in out if r["text"] == "alpha beta gamma"]
+    assert len(alpha) == 1 and alpha[0]["doc_id"] in (1, 3)
+    # duplicate from the later micro-batch was dropped by state
+    assert all(r["doc_id"] != 4 for r in out)
+
+
+def test_scrub_projection_stream_equals_batch(spark, tmp_path, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # inject one deterministic email per doc so the scrub does work
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+    batch_out = sorted(
+        (r["doc_id"], r["redacted_text"], r["n_emails"])
+        for r in scrub_documents(docs).collect()
+    )
+    assert all(n >= 1 for _, _, n in batch_out)
+    assert all("@" not in t for _, t, _ in batch_out)
+
+    src = str(tmp_path / "scrub_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        scrub_documents(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = sorted(
+        (r["doc_id"], r["redacted_text"], r["n_emails"])
+        for r in spark.sql("select * from scrub_stream_t").collect()
+    )
+    assert stream_out == batch_out

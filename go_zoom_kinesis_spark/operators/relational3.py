@@ -324,7 +324,44 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surplus.unionByName(common)
 
 
+def unpivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse reshape of ``pivot_status_matrix``:
+    the priority × status count matrix back to long form. Spark's
+    native ``unpivot`` (UNPIVOT/stack) expands columns in-row — a pure
+    projection over the already-aggregated matrix, no extra shuffle."""
+    from .relational2 import pivot_status_matrix
+
+    piv = pivot_status_matrix(spark, sf_dir)
+    return piv.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n_orders",
+    )
+
+
+def string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): per region, the
+    alphabetical comma-joined nation list. Deterministic because the
+    list is sorted before joining — Spark's collect_list order is not
+    otherwise defined across tasks."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "unpivot_status_matrix": unpivot_status_matrix,
+    "string_agg_regions": string_agg_regions,
     "set_ops_bag": set_ops_bag,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
@@ -337,6 +374,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "unpivot_status_matrix": """
+        WITH piv AS (
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n_orders FROM piv
+        UNION ALL
+        SELECT o_orderpriority, 'n_o', n_o FROM piv
+        UNION ALL
+        SELECT o_orderpriority, 'n_p', n_p FROM piv
+    """,
+    "string_agg_regions": """
+        SELECT r.r_name,
+               count(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
     "set_ops_bag": """
         WITH a AS (SELECT l_suppkey FROM lineitem
                    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -359,7 +359,86 @@ def string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): build
+    per-(brand, size) sub-sketches, merge them with ``hll_union_agg``
+    into per-brand sketches, and assert the merged estimate equals the
+    directly-built one and lands within 2% of exact. This is THE 100 TB
+    distinct-count pattern — daily partition sketches union into
+    monthly rollups without rescanning history. Sketch bytes are
+    implementation-specific, so (as with ``approx_distinct_parts``)
+    the oracle checks the emitted claims, not the sketch."""
+    part = _t(spark, sf_dir, "part")
+    sub = part.groupBy("p_brand", "p_size").agg(
+        F.expr("hll_sketch_agg(p_partkey)").alias("sk"),
+        F.countDistinct("p_partkey").alias("sub_exact"),
+    )
+    merged = sub.groupBy("p_brand").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged"),
+        F.sum("sub_exact").alias("exact_by_sub"),  # sizes partition keys
+    )
+    direct = part.groupBy("p_brand").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(p_partkey))").alias(
+            "est_direct"
+        ),
+        F.countDistinct("p_partkey").alias("n_exact"),
+    )
+    j = merged.join(direct, "p_brand")
+    within = (
+        F.abs(F.col("est_merged").cast("double") - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double")
+        <= 0.02
+    )
+    return j.select(
+        "p_brand",
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
+        within.alias("merged_within_2pct"),
+        (F.col("exact_by_sub") == F.col("n_exact")).alias("subkeys_partition"),
+    )
+
+
+def regr_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R²) of extended
+    price on quantity per return flag — computed from exact decimal
+    power sums with the closed form written identically on both
+    engines (the built-in ``regr_*``/Welford streams are
+    order-sensitive in their float accumulation; power sums are not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    DEC = "decimal(25,6)"
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
 QUERIES = {
+    "hll_sketch_rollup": hll_sketch_rollup,
+    "regr_price_vs_qty": regr_price_vs_qty,
     "unpivot_status_matrix": unpivot_status_matrix,
     "string_agg_regions": string_agg_regions,
     "set_ops_bag": set_ops_bag,
@@ -374,6 +453,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hll_sketch_rollup": """
+        SELECT p_brand,
+               count(DISTINCT p_partkey) AS n_exact,
+               TRUE AS merge_consistent,
+               TRUE AS merged_within_2pct,
+               TRUE AS subkeys_partition
+        FROM part GROUP BY p_brand
+    """,
+    "regr_price_vs_qty": """
+        WITH sums AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                       AS sx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                       AS sy,
+                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
+                       AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(l_quantity * l_extendedprice
+                       AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                   AS intercept,
+               ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        FROM sums
+    """,
     "unpivot_status_matrix": """
         WITH piv AS (
             SELECT o_orderpriority,

@@ -92,3 +92,105 @@ def test_amplified_window_topk(spark, sf_dir, amplified):
     )
     base_n = orders.withColumn("rk", F.row_number().over(w0)).filter(F.col("rk") <= 3).count()
     assert topk.count() == base_n * AMP
+
+
+DOC_STRIDE = 1_200_000  # divisible by 6: preserves doc_id % 2 and % 3
+
+
+@pytest.fixture(scope="module")
+def amp_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    amp = None
+    for i in range(AMP):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * DOC_STRIDE))
+        amp = d if amp is None else amp.unionByName(d)
+    return amp
+
+
+@pytest.fixture(scope="module")
+def amp_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    amp = None
+    for i in range(AMP):
+        e = ev.withColumn("event_id", F.col("event_id") + F.lit(i * KEY_STRIDE))
+        amp = e if amp is None else amp.unionByName(e)
+    return amp
+
+
+def _token_counts(docs):
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("token")
+    )
+    return {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_amplified_heavy_hitters_exact(spark, sf_dir, amp_docs):
+    base = _token_counts(load_table(spark, sf_dir, "documents"))
+    amp = _token_counts(amp_docs)
+    assert set(amp) == set(base)
+    for tok, n in base.items():
+        assert amp[tok] == n * AMP, tok
+    # identical ranking => identical heavy-hitter set at any multiple
+    rank = lambda d: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert [t for t, _ in rank(base)] == [t for t, _ in rank(amp)]
+
+
+def test_amplified_pii_totals_exact(spark, sf_dir, amp_docs):
+    from go_zoom_kinesis_spark.operators.privacy import EMAIL_RE, PHONE_RE
+
+    def totals(docs):
+        did = F.col("doc_id")
+        aug = docs.withColumn(
+            "aug",
+            F.concat(
+                F.col("text"),
+                F.lit(" u"), did.cast("string"), F.lit("@example.com"),
+                F.when(
+                    did % 2 == 0,
+                    F.concat(
+                        F.lit(" 555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        row = aug.agg(
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("aug"), F.lit(EMAIL_RE), 0))
+            ).alias("e"),
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("aug"), F.lit(PHONE_RE), 0))
+            ).alias("p"),
+        ).collect()[0]
+        return row["e"], row["p"]
+
+    be, bp = totals(load_table(spark, sf_dir, "documents"))
+    ae, ap = totals(amp_docs)
+    # stride divisible by 2 preserves the phone-injection parity
+    assert (ae, ap) == (be * AMP, bp * AMP)
+
+
+def test_amplified_time_rollup_exact(spark, sf_dir, amp_events):
+    def rollup(ev):
+        return {
+            (r["event_type"], r["h"]): (r["n"], r["s"])
+            for r in ev.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("h")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+            )
+            .collect()
+        }
+
+    base = rollup(load_table(spark, sf_dir, "events"))
+    amp = rollup(amp_events)
+    assert set(amp) == set(base)
+    for k, (n, s) in base.items():
+        assert amp[k] == (n * AMP, s * AMP), k

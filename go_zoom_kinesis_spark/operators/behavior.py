@@ -1,0 +1,307 @@
+"""Behavioral / product-analytics operators over ``events`` — staged
+funnels, cohort retention, Markov transition counts, fixed-width
+histograms, and per-domain rate caps.
+
+These are the user-facing analytics a consumer of the reference's
+stream would run downstream of it (the reference itself stops at
+per-shard metrics — ref ``src/monitoring/metrics.rs:149-156`` — so
+everything here is the natural continuation over the landed events).
+All queries follow the repo determinism rules (MEMORY/driver
+contract): integral counts, decimal(25,6) sums, md5-hex ordering for
+deterministic priorities, explicit tie-breaks on every window order.
+
+Scale notes (100 TB):
+- ``funnel_stages`` is three filtered partial aggregations joined on
+  ``user_id`` — each stage shuffles once on the same key, so AQE can
+  reuse the exchange; no window over the full fact table, no
+  cross-stage rescan of raw events (each filter prunes to one
+  event_type at the scan via pushdown).
+- ``cohort_retention`` is the classic two-pass shape: first-touch per
+  user (one shuffle), broadcast-free equi-join back onto events on
+  ``user_id`` (co-partitioned with the first pass), then a low-
+  cardinality (weeks × offsets) hash aggregate.
+- ``event_transitions`` uses one window shuffle on ``user_id`` and
+  aggregates to |types|² rows — map-side combine collapses the
+  transition pairs before the final exchange.
+- ``histogram_values`` is a single hash-aggregate on an integer
+  bucket key computed scan-side in codegen; the output is O(range /
+  width) rows regardless of input size.
+- ``domain_cap_documents`` ranks inside each domain by md5(doc_id) —
+  one window shuffle on ``source``. A mega-domain (web-crawl skew)
+  concentrates its rank in one task; the documented mitigation is a
+  hash-threshold pre-filter (keep rows with md5 below ~cap/n_domain
+  quantile) before the exact rank, which bounds any task to ~cap
+  candidate rows. At test scale the exact single-pass rank is the
+  right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DEC = "decimal(25,6)"
+DOMAIN_CAP = 10
+BUCKET_CENTS = 5000  # histogram width: 50.00 in value units
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged view → click → purchase funnel: each stage counts users
+    whose first qualifying event strictly follows their previous
+    stage's first event (min-after-min semantics, not mere presence).
+    Output is one row of monotonically non-increasing stage counts."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    joined = (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    )
+    return joined.agg(
+        F.count("v_ts").alias("n_view"),
+        F.count("c_ts").alias("n_click_after_view"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = ISO week of a user's
+    first event; each later event lands in a whole-weeks-since-cohort
+    offset; cells count distinct active users."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("cohort_week")) / 7
+            ).cast("bigint")
+        ).alias("week_offset"),
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (ordered by ts with event_id tie-break), plus the
+    per-source-type share of each outgoing edge."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        # integer-exact share scaled to parts-per-million; floor on
+        # both engines (Spark's double->bigint cast truncates while
+        # DuckDB's rounds, so the floor must be explicit)
+        F.floor(
+            (F.col("n_transitions") * F.lit(1000000))
+            / F.sum("n_transitions").over(wt)
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+
+
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` in integer cents (width
+    50.00): bucket key is computed in exact integer arithmetic so
+    both engines agree at every boundary."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bucket = F.floor(cents / F.lit(float(BUCKET_CENTS))).cast("bigint")
+    return (
+        ev.select(
+            bucket.alias("bucket"),
+            cents.alias("cents"),
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(BUCKET_CENTS)).alias("bucket_lo_cents"),
+            "n_events",
+            "min_cents",
+            "max_cents",
+            "sum_value",
+        )
+    )
+
+
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rate cap (web-curation stage): keep at most
+    DOMAIN_CAP docs per ``source``, chosen by deterministic md5
+    priority (reproducible across runs/engines, unlike seeded
+    sampling); report kept counts and kept bytes per domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("rn") <= DOMAIN_CAP).cast("bigint")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn") <= DOMAIN_CAP, F.col("n_chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_chars"),
+    )
+
+
+QUERIES = {
+    "funnel_stages": funnel_stages,
+    "cohort_retention": cohort_retention,
+    "event_transitions": event_transitions,
+    "histogram_values": histogram_values,
+    "domain_cap_documents": domain_cap_documents,
+}
+
+
+ORACLE = {
+    "funnel_stages": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.v_ts
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT count(s1.v_ts) AS n_view,
+               count(s2.c_ts) AS n_click_after_view,
+               count(s3.p_ts) AS n_purchase_after_click
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(floor(
+                   datediff('day', CAST(f.cohort_week AS DATE),
+                            CAST(e.ts AS DATE)) / 7
+               ) AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "event_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type,
+               n_transitions,
+               CAST(floor(
+                   (n_transitions * 1000000)
+                   / CAST(sum(n_transitions) OVER (
+                         PARTITION BY from_type
+                     ) AS BIGINT)
+               ) AS BIGINT) AS share_ppm
+        FROM counts
+    """,
+    "histogram_values": """
+        WITH cents AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(value AS DECIMAL(25,6)) AS v
+            FROM events
+        )
+        SELECT CAST(floor(cents / 5000.0) AS BIGINT) AS bucket,
+               CAST(floor(cents / 5000.0) AS BIGINT) * 5000
+                   AS bucket_lo_cents,
+               count(*) AS n_events,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               CAST(sum(v) AS DECIMAL(38,6)) AS sum_value
+        FROM cents
+        GROUP BY 1, 2
+    """,
+    "domain_cap_documents": """
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS kept_chars
+        FROM ranked
+        GROUP BY source
+    """,
+}

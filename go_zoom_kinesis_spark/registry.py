@@ -20,6 +20,7 @@ from .session import configure_session
 
 def _modules():
     from .operators import (
+        behavior,
         dedup,
         multimodal,
         pipeline,
@@ -38,6 +39,7 @@ def _modules():
     )
 
     return [
+        behavior,
         streaming_analogs,
         relational,
         relational2,

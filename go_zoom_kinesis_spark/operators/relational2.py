@@ -581,7 +581,26 @@ def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface over event ids: AND/OR/XOR
+    aggregates, popcount sums, masked buckets. All whole-stage-codegen
+    integer ops — one hash aggregate, no Python anywhere. Oracle note:
+    DuckDB's ``^`` is POWER, so its side spells xor as ``xor()``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+        F.sum(F.bit_count("event_id").cast("long")).alias("sum_popcount"),
+        F.sum((F.expr("event_id & 1") == 1).cast("long")).alias("n_odd"),
+        F.countDistinct(F.expr("event_id & 255")).alias("n_low_bytes"),
+        F.max(F.expr("event_id ^ 255")).alias("max_xor_mask"),
+        F.min(F.shiftright("event_id", 4)).alias("min_shift4"),
+    )
+
+
 QUERIES = {
+    "bitwise_functions": bitwise_functions,
     "percentile_stats": percentile_stats,
     "approx_percentile_stats": approx_percentile_stats,
     "stats_summary": stats_summary,
@@ -609,6 +628,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bitwise_functions": """
+        SELECT event_type,
+               bit_and(event_id) AS band,
+               bit_or(event_id) AS bor,
+               bit_xor(event_id) AS bxor,
+               CAST(sum(bit_count(event_id)) AS BIGINT) AS sum_popcount,
+               CAST(sum(CASE WHEN (event_id & 1) = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+               count(DISTINCT event_id & 255) AS n_low_bytes,
+               max(xor(event_id, 255)) AS max_xor_mask,
+               min(event_id >> 4) AS min_shift4
+        FROM events GROUP BY event_type
+    """,
     "approx_percentile_stats": """
         SELECT l_returnflag,
                quantile_disc(l_extendedprice, 0.25) AS p25,

@@ -436,7 +436,51 @@ def regr_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join completeness row: rare high-balance BUILDING
+    customers vs rare negative-balance suppliers per nation — the
+    restrictive filters make nations genuinely drop off each side, so
+    both null-extension directions are exercised. Both sides are
+    O(|nations|) aggregates; the outer join itself is a 25-row
+    broadcast-able merge, with the coalesced key preserved.
+
+    Scale: each side is one filtered aggregate shuffle on nationkey;
+    the outer join of two dimension-sized aggregates is never the
+    bottleneck at any scale.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    buyers = (
+        cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_buyers"))
+    )
+    sellers = (
+        supp.filter(F.col("s_acctbal") < -900)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_sellers"))
+    )
+    joined = buyers.join(
+        sellers, buyers.c_nationkey == sellers.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_buyers", F.lit(0)).alias("n_buyers"),
+        F.coalesce("n_sellers", F.lit(0)).alias("n_sellers"),
+        F.when(F.col("c_nationkey").isNull(), "sellers_only")
+        .when(F.col("s_nationkey").isNull(), "buyers_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+    return joined.join(
+        F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey")
+    ).select("n_name", "n_buyers", "n_sellers", "side")
+
+
 QUERIES = {
+    "join_full_outer_nations": join_full_outer_nations,
     "hll_sketch_rollup": hll_sketch_rollup,
     "regr_price_vs_qty": regr_price_vs_qty,
     "unpivot_status_matrix": unpivot_status_matrix,
@@ -453,6 +497,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_full_outer_nations": """
+        WITH buyers AS (
+            SELECT c_nationkey, count(*) AS n_buyers
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+            GROUP BY c_nationkey
+        ),
+        sellers AS (
+            SELECT s_nationkey, count(*) AS n_sellers
+            FROM supplier WHERE s_acctbal < -900
+            GROUP BY s_nationkey
+        )
+        SELECT n.n_name,
+               coalesce(b.n_buyers, 0) AS n_buyers,
+               coalesce(s.n_sellers, 0) AS n_sellers,
+               CASE WHEN b.c_nationkey IS NULL THEN 'sellers_only'
+                    WHEN s.s_nationkey IS NULL THEN 'buyers_only'
+                    ELSE 'both' END AS side
+        FROM buyers b
+        FULL OUTER JOIN sellers s ON b.c_nationkey = s.s_nationkey
+        JOIN nation n
+          ON coalesce(b.c_nationkey, s.s_nationkey) = n.n_nationkey
+    """,
     "hll_sketch_rollup": """
         SELECT p_brand,
                count(DISTINCT p_partkey) AS n_exact,

@@ -269,6 +269,86 @@ def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation: flag
+    events with |value - median| > 3 · 1.4826 · MAD. Exact two-pass
+    medians (Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the (n-1)·p interpolation — same convention `percentile_stats`
+    pins); deviations are single IEEE subtracts, so both engines see
+    identical doubles end-to-end.
+
+    Scale: two aggregate shuffles on the same low-cardinality key plus
+    broadcast joins of the O(|types|) stats back onto the facts — the
+    facts are scanned twice but never re-shuffled. At 100 TB swap the
+    exact medians for ``approx_percentile`` (mergeable GK sketch, one
+    pass each) with a declared rank-error bound.
+    """
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                (
+                    F.col("adev")
+                    > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n_total", "n_outliers")
+    )
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: per-type (count, sum, min,
+    max) kept as mergeable partials — a base partial (event_id % 10
+    ≠ 0) merged with a delta partial (% 10 = 0) must equal the direct
+    aggregate over everything. The oracle IS that direct aggregate, so
+    the check exercises genuine partial-aggregate algebra, not SQL
+    echo.
+
+    Scale: this is the incremental-view-maintenance pattern — at
+    100 TB you never re-aggregate the base; you aggregate only the
+    delta (one small shuffle) and merge O(|keys|) partial rows.
+    count/sum/min/max are all commutative monoids, so the merge is a
+    second tiny hash aggregate; Spark's map-side partial aggregation
+    applies the exact same algebra inside each scan.
+    """
+    ev = _events(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 10 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
 QUERIES = {
     "window_time_range_sum": window_time_range_sum,
     "ts_rollup_multires": ts_rollup_multires,
@@ -277,6 +357,8 @@ QUERIES = {
     "ts_zscore_outliers": ts_zscore_outliers,
     "scd2_user_status": scd2_user_status,
     "merge_upsert_state": merge_upsert_state,
+    "robust_outliers_mad": robust_outliers_mad,
+    "incremental_agg_merge": incremental_agg_merge,
 }
 
 
@@ -440,5 +522,38 @@ ORACLE = {
                     ELSE 'update' END AS change_kind,
                coalesce(u.n_feed_rows, 0) AS n_updates_applied
         FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+    """,
+    "robust_outliers_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, d.med, m.mad,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN d.adev >
+                        CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                        * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1, 2, 3
+    """,
+    # the oracle is the DIRECT aggregate; the Spark side merges
+    # base+delta partials, so agreement proves the merge algebra
+    "incremental_agg_merge": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type
     """,
 }

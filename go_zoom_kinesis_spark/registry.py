@@ -22,6 +22,7 @@ def _modules():
     from .operators import (
         behavior,
         dedup,
+        graph,
         multimodal,
         pipeline,
         privacy,
@@ -40,6 +41,7 @@ def _modules():
 
     return [
         behavior,
+        graph,
         streaming_analogs,
         relational,
         relational2,

@@ -36,10 +36,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as a long of nanoseconds. Convert to a microsecond timestamp
-    (floor division — identical to DuckDB's ns→µs truncation)."""
+    """Normalize timestamp columns to session-local TIMESTAMP.
+
+    Two generator variants exist in the wild:
+
+    - TIMESTAMP(NANOS), which Spark's parquet reader rejects; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
+      nanoseconds. Convert to a microsecond timestamp (floor division —
+      identical to DuckDB's ns→µs truncation).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark ≥3.4 infers
+      as TIMESTAMP_NTZ. NTZ cannot cast to numeric epoch; cast to
+      TIMESTAMP (LTZ). The session timezone is pinned to UTC, so the
+      wall-clock value — and therefore every epoch extraction and the
+      DuckDB-oracle hash — is unchanged.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -47,6 +57,8 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             # integer division — nanos ~1.7e18 exceed double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

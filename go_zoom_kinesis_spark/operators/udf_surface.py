@@ -55,17 +55,32 @@ def _count_rows(qty: pd.Series) -> int:
     return int(len(qty))
 
 
+N_SALTS = 32  # sub-groups per return flag for the two-phase UDAF
+
+
 def udaf_weighted_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDAF: linenumber-weighted quantity per
-    return flag. The weighted products and their sum are all integers
-    held in doubles, so the Arrow→pandas→sum path is bit-identical to
-    the SQL oracle regardless of row order or batching."""
+    return flag, two-phase. Phase 1 groups by (flag, salt) so the
+    Python aggregation runs on flags×N_SALTS parallel sub-groups
+    instead of funneling the whole table into 3 tasks (a pandas UDAF
+    gets no map-side partial aggregation — with 3 raw groups at 100 TB
+    every row would shuffle to 3 executors and OOM); phase 2 folds the
+    integer-valued partial sums JVM-side. Every product and sum is an
+    integer held in a double — exact in IEEE below 2^53 and
+    order-independent — so the split is invisible to the oracle hash."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    salt = F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)).alias("salt")
+    partial = li.select(
+        "l_returnflag", salt, "l_quantity", "l_linenumber"
+    ).groupBy("l_returnflag", "salt").agg(
         _weighted_qty_sum(
             F.col("l_quantity"), F.col("l_linenumber").cast("double")
-        ).alias("weighted_qty"),
-        _count_rows(F.col("l_quantity")).alias("n_rows"),
+        ).alias("pw"),
+        _count_rows(F.col("l_quantity")).alias("pn"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pw").alias("weighted_qty"),
+        F.sum("pn").alias("n_rows"),
     )
 
 

@@ -201,11 +201,91 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CM_DEPTH = 4  # count-min hash rows (affine families 0..3)
+CM_WIDTH = 256  # buckets per row
+CM_TOP_K = 10  # exact heavy hitters to audit against the sketch
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, audited against exact
+    counts for the top-CM_TOP_K tokens.
+
+    The sketch is CM_DEPTH×CM_WIDTH counters built in ONE keyed
+    aggregate (explode each token into its CM_DEPTH (row, bucket)
+    cells, then groupBy-count — map-side partials make the shuffle
+    ≤ depth×width rows per partition). Counters are pure sums, so
+    sketches merge across partitions, days, or streams by cell-wise
+    addition — the mergeability that makes CM the 100 TB frequency
+    structure. The estimate for a token is the min over its depth
+    cells; CM never underestimates, so ``overcount = cm_est - exact``
+    is the audited error (0 when no collision). Hashing uses the
+    repo's portable char-fold + affine families, so the DuckDB oracle
+    rebuilds the identical sketch and the audit is integer-exact.
+    """
+    toks = _doc_tokens(spark, sf_dir).select(
+        "token", H.char_hash_col(F.col("token")).alias("th")
+    )
+    cells = toks.select(
+        "th",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (H.affine_col(F.col("th"), d) % CM_WIDTH).alias("bucket"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+    sketch = cells.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+    exact = (
+        toks.groupBy("token", "th")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(CM_TOP_K)
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (H.affine_col(F.col("th"), d) % CM_WIDTH).alias("bucket"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        "token",
+        "exact_count",
+        F.col("cell.d").alias("d"),
+        F.col("cell.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_count")).alias("overcount"),
+    )
+
+
 QUERIES = {
     "search_inverted_postings": search_inverted_postings,
     "search_bm25_topk": search_bm25_topk,
     "search_heavy_hitters": search_heavy_hitters,
     "fuzzy_match_parts": fuzzy_match_parts,
+    "countmin_heavy_hitters": countmin_heavy_hitters,
 }
 
 _TOKS = H.TOKENS_SQL.format(text="text")
@@ -303,5 +383,43 @@ ORACLE = {
         FROM counts CROSS JOIN total
         ORDER BY cnt DESC, token ASC
         LIMIT {HEAVY_HITTER_K}
+    """,
+    "countmin_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT unnest({_TOKS}) AS token FROM documents
+        ),
+        th AS (
+            SELECT token,
+                   {H.CHAR_HASH_SQL.format(s='token')} AS th
+            FROM toks
+        ),
+        cells AS (
+            {" UNION ALL ".join(
+                f"SELECT {d} AS d, ({H.affine_sql('th', d)}) % {CM_WIDTH} "
+                f"AS bucket FROM th"
+                for d in range(CM_DEPTH)
+            )}
+        ),
+        sketch AS (
+            SELECT d, bucket, count(*) AS c FROM cells GROUP BY d, bucket
+        ),
+        exact AS (
+            SELECT token, th, count(*) AS exact_count
+            FROM th GROUP BY token, th
+            ORDER BY exact_count DESC, token ASC
+            LIMIT {CM_TOP_K}
+        ),
+        probes AS (
+            {" UNION ALL ".join(
+                f"SELECT token, exact_count, {d} AS d, "
+                f"({H.affine_sql('th', d)}) % {CM_WIDTH} AS bucket FROM exact"
+                for d in range(CM_DEPTH)
+            )}
+        )
+        SELECT token, exact_count,
+               min(c) AS cm_est,
+               min(c) - exact_count AS overcount
+        FROM probes JOIN sketch USING (d, bucket)
+        GROUP BY token, exact_count
     """,
 }

@@ -335,12 +335,52 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF ANN path against brute-force ground
+    truth — the eval loop every production ANN deployment runs before
+    trusting its index. Both sides reuse the exact operators above
+    (same tie-breaks), truncated to the same k; the audit is a
+    full-outer join on (query, neighbor) counted per query, so every
+    output is an integer and recall is reported in exact ppm.
+
+    Scale: ground truth at 100 TB comes from the same brute-force scan
+    run once over a sampled query set (the standard practice); the
+    audit join itself is O(Q·k) rows — negligible."""
+    truth = (
+        similarity_topk(spark, sf_dir)
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("q_id", "vec_id", F.lit(1).alias("in_truth"))
+    )
+    approx = similarity_ivf_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("in_approx")
+    )
+    j = truth.join(approx, ["q_id", "vec_id"], "full_outer")
+    per_q = j.groupBy("q_id").agg(
+        F.sum("in_truth").alias("n_truth"),
+        F.sum("in_approx").alias("n_retrieved"),
+        F.sum(
+            (F.col("in_truth").isNotNull() & F.col("in_approx").isNotNull())
+            .cast("bigint")
+        ).alias("n_hits"),
+    )
+    return per_q.select(
+        "q_id",
+        "n_truth",
+        "n_retrieved",
+        "n_hits",
+        F.floor(F.col("n_hits") * 1000000 / F.col("n_truth")).cast("bigint").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "kmeans_update_step": kmeans_update_step,
     "similarity_lsh_buckets": similarity_lsh_buckets,
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_nearest": dedup_embedding_nearest,
+    "similarity_recall_eval": similarity_recall_eval,
 }
 
 
@@ -484,3 +524,34 @@ ORACLE = {
         ) WHERE rk = 1
     """,
 }
+
+# recall oracle composes the two audited oracles verbatim as derived
+# tables (DuckDB supports WITH inside a subquery), so ground truth and
+# ANN results can never drift from what the standalone queries return
+ORACLE["similarity_recall_eval"] = f"""
+    WITH truth AS (
+        SELECT q_id, vec_id, 1 AS in_truth
+        FROM ({ORACLE["similarity_topk"]}) t
+        WHERE rk <= {IVF_TOP_K}
+    ),
+    approx AS (
+        SELECT q_id, vec_id, 1 AS in_approx
+        FROM ({ORACLE["similarity_ivf_topk"]}) a
+    ),
+    j AS (
+        SELECT q_id, vec_id, in_truth, in_approx
+        FROM truth FULL OUTER JOIN approx USING (q_id, vec_id)
+    )
+    SELECT q_id,
+           CAST(sum(in_truth) AS BIGINT) AS n_truth,
+           CAST(sum(in_approx) AS BIGINT) AS n_retrieved,
+           CAST(sum(CASE WHEN in_truth IS NOT NULL
+                          AND in_approx IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(floor(
+               sum(CASE WHEN in_truth IS NOT NULL
+                         AND in_approx IS NOT NULL
+                        THEN 1 ELSE 0 END) * 1000000
+               / sum(in_truth)) AS BIGINT) AS recall_ppm
+    FROM j GROUP BY q_id
+"""

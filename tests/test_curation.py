@@ -99,3 +99,29 @@ def test_quantize_error_bounded_by_half_step(spark, sf_dir):
         # the max-|x| dim lands exactly on +-127
         assert r["n_saturated"] >= 1
         assert r["n_saturated"] <= r["n_dims"]
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.search import countmin_heavy_hitters
+
+    rows = countmin_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the defining CM guarantee: estimate >= true count
+        assert r["overcount"] >= 0
+        assert r["cm_est"] == r["exact_count"] + r["overcount"]
+
+
+def test_recall_eval_bounds_and_truth_size(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.similarity import (
+        IVF_TOP_K,
+        N_QUERIES,
+        similarity_recall_eval,
+    )
+
+    rows = similarity_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["n_truth"] == IVF_TOP_K
+        assert 0 <= r["n_hits"] <= min(r["n_truth"], r["n_retrieved"])
+        assert 0 <= r["recall_ppm"] <= 1000000

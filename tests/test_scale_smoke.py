@@ -194,3 +194,89 @@ def test_amplified_time_rollup_exact(spark, sf_dir, amp_events):
     assert set(amp) == set(base)
     for k, (n, s) in base.items():
         assert amp[k] == (n * AMP, s * AMP), k
+
+
+# --- round-3 operators at 8x volume (operators run UNMODIFIED over an
+# --- amplified table dir, so the invariants exercise the real plans)
+
+
+@pytest.fixture(scope="module")
+def amp_sf_dir(spark, sf_dir, tmp_path_factory, amp_docs):
+    """A scale-factor dir whose documents table is the 8x amplification;
+    every other table symlinks to the base dir unchanged."""
+    import os
+
+    from go_zoom_kinesis_spark.io import TABLES
+
+    d = tmp_path_factory.mktemp("amp_sf")
+    amp_docs.coalesce(4).write.parquet(str(d / "documents.parquet"))
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    return str(d)
+
+
+def test_amplified_vocab_coverage_linear(spark, sf_dir, amp_sf_dir):
+    from go_zoom_kinesis_spark.operators.curation import tokenizer_vocab_coverage
+
+    base = {r["source"]: r for r in tokenizer_vocab_coverage(spark, sf_dir).collect()}
+    amp = {r["source"]: r for r in tokenizer_vocab_coverage(spark, amp_sf_dir).collect()}
+    assert set(amp) == set(base)
+    for s, b in base.items():
+        a = amp[s]
+        # token volume and OOV occurrences scale; the uniform 8x keeps
+        # the fitted vocabulary identical, so OOV *types* do not
+        assert a["n_tokens"] == b["n_tokens"] * AMP
+        assert a["n_oov"] == b["n_oov"] * AMP
+        assert a["n_oov_types"] == b["n_oov_types"]
+
+
+def test_amplified_countmin_mergeable_linear(spark, sf_dir, amp_sf_dir):
+    from go_zoom_kinesis_spark.operators.search import countmin_heavy_hitters
+
+    base = {r["token"]: r for r in countmin_heavy_hitters(spark, sf_dir).collect()}
+    amp = {r["token"]: r for r in countmin_heavy_hitters(spark, amp_sf_dir).collect()}
+    # uniform scaling preserves the exact top-K ranking
+    assert set(amp) == set(base)
+    for t, b in base.items():
+        a = amp[t]
+        assert a["exact_count"] == b["exact_count"] * AMP
+        # every sketch cell is a pure sum => the min-estimate is linear,
+        # which is exactly the mergeability claim
+        assert a["cm_est"] == b["cm_est"] * AMP
+
+
+def test_amplified_curriculum_bins(spark, sf_dir, amp_sf_dir):
+    # ntile spreads the remainder over the first bins, so per-bin sizes
+    # scale exactly only when a language's count divides N_BINS; the
+    # scale invariants are per-language totals and bin balance
+    from collections import defaultdict
+
+    from go_zoom_kinesis_spark.operators.curation import curriculum_quantile_bins
+
+    def per_lang(rows):
+        out = defaultdict(list)
+        for r in rows:
+            out[r["lang"]].append(r)
+        return out
+
+    base = per_lang(curriculum_quantile_bins(spark, sf_dir).collect())
+    amp = per_lang(curriculum_quantile_bins(spark, amp_sf_dir).collect())
+    assert set(amp) == set(base)
+    for lang, brows in base.items():
+        arows = amp[lang]
+        assert len(arows) == len(brows)
+        assert sum(r["n_docs"] for r in arows) == sum(r["n_docs"] for r in brows) * AMP
+        assert (
+            sum(r["total_chars"] for r in arows)
+            == sum(r["total_chars"] for r in brows) * AMP
+        )
+        sizes = [r["n_docs"] for r in arows]
+        assert max(sizes) - min(sizes) <= 1
+        # bins stay value-ordered after amplification
+        arows.sort(key=lambda r: r["bin"])
+        for x, y in zip(arows, arows[1:]):
+            assert x["max_chars"] <= y["min_chars"]

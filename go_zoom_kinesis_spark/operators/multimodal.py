@@ -29,7 +29,7 @@ from ..io import load_table
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
-    "doc_id bigint, modality string, n_bytes int, features array<double>"
+    "doc_id bigint, modality string, n_bytes int, feature_sums string"
 )
 
 
@@ -66,21 +66,20 @@ def decode_image(payload: bytes) -> object:
     )
 
 
-def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[int]:
     """Deterministic stand-in for a media feature extractor: a strided
-    byte histogram (channel i sums bytes at positions ≡ i mod dim).
-    Vectorized via ``np.frombuffer`` — byte sums are exact integers in
-    float64, so the result is bit-identical to the sequential fold
-    regardless of numpy's summation order."""
+    byte accumulation (channel i sums bytes at positions ≡ i mod dim).
+    Vectorized via ``np.frombuffer``; integer sums keep the output
+    exactly reproducible by the SQL oracle (a mean-pool variant would
+    add a division — the sums carry the same information)."""
     import numpy as np
 
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    n = max(arr.size, 1)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     pad = (-arr.size) % dim
     if pad:
-        arr = np.concatenate([arr, np.zeros(pad)])
-    acc = arr.reshape(-1, dim).sum(axis=0) if arr.size else np.zeros(dim)
-    return [round(float(v) / n, 6) for v in acc]
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
+    acc = arr.reshape(-1, dim).sum(axis=0) if arr.size else np.zeros(dim, dtype=np.int64)
+    return [int(v) for v in acc]
 
 
 def multimodal_features_pipeline(docs: DataFrame) -> DataFrame:
@@ -100,7 +99,12 @@ def multimodal_features_pipeline(docs: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "features": pdf["payload"].map(fake_decode_features),
+                    # comma-joined integer channel sums: a scalar the
+                    # driver canonicalizer can hash (raw arrays are
+                    # unhashable in its pandas sort)
+                    "feature_sums": pdf["payload"].map(
+                        lambda p: ",".join(map(str, fake_decode_features(p)))
+                    ),
                 }
             )
 
@@ -136,8 +140,10 @@ def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (deterministic fake decode) — no
-    SQL oracle (Python batch stage); driver records rows-only check."""
+    """mapInPandas feature extraction (deterministic fake decode). The
+    corpus text is pure ASCII, so the payload bytes equal the char
+    codes and the SQL oracle rebuilds the exact strided channel sums —
+    the Python batch stage is hash-verified, not just rows-counted."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal_features_pipeline(docs)
 
@@ -148,7 +154,7 @@ RESIZE_DIM = 16  # downsampled frame representation length
 
 FRAMES_SCHEMA = (
     "doc_id bigint, frame_idx int, frame_offset int, frame_len int, "
-    "frame_sha string, resized array<double>"
+    "frame_sha string, resized string"
 )
 
 
@@ -168,18 +174,17 @@ def sample_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
     return out
 
 
-def resize_frame(frame: bytes, dim: int = RESIZE_DIM) -> list[float]:
+def resize_frame(frame: bytes, dim: int = RESIZE_DIM) -> list[int]:
     """Deterministic 'resize': box-filter the byte sequence down to
-    ``dim`` buckets (stand-in for image resize; same mean-pool shape)."""
+    ``dim`` buckets (stand-in for image resize — same access pattern;
+    integer bucket *sums* rather than means so the SQL oracle
+    reproduces the output exactly)."""
     if not frame:
-        return [0.0] * dim
-    buckets = [0.0] * dim
-    counts = [0] * dim
+        return [0] * dim
+    buckets = [0] * dim
     for i, b in enumerate(frame):
-        j = i * dim // len(frame)
-        buckets[j] += float(b)
-        counts[j] += 1
-    return [round(buckets[j] / counts[j], 6) if counts[j] else 0.0 for j in range(dim)]
+        buckets[i * dim // len(frame)] += b
+    return buckets
 
 
 def multimodal_frame_pipeline(docs: DataFrame) -> DataFrame:
@@ -207,7 +212,7 @@ def multimodal_frame_pipeline(docs: DataFrame) -> DataFrame:
                             off,
                             len(fb),
                             hashlib.sha256(fb).hexdigest(),
-                            resize_frame(fb),
+                            ",".join(map(str, resize_frame(fb))),
                         )
                     )
             yield pd.DataFrame(
@@ -227,8 +232,10 @@ def multimodal_frame_pipeline(docs: DataFrame) -> DataFrame:
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling + resize plumbing (deterministic byte-slice
-    frames) — no SQL oracle (Python batch stage + blob hashing DuckDB
-    lacks); driver records rows-only check."""
+    frames). ASCII payloads make every frame a text substring, so the
+    SQL oracle reproduces offsets, lengths, sha256 digests, and the
+    box-filter bucket sums — full hash verification of the Python
+    batch stage."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal_frame_pipeline(docs)
 
@@ -255,5 +262,75 @@ ORACLE = {
                max(octet_length(encode(text))) AS max_bytes
         FROM documents
         GROUP BY 1
+    """,
+    # the corpus text is pure ASCII (verified: max codepoint 121), so
+    # payload bytes == ascii(char) and both Python batch stages are
+    # reproducible in SQL exactly
+    "multimodal_features": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   CASE octet_length(encode(text)) % 3
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   list_transform(split(text, ''), c -> ascii(c)) AS bs
+            FROM documents
+        )
+        SELECT doc_id, modality, CAST(n_bytes AS INTEGER) AS n_bytes,
+               concat_ws(',', {", ".join(
+                   "CAST(list_sum(list_transform("
+                   "generate_series(1, len(bs)), "
+                   f"p -> CASE WHEN (p - 1) % {FEATURE_DIM} = {i} "
+                   "THEN bs[p] ELSE 0 END)) AS BIGINT)"
+                   for i in range(FEATURE_DIM)
+               )}) AS feature_sums
+        FROM base
+    """,
+    "multimodal_frame_sample": f"""
+        WITH vids AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+            WHERE octet_length(encode(text)) % 3 = 2
+        ),
+        par AS (
+            SELECT doc_id, text, n,
+                   least({N_FRAMES}, greatest(n // {FRAME_LEN}, 1)) AS k,
+                   greatest(n - {FRAME_LEN}, 0) AS maxoff
+            FROM vids
+        ),
+        fr0 AS (
+            SELECT doc_id, text, n, k, maxoff,
+                   unnest(generate_series(0, k - 1)) AS frame_idx
+            FROM par
+        ),
+        fr AS (
+            SELECT doc_id, text, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(least(frame_idx * (CASE WHEN k > 1
+                        THEN greatest((n - {FRAME_LEN}) // (k - 1), 1)
+                        ELSE 0 END), maxoff) AS INTEGER) AS frame_offset,
+                   n
+            FROM fr0
+        ),
+        sliced AS (
+            SELECT doc_id, frame_idx, frame_offset,
+                   substring(text, frame_offset + 1, {FRAME_LEN}) AS fb
+            FROM fr
+        ),
+        bytes_ AS (
+            SELECT doc_id, frame_idx, frame_offset, fb,
+                   CAST(length(fb) AS INTEGER) AS frame_len,
+                   list_transform(split(fb, ''), c -> ascii(c)) AS fbs
+            FROM sliced
+        )
+        SELECT doc_id, frame_idx, frame_offset, frame_len,
+               sha256(fb) AS frame_sha,
+               concat_ws(',', {", ".join(
+                   "CAST(list_sum(list_transform("
+                   "generate_series(1, len(fbs)), "
+                   f"p -> CASE WHEN ((p - 1) * {RESIZE_DIM}) // len(fbs) = {j} "
+                   "THEN fbs[p] ELSE 0 END)) AS BIGINT)"
+                   for j in range(RESIZE_DIM)
+               )}) AS resized
+        FROM bytes_
     """,
 }

@@ -30,9 +30,11 @@ def test_sample_frames_deterministic_and_bounded():
 def test_resize_frame_shape():
     out = resize_frame(bytes(range(100)))
     assert len(out) == RESIZE_DIM
-    assert resize_frame(b"") == [0.0] * RESIZE_DIM
-    # mean-pool of a constant sequence is that constant
-    assert resize_frame(bytes([7] * 64)) == [7.0] * RESIZE_DIM
+    assert resize_frame(b"") == [0] * RESIZE_DIM
+    # box-filter sums partition the byte total exactly
+    assert sum(out) == sum(range(100))
+    # a constant 64-byte frame fills each of the 16 buckets with 4 bytes
+    assert resize_frame(bytes([7] * 64)) == [7 * 4] * RESIZE_DIM
 
 
 def test_frame_pipeline_matches_local(spark, sf_dir):

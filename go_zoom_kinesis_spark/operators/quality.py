@@ -1,0 +1,169 @@
+"""Data-quality operators — column profiling and declarative constraint
+validation (the deequ/great-expectations layer of a training-data
+pipeline: the gate a 100 TB ingest runs BEFORE anything downstream
+trusts the data).
+
+The reference's only data-quality surface is the per-batch pre-commit
+validation hook (/root/reference/src/processor.rs, batch validation
+before checkpoint); these operators generalize it to declarative,
+driver-verifiable table checks.
+
+Every output is integer/string/boolean — no float representation can
+diverge from the DuckDB oracle.
+
+Scale notes: ``profile_columns`` is ONE pass per table (all per-column
+aggregates fused into a single HashAggregate; distinct counts are the
+only shuffle-bearing members and Spark computes them via partial
+expand). ``validate_constraints`` unions five single-aggregate checks,
+each either a scan-level aggregate or a broadcast/keyed anti-join —
+nothing quadratic, nothing collected.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of ``lineitem``: one row per profiled
+    column with row/null/distinct counts and min/max rendered as
+    strings (a single scan; the per-column union is of 1-row
+    aggregates, not of table scans — Catalyst reuses the cached scan
+    via the shared plan subtree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    profiles = []
+    for c in PROFILE_COLS:
+        profiles.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            )
+        )
+    return reduce(DataFrame.unionByName, profiles)
+
+
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named constraint suite over the star schema — each row is one
+    check with its violation count and verdict:
+
+    - ``pk_unique_orders``:      o_orderkey is unique
+    - ``fk_lineitem_orders``:    every l_orderkey exists in orders
+    - ``nonneg_quantity``:       l_quantity > 0
+    - ``discount_range``:        0 <= l_discount <= 1
+    - ``returnflag_enum``:       l_returnflag within its enum
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v"))
+        .select(F.lit("pk_unique_orders").alias("constraint_name"), "v")
+    )
+    fk_orphans = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+        .select(F.lit("fk_lineitem_orders").alias("constraint_name"), "v")
+    )
+    nonneg = li.agg(
+        F.lit("nonneg_quantity").alias("constraint_name"),
+        F.sum((~(F.col("l_quantity") > 0)).cast("bigint")).alias("v"),
+    )
+    drange = li.agg(
+        F.lit("discount_range").alias("constraint_name"),
+        F.sum(
+            (~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1))).cast(
+                "bigint"
+            )
+        ).alias("v"),
+    )
+    renum = li.agg(
+        F.lit("returnflag_enum").alias("constraint_name"),
+        F.sum((~F.col("l_returnflag").isin("A", "N", "R")).cast("bigint")).alias(
+            "v"
+        ),
+    )
+    checks = reduce(
+        DataFrame.unionByName, [pk_dups, fk_orphans, nonneg, drange, renum]
+    )
+    return checks.select(
+        "constraint_name",
+        F.col("v").alias("n_violations"),
+        (F.col("v") == 0).alias("passed"),
+    )
+
+
+QUERIES = {
+    "profile_columns": profile_columns,
+    "validate_constraints": validate_constraints,
+}
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min(CAST({c} AS VARCHAR)) AS min_str,
+               max(CAST({c} AS VARCHAR)) AS max_str
+        FROM lineitem
+    """
+    for c in PROFILE_COLS
+)
+
+ORACLE = {
+    "profile_columns": _PROFILE_SQL,
+    "validate_constraints": """
+        WITH checks AS (
+            SELECT 'pk_unique_orders' AS constraint_name,
+                   CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v
+            FROM (SELECT o_orderkey, count(*) AS n FROM orders
+                  GROUP BY o_orderkey HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'fk_lineitem_orders',
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'nonneg_quantity',
+                   CAST(sum(CASE WHEN NOT (l_quantity > 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_range',
+                   CAST(sum(CASE WHEN NOT (l_discount >= 0
+                                           AND l_discount <= 1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_enum',
+                   CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+        )
+        SELECT constraint_name, v AS n_violations, v = 0 AS passed
+        FROM checks
+    """,
+}

@@ -27,6 +27,7 @@ def _modules():
         multimodal,
         pipeline,
         privacy,
+        quality,
         relational,
         relational2,
         relational3,
@@ -59,6 +60,7 @@ def _modules():
         privacy,
         search,
         curation,
+        quality,
     ]
 
 

@@ -125,3 +125,31 @@ def test_recall_eval_bounds_and_truth_size(spark, sf_dir):
         assert r["n_truth"] == IVF_TOP_K
         assert 0 <= r["n_hits"] <= min(r["n_truth"], r["n_retrieved"])
         assert 0 <= r["recall_ppm"] <= 1000000
+
+
+def test_profile_columns_consistent(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.quality import PROFILE_COLS, profile_columns
+
+    rows = {r["column_name"]: r for r in profile_columns(spark, sf_dir).collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    n_rows = {r["n_rows"] for r in rows.values()}
+    assert len(n_rows) == 1  # every column profiled over the same scan
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+        assert r["min_str"] <= r["max_str"]
+
+
+def test_constraints_pass_on_clean_testdata(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.quality import validate_constraints
+
+    rows = {r["constraint_name"]: r for r in validate_constraints(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "pk_unique_orders",
+        "fk_lineitem_orders",
+        "nonneg_quantity",
+        "discount_range",
+        "returnflag_enum",
+    }
+    for r in rows.values():
+        assert r["passed"] and r["n_violations"] == 0, r

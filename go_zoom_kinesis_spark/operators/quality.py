@@ -113,9 +113,66 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between ``lang`` and ``source`` on
+    documents — the drift/segmentation check a corpus pipeline runs to
+    catch a source whose language mix shifted.
+
+    Observed counts are one groupBy; marginals are window sums over the
+    ≤ R×C cell table (tiny); expected = row·col/n and the statistic
+    folds (o−e)²/e in (lang, source) order so the double sum is
+    bit-identical to the oracle. Counts up to ~2^26 keep row·col exact
+    in a double; past that (≫ 100 TB cells) compute e in decimal.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wg = Window.partitionBy()
+    with_marg = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wl).alias("rl"),
+        F.sum("o").over(ws).alias("cs"),
+        F.sum("o").over(wg).alias("n"),
+    )
+    contrib = with_marg.select(
+        "lang",
+        "source",
+        "o",
+        (
+            (F.col("o") - F.col("rl") * F.col("cs") / F.col("n"))
+            * (F.col("o") - F.col("rl") * F.col("cs") / F.col("n"))
+            / (F.col("rl") * F.col("cs") / F.col("n"))
+        ).alias("x"),
+    )
+    folded = contrib.groupBy().agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("lang", "source", "x"))),
+                lambda s: s.x,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2"),
+    )
+    return folded.select(
+        "n_cells",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        "chi2",
+    )
+
+
 QUERIES = {
     "profile_columns": profile_columns,
     "validate_constraints": validate_constraints,
+    "chi_square_lang_source": chi_square_lang_source,
 }
 
 _PROFILE_SQL = " UNION ALL ".join(
@@ -165,5 +222,32 @@ ORACLE = {
         )
         SELECT constraint_name, v AS n_violations, v = 0 AS passed
         FROM checks
+    """,
+    "chi_square_lang_source": """
+        WITH cells AS (
+            SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        marg AS (
+            SELECT lang, source, o,
+                   sum(o) OVER (PARTITION BY lang) AS rl,
+                   sum(o) OVER (PARTITION BY source) AS cs,
+                   sum(o) OVER () AS n
+            FROM cells
+        ),
+        contrib AS (
+            SELECT lang, source,
+                   (o - rl * cs / n) * (o - rl * cs / n)
+                       / (rl * cs / n) AS x
+            FROM marg
+        )
+        SELECT count(*) AS n_cells,
+               CAST((count(DISTINCT lang) - 1)
+                    * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(x ORDER BY lang, source)),
+                   (acc, v) -> acc + v) AS chi2
+        FROM contrib
     """,
 }

@@ -153,3 +153,18 @@ def test_constraints_pass_on_clean_testdata(spark, sf_dir):
     }
     for r in rows.values():
         assert r["passed"] and r["n_violations"] == 0, r
+
+
+def test_chi_square_reasonable(spark, sf_dir):
+    import math
+
+    from go_zoom_kinesis_spark.io import load_table
+    from go_zoom_kinesis_spark.operators.quality import chi_square_lang_source
+
+    r = chi_square_lang_source(spark, sf_dir).collect()[0]
+    assert r["chi2"] >= 0.0 and math.isfinite(r["chi2"])
+    docs = load_table(spark, sf_dir, "documents")
+    n_langs = docs.select("lang").distinct().count()
+    n_sources = docs.select("source").distinct().count()
+    assert r["dof"] == (n_langs - 1) * (n_sources - 1)
+    assert r["n_cells"] <= n_langs * n_sources

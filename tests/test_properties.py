@@ -115,3 +115,55 @@ def test_minhash_affine_three_engines_agree(spark):
         py_vals = [(h * H.A[i] + H.B[i]) % H.P for h in hs]
         assert spark_vals == py_vals, f"family {i}"
         assert duck_vals == py_vals, f"family {i}"
+
+
+# --- round-3 multimodal primitives vs pure-python references ------------
+
+
+@given(payload=st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_fake_decode_matches_scalar_reference(payload):
+    from go_zoom_kinesis_spark.operators.multimodal import (
+        FEATURE_DIM,
+        fake_decode_features,
+    )
+
+    got = fake_decode_features(payload)
+    ref = [0] * FEATURE_DIM
+    for i, b in enumerate(payload):
+        ref[i % FEATURE_DIM] += b
+    assert got == ref
+    assert sum(got) == sum(payload)
+
+
+@given(frame=st.binary(min_size=0, max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_resize_frame_conserves_byte_total(frame):
+    from go_zoom_kinesis_spark.operators.multimodal import RESIZE_DIM, resize_frame
+
+    out = resize_frame(frame)
+    assert len(out) == RESIZE_DIM
+    assert sum(out) == sum(frame)
+    # bucket index is monotone in position => box filter, not a shuffle
+    if frame:
+        assert all(v >= 0 for v in out)
+
+
+@given(payload=st.binary(min_size=1, max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_sample_frames_cover_and_stay_in_bounds(payload):
+    from go_zoom_kinesis_spark.operators.multimodal import (
+        FRAME_LEN,
+        N_FRAMES,
+        sample_frames,
+    )
+
+    frames = sample_frames(payload)
+    assert 1 <= len(frames) <= N_FRAMES
+    for idx, off, fb in frames:
+        assert 0 <= off <= max(len(payload) - FRAME_LEN, 0)
+        assert payload[off : off + len(fb)] == fb
+    # first frame starts at 0; offsets are non-decreasing
+    assert frames[0][1] == 0
+    offs = [off for _, off, _ in frames]
+    assert offs == sorted(offs)

@@ -102,3 +102,48 @@ def session_metrics(
             "first_event_id",
         )
     )
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def click_view_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    streaming: bool = True,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the Structured Streaming
+    operator class the rest of the streaming layer doesn't exercise:
+    attribute each click to every view by the same user in the
+    preceding ATTRIBUTION_WINDOW.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can evict buffered state once the
+    watermark passes a row's attribution horizon — without the bound
+    the state would grow monotonically. The equality join key
+    (user_id) keeps the exchange hash-partitioned; at 100 TB the
+    per-key buffered window is (user activity × 30 min), independent
+    of stream length.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if streaming:
+        v = v.withWatermark("v_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "click_id", "view_id", "c_ts", "v_ts"
+    )

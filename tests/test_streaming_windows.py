@@ -158,3 +158,27 @@ def test_running_checkpoint_state_v2(spark, tmp_path, events_batch, events_strea
         )
     )
     assert _rows(spark, got) == _rows(spark, expected)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path, events_batch, events_stream):
+    from go_zoom_kinesis_spark.streaming.windows import click_view_attribution
+
+    views_b = events_batch.filter(F.col("event_type") == "view")
+    clicks_b = events_batch.filter(F.col("event_type") == "click")
+    batch = click_view_attribution(views_b, clicks_b, streaming=False)
+
+    views_s = events_stream.filter(F.col("event_type") == "view")
+    clicks_s = events_stream.filter(F.col("event_type") == "click")
+    joined = click_view_attribution(views_s, clicks_s)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssjoin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ss_join_t")
+    assert _rows(spark, got) == _rows(spark, batch)
+    assert batch.count() > 0

@@ -356,3 +356,69 @@ ORACLE = {
         ) GROUP BY 1
     """,
 }
+
+
+# --- custom Python DataSource scan (Spark 4 DataSource API) -------------
+
+DS_SHARDS = 8
+DS_RECORDS = 500
+
+
+def datasource_scan_rollup(spark, sf_dir):
+    """Per-shard rollup over the Kinesis-shaped custom Python
+    DataSource (sources/gzk_datasource.py — shard partitions, sequence
+    numbers, GetRecords-style limits). The source generates its stream
+    deterministically from (shard, seq) with the portable polynomial
+    hash, so the DuckDB oracle re-derives the exact records from
+    generate_series and the scan is hash-verified end-to-end. sf_dir is
+    unused: the source IS the data."""
+    from pyspark.sql import functions as F
+
+    from ..sources import gzk_datasource as ds
+
+    try:
+        ds.register(spark)
+    except Exception:
+        pass  # already registered on this session
+    df = (
+        spark.read.format("gzk_stream")
+        .option("shards", DS_SHARDS)
+        .option("records_per_shard", DS_RECORDS)
+        .load()
+    )
+    return df.groupBy("shard_id").agg(
+        F.count("*").alias("n_records"),
+        F.min("sequence_number").alias("min_seq"),
+        F.max("sequence_number").alias("max_seq"),
+        F.sum("payload_hash").alias("hash_sum"),
+    )
+
+
+QUERIES["datasource_scan_rollup"] = datasource_scan_rollup
+
+_DS_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(split(payload, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647)"
+)
+
+ORACLE["datasource_scan_rollup"] = f"""
+    WITH shards AS (
+        SELECT unnest(generate_series(0, {DS_SHARDS - 1})) AS s
+    ),
+    seqs AS (
+        SELECT unnest(generate_series(0, {DS_RECORDS - 1})) AS q
+    ),
+    recs AS (
+        SELECT concat('shard-', s) AS shard_id,
+               q AS sequence_number,
+               concat('rec-', s, '-', q) AS payload
+        FROM shards CROSS JOIN seqs
+    )
+    SELECT shard_id,
+           count(*) AS n_records,
+           CAST(min(sequence_number) AS BIGINT) AS min_seq,
+           CAST(max(sequence_number) AS BIGINT) AS max_seq,
+           CAST(sum({_DS_HASH}) AS BIGINT) AS hash_sum
+    FROM recs GROUP BY shard_id
+"""

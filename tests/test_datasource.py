@@ -158,3 +158,63 @@ def test_offsets_json_roundtrip():
     parts = r.partitions(o0, o1)
     assert {p.shard for p in parts} == {0, 1, 2}
     assert all(p.end - p.start == 4 for p in parts)
+
+
+def test_source_through_stream_processor(spark, tmp_path):
+    """Capstone integration: the Kinesis-shaped source feeding the
+    reference-faithful processor — soft/hard classification, bounded
+    retries, per-shard max-success checkpoints — is the whole reference
+    consumer re-expressed on Spark APIs end-to-end."""
+    from go_zoom_kinesis_spark.streaming.backoff import ExponentialBackoff
+    from go_zoom_kinesis_spark.streaming.checkpoint import InMemoryCheckpointStore
+    from go_zoom_kinesis_spark.streaming.processor import (
+        ProcessorConfig,
+        StreamProcessor,
+    )
+
+    shards, per_shard = 4, 120
+    # batch_limit == per_shard: an availableNow-style run snapshots
+    # latestOffset once, so the tip must cover the bounded stream here
+    # (pacing across microbatches is pinned by the tests above)
+    opts = {"shards": shards, "records_per_shard": per_shard, "batch_limit": per_shard}
+
+    def load(reader):
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    stream = load(spark.readStream.format("gzk_stream"))
+    snapshot = load(spark.read.format("gzk_stream"))
+
+    def classify(df):
+        return df.withColumn(
+            "outcome",
+            F.when(F.col("payload_hash") % 50 == 0, F.lit("hard"))
+            .when(
+                (F.col("sequence_number") % 17 == 0) & (F.col("attempt") < 1),
+                F.lit("soft"),
+            )
+            .otherwise(F.lit("success")),
+        )
+
+    store = InMemoryCheckpointStore()
+    sunk: list = []
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "ds_ckpt"),
+        total_timeout=180.0,
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+    )
+    proc = StreamProcessor(
+        spark, classify, store, cfg,
+        sink=lambda df, e: sunk.extend(df.collect()), sleep=lambda s: None,
+    )
+    q = proc.run_stream(stream, source_snapshot=snapshot)
+    assert proc.await_with_timeout(q)
+
+    n_hard = snapshot.filter(F.col("payload_hash") % 50 == 0).count()
+    assert len(sunk) == shards * per_shard - n_hard  # soft retried, hard dropped
+    cps = store.all_checkpoints()
+    assert len(cps) == shards
+    # checkpoint = max successfully-processed sequence per shard
+    for shard, seq in cps.items():
+        assert int(seq) <= per_shard - 1

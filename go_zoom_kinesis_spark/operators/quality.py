@@ -169,10 +169,75 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_BUCKET = 50  # n_chars histogram width for drift comparison
+
+
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: L1 distance between each source's
+    document-length histogram and the corpus-wide histogram — the
+    monitoring check that catches a source whose content shifted
+    (length is the cheapest canary; swap in any bucketed feature).
+
+    The comparison runs over a zero-filled source×bucket grid (a
+    missing bucket still contributes |0 − p_global|), built by
+    cross-joining the two tiny dimension sets — never the fact table.
+    Shares are single correctly-rounded divisions of exact counts and
+    the per-source sum folds in bucket order, so the double distance
+    hashes identically on both engines. L1 avoids PSI's ln(), which is
+    not correctly-rounded cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source", F.floor(F.col("n_chars") / DRIFT_BUCKET).cast("bigint").alias("b")
+    )
+    cells = binned.groupBy("source", "b").agg(F.count("*").alias("c"))
+    sources = cells.select("source").distinct()
+    buckets = cells.select("b").distinct()
+    grid = sources.crossJoin(buckets)
+    filled = grid.join(cells, ["source", "b"], "left").select(
+        "source", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wsrc = Window.partitionBy("source")
+    wb = Window.partitionBy("b")
+    wg = Window.partitionBy()
+    terms = filled.select(
+        "source",
+        "b",
+        "c",
+        F.sum("c").over(wsrc).alias("ns"),
+        F.sum("c").over(wb).alias("cg"),
+        F.sum("c").over(wg).alias("ng"),
+    ).select(
+        "source",
+        "b",
+        "c",
+        "ns",
+        F.abs(F.col("c") / F.col("ns") - F.col("cg") / F.col("ng")).alias("t"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ns").alias("n_docs"),
+            F.count("*").alias("n_buckets"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("b", "t"))),
+                    lambda s: s.t,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("drift_l1"),
+        )
+    )
+
+
 QUERIES = {
     "profile_columns": profile_columns,
     "validate_constraints": validate_constraints,
     "chi_square_lang_source": chi_square_lang_source,
+    "distribution_drift": distribution_drift,
 }
 
 _PROFILE_SQL = " UNION ALL ".join(
@@ -249,5 +314,38 @@ ORACLE = {
                                 list(x ORDER BY lang, source)),
                    (acc, v) -> acc + v) AS chi2
         FROM contrib
+    """,
+    "distribution_drift": f"""
+        WITH cells AS (
+            SELECT source,
+                   CAST(floor(n_chars / {DRIFT_BUCKET}) AS BIGINT) AS b,
+                   count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT s.source, bb.b
+            FROM (SELECT DISTINCT source FROM cells) s
+            CROSS JOIN (SELECT DISTINCT b FROM cells) bb
+        ),
+        filled AS (
+            SELECT g.source, g.b, coalesce(c.c, 0) AS c
+            FROM grid g LEFT JOIN cells c
+              ON c.source = g.source AND c.b = g.b
+        ),
+        terms AS (
+            SELECT source, b, c,
+                   sum(c) OVER (PARTITION BY source) AS ns,
+                   sum(c) OVER (PARTITION BY b) AS cg,
+                   sum(c) OVER () AS ng
+            FROM filled
+        )
+        SELECT source,
+               CAST(max(ns) AS BIGINT) AS n_docs,
+               count(*) AS n_buckets,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(abs(c / ns - cg / ng) ORDER BY b)),
+                   (acc, v) -> acc + v) AS drift_l1
+        FROM terms GROUP BY source
     """,
 }

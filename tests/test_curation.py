@@ -168,3 +168,18 @@ def test_chi_square_reasonable(spark, sf_dir):
     n_sources = docs.select("source").distinct().count()
     assert r["dof"] == (n_langs - 1) * (n_sources - 1)
     assert r["n_cells"] <= n_langs * n_sources
+
+
+def test_distribution_drift_bounds(spark, sf_dir):
+    from go_zoom_kinesis_spark.io import load_table
+    from go_zoom_kinesis_spark.operators.quality import distribution_drift
+
+    rows = distribution_drift(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        # L1 distance between two probability vectors lies in [0, 2]
+        assert 0.0 <= r["drift_l1"] <= 2.0
+        assert r["n_docs"] >= 1
+        assert r["n_buckets"] >= 1

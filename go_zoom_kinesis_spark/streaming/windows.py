@@ -147,3 +147,22 @@ def click_view_attribution(
     return v.join(c, cond, "inner").select(
         F.col("c_user").alias("user_id"), "click_id", "view_id", "c_ts", "v_ts"
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static join — the standard enrichment pattern: each
+    micro-batch joins against the (re-read) static dimension with no
+    streaming state at all. Spark broadcasts the dim side per batch
+    when it fits, so at 100 TB of stream the cost per trigger is one
+    broadcast of the catalog-sized table; slowly-changing dims are
+    picked up on the next trigger because the static side is re-planned
+    per micro-batch."""
+    from pyspark.sql import functions as F
+
+    d = dim if dim_cols is None else dim.select(on, *dim_cols)
+    return stream.join(F.broadcast(d), on, "left")

@@ -182,3 +182,31 @@ def test_stream_stream_join_equals_batch(spark, tmp_path, events_batch, events_s
     got = spark.sql("SELECT * FROM ss_join_t")
     assert _rows(spark, got) == _rows(spark, batch)
     assert batch.count() > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path, events_batch, events_stream):
+    from go_zoom_kinesis_spark.streaming.windows import enrich_with_dimension
+
+    dim = (
+        events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    batch = enrich_with_dimension(
+        events_batch.select("event_id", "user_id"), dim, "user_id"
+    )
+    stream = enrich_with_dimension(
+        events_stream.select("event_id", "user_id"), dim, "user_id"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_t")
+    assert _rows(spark, got) == _rows(spark, batch)
+    # every stream row survives the left enrichment
+    assert got.count() == events_batch.count()

@@ -40,23 +40,45 @@ PROFILE_COLS = (
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of ``lineitem``: one row per profiled
     column with row/null/distinct counts and min/max rendered as
-    strings (a single scan; the per-column union is of 1-row
-    aggregates, not of table scans — Catalyst reuses the cached scan
-    via the shared plan subtree)."""
+    strings.
+
+    Single-pass shape: ALL per-column aggregates are fused into ONE
+    ``agg()`` over one scan (the multi-column distinct counts compile
+    to a single Expand + two-level aggregate), then the 1-row wide
+    result is pivoted to one-row-per-column with an explode of structs
+    — a driver-side-free unpivot of O(|columns|) data. Previous shape
+    was a 5-way union of independent aggregates = 10 exchanges; this is
+    one scan + one aggregation exchange, the plan you want at 100 TB.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    profiles = []
-    for c in PROFILE_COLS:
-        profiles.append(
-            li.agg(
-                F.lit(c).alias("column_name"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
-                F.countDistinct(c).alias("n_distinct"),
-                F.min(F.col(c).cast("string")).alias("min_str"),
-                F.max(F.col(c).cast("string")).alias("max_str"),
-            )
+    per_col = [
+        e
+        for c in PROFILE_COLS
+        for e in (
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
         )
-    return reduce(DataFrame.unionByName, profiles)
+    ]
+    wide = li.agg(F.count("*").alias("n_rows"), *per_col)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_str"),
+                        F.col(f"mx_{c}").alias("max_str"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
 
 
 def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,7 +58,8 @@ def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rolled = ev.rollup("event_type", "bucket_day", "bucket_hour").agg(
         F.count("*").alias("n_events"),
-        F.sum("v").alias("sum_value"),
+        # decimal-exact sum, double on the wire (driver-canonicalizer safe)
+        F.sum("v").cast("double").alias("sum_value"),
     )
     level = (
         F.when(F.col("bucket_hour").isNotNull(), F.lit("hour"))
@@ -86,7 +87,9 @@ def ts_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        # decimal-exact sum, cast to double BEFORE the LOCF carry so the
+        # carried value is already canonicalizer-safe
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -265,7 +268,10 @@ def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "epoch_s",
         F.count("*").over(w).alias("n_trailing_1h"),
-        F.sum("v").over(w).alias("sum_trailing_1h"),
+        # final cast to double: decimal output columns hash-diverge in
+        # the driver canonicalizer (Spark Decimal vs DuckDB float64) —
+        # the sum itself stays decimal-exact inside the frame
+        F.sum("v").over(w).cast("double").alias("sum_trailing_1h"),
     )
 
 
@@ -367,7 +373,7 @@ ORACLE = {
         SELECT event_id, user_id,
                CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
                count(*) OVER w AS n_trailing_1h,
-               sum(CAST(value AS DECIMAL(25,6))) OVER w
+               CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
                    AS sum_trailing_1h
         FROM events
         WINDOW w AS (
@@ -385,7 +391,7 @@ ORACLE = {
                     WHEN event_type IS NOT NULL THEN 'type'
                     ELSE 'total' END AS resolution,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6))
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
                    AS sum_value
         FROM (
             -- CAST: DuckDB's date_trunc('day') narrows to DATE; Spark
@@ -402,7 +408,7 @@ ORACLE = {
         WITH per_hour AS (
             SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6))
+                   CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
                        AS sum_value
             FROM events GROUP BY 1, 2
         ),

@@ -132,15 +132,18 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-def _verified_names() -> frozenset[str]:
-    """Names with a fully-green driver verdict in any recorded round."""
+def _verified_rounds() -> dict[str, int]:
+    """name → most recent round whose driver verdict was fully green."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rounds = json.load(f)
@@ -153,20 +156,35 @@ def _verified_names() -> frozenset[str]:
                 and v.get("schema_match")
                 and v.get("hash_match")
             ):
-                green.add(name)
-    return frozenset(green)
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+def _verified_names() -> frozenset[str]:
+    """Names with a fully-green driver verdict in any recorded round."""
+    return frozenset(_verified_rounds())
 
 
 def _prioritize(entries: dict, strict: bool = True):
     missing = [n for n in _PRIORITY if n not in entries]
     if missing and strict:
         raise ValueError(f"_PRIORITY names not registered: {missing}")
-    green = _verified_names()
+    green = _verified_rounds()
     tier1 = [n for n in _PRIORITY if n not in green and n in entries]
     tier2 = [n for n in entries if n not in green and n not in tier1]
+    # Tier 3: already-green queries fill the remaining verdict-window
+    # slots. Order them least-recently-verified first so every green
+    # query periodically rotates back under the driver's re-check —
+    # a regression in a long-green query (e.g. from a shared helper
+    # edit) ages back into the window instead of staying invisible.
+    module_pos = {n: i for i, n in enumerate(entries)}
+    tier3 = sorted(
+        (n for n in entries if n in green),
+        key=lambda n: (green[n], module_pos[n]),
+    )
     ordered = {n: entries[n] for n in tier1}
     ordered.update((n, entries[n]) for n in tier2)
-    ordered.update((n, v) for n, v in entries.items() if n not in ordered)
+    ordered.update((n, entries[n]) for n in tier3)
     return ordered
 
 

@@ -34,6 +34,25 @@ SHARD_COMPLETED = "shard_completed"
 VALIDATION_FAILURE = "validation_failure"
 ITERATOR_EXPIRED = "iterator_expired"  # src/monitoring/types.rs Iterator variants
 ITERATOR_RENEWED = "iterator_renewed"
+BATCH_METRICS = "batch_metrics"  # ProcessingEventType::BatchMetrics
+
+
+@dataclass(frozen=True)
+class BatchMetrics:
+    """One typed per-batch metrics payload ↔ the reference's
+    ``ProcessingEventType::BatchMetrics`` struct
+    (src/monitoring/types.rs:52-123): batch duration plus the record
+    outcome counts and retry volume folded over every attempt pass.
+    Emitted as the ``metrics`` detail of a ``BATCH_METRICS`` event at
+    the end of each batch."""
+
+    epoch: int
+    duration_ms: float
+    records_success: int
+    records_failed: int
+    soft_retries: int
+    attempt_passes: int
+    checkpoints_saved: int
 
 
 @dataclass

@@ -48,6 +48,7 @@ count (``limits.limit_shard_concurrency``).
 
 from __future__ import annotations
 
+import threading
 import time
 import warnings
 from collections.abc import Callable
@@ -123,6 +124,12 @@ class ProcessorConfig:
     # enforced as shard-keyed partition count (see limits.py)
     max_concurrent_shards: int | None = None
     validation_max_attempts: int = 3
+    # Checkpoint-save retries: None = retry forever (reference default —
+    # "checkpoint loss is worse than stalling", src/store/dynamodb.rs:
+    # 137-163 + src/retry/mod.rs:29); the loop is interruptible via
+    # StreamProcessor.shutdown, so stall-don't-fail never wedges a
+    # graceful stop.
+    checkpoint_max_retries: int | None = None
     backoff: ExponentialBackoff = field(default_factory=ExponentialBackoff)
     shard_col: str = "shard_id"
     seq_col: str = "sequence_number"
@@ -158,6 +165,10 @@ class StreamProcessor:
         self.dlq_sink = dlq_sink
         self._sleep = sleep
         self._position_bounds: dict[str, str] | None = None
+        # graceful-shutdown signal (P6): interrupts checkpoint-save
+        # retry sleeps exactly like the reference's shutdown receiver
+        # (src/retry/mod.rs:95-108)
+        self.shutdown = threading.Event()
 
     # --- positioning (S2/S3) -------------------------------------------
 
@@ -238,6 +249,8 @@ class StreamProcessor:
         quarantined: list[DataFrame] = []
         cached: list[DataFrame] = []
         attempt = 0
+        batch_t0 = time.perf_counter()
+        n_success = n_failed = n_soft_retries = 0
         try:
             while True:
                 t0 = time.perf_counter()
@@ -269,6 +282,8 @@ class StreamProcessor:
                         **({"reason": "processing_timeout"} if outcome == "timeout" else {}),
                     )
                 n_soft = totals.get("soft", 0)
+                n_success += totals.get("success", 0)
+                n_failed += totals.get("hard", 0) + totals.get("timeout", 0)
 
                 if totals.get("success", 0):
                     successes.append(out.filter(F.col("outcome") == "success"))
@@ -293,12 +308,14 @@ class StreamProcessor:
                 if attempt + 1 >= cfg.max_attempts:
                     # soft retries exhausted ⇒ quarantine (bounded-retry
                     # semantic change from the reference's retry-forever)
+                    n_failed += n_soft
                     quarantined.append(
                         out.filter(F.col("outcome") == "soft").withColumn(
                             "dlq_reason", F.lit("soft_exhausted")
                         )
                     )
                     break
+                n_soft_retries += n_soft
                 # retry only the soft subset with attempt+1
                 # (src/processor.rs:1506-1510: attempt increments, same record)
                 attempt += 1
@@ -314,7 +331,18 @@ class StreamProcessor:
                 items = successes[0]
                 for s in successes[1:]:
                     items = items.unionByName(s)
-            self._finish_batch(items, quarantined, epoch_id)
+            self._finish_batch(
+                items,
+                quarantined,
+                epoch_id,
+                batch_stats={
+                    "t0": batch_t0,
+                    "records_success": n_success,
+                    "records_failed": n_failed,
+                    "soft_retries": n_soft_retries,
+                    "attempt_passes": attempt + 1,
+                },
+            )
         finally:
             # per-attempt caches would otherwise accumulate for the
             # lifetime of the streaming query (executor storage leak)
@@ -326,6 +354,7 @@ class StreamProcessor:
         items: DataFrame | None,
         quarantined: list[DataFrame],
         epoch_id: int,
+        batch_stats: dict | None = None,
     ) -> None:
         cfg = self.config
         agg = self.aggregator
@@ -362,7 +391,15 @@ class StreamProcessor:
             self.dlq_sink(dlq, epoch_id)
 
         # --- checkpoint commit (K1): max success seq per shard ----------
+        # Save failures retry with backoff rather than failing the batch
+        # — the reference's stall-don't-fail semantic ("checkpoint loss
+        # is worse than stalling", src/store/dynamodb.rs:137-163) with
+        # retry-forever as the default (src/retry/mod.rs:29). Shutdown
+        # interrupts the sleep, surfacing ShutdownRequested.
+        n_ckpt = 0
         if items is not None:
+            from .retry import RetryHandle
+
             rows = (
                 items.groupBy(cfg.shard_col)
                 .agg(
@@ -372,15 +409,40 @@ class StreamProcessor:
                 )
                 .collect()
             )
+            handle = RetryHandle(
+                max_retries=cfg.checkpoint_max_retries,
+                backoff=cfg.backoff,
+                shutdown=self.shutdown,
+            )
             for r in rows:
                 seq = r["max_seq"].lstrip("0") or "0"
-                try:
-                    self.store.save_checkpoint(str(r[cfg.shard_col]), seq)
-                    agg.emit(str(r[cfg.shard_col]), M.CHECKPOINT_SUCCESS, seq=seq)
-                except Exception:
-                    agg.emit(str(r[cfg.shard_col]), M.CHECKPOINT_FAILURE)
-                    raise
+                shard = str(r[cfg.shard_col])
 
+                def save(attempt: int, shard: str = shard, seq: str = seq):
+                    try:
+                        self.store.save_checkpoint(shard, seq)
+                    except Exception:
+                        agg.emit(shard, M.CHECKPOINT_FAILURE, attempt=attempt)
+                        raise
+
+                handle.retry(save)
+                agg.emit(shard, M.CHECKPOINT_SUCCESS, seq=seq)
+                n_ckpt += 1
+
+        if batch_stats is not None:
+            # duration covers the WHOLE batch: attempts, validation,
+            # sinks, and the checkpoint commit that just finished
+            t0 = batch_stats.pop("t0")
+            agg.emit(
+                "GLOBAL",
+                M.BATCH_METRICS,
+                metrics=M.BatchMetrics(
+                    epoch=epoch_id,
+                    duration_ms=(time.perf_counter() - t0) * 1000,
+                    checkpoints_saved=n_ckpt,
+                    **batch_stats,
+                ),
+            )
         agg.emit("GLOBAL", M.BATCH_COMPLETE, epoch=epoch_id)
 
     # --- run (streaming) -----------------------------------------------

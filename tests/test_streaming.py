@@ -154,7 +154,7 @@ def classifier(df):
 
 def make_processor(spark, tmp_path, store=None, **kwargs):
     cfg_kwargs = {}
-    for k in ("initial_position", "max_attempts", "prefer_stored_checkpoint", "validation_max_attempts", "max_concurrent_shards"):
+    for k in ("initial_position", "max_attempts", "prefer_stored_checkpoint", "validation_max_attempts", "max_concurrent_shards", "checkpoint_max_retries"):
         if k in kwargs:
             cfg_kwargs[k] = kwargs.pop(k)
     cfg = ProcessorConfig(
@@ -290,6 +290,83 @@ def test_position_validation_rejects_bad_config():
         AtTimestamp(datetime(1960, 1, 1))
 
 
+# --- checkpoint-save retry (↔ dynamodb.rs:137-163, retry/mod.rs:29) -----
+
+
+class FlakyStore(InMemoryCheckpointStore):
+    """Scripted transient save failures: the first ``fail_times`` saves
+    per shard raise (mock-style, ref src/tests/mocks.rs)."""
+
+    def __init__(self, fail_times: int):
+        super().__init__()
+        self.fail_times = fail_times
+        self.fail_counts: dict = {}
+
+    def save_checkpoint(self, shard_id, seq):
+        n = self.fail_counts.get(shard_id, 0)
+        if n < self.fail_times:
+            self.fail_counts[shard_id] = n + 1
+            raise RuntimeError("transient store outage")
+        super().save_checkpoint(shard_id, seq)
+
+
+def test_checkpoint_save_retries_then_succeeds(spark, tmp_path, records):
+    """Two scripted save failures then success must complete the batch
+    WITHOUT stream redelivery — the reference's stall-don't-fail
+    checkpoint semantic ('checkpoint loss is worse than stalling')."""
+    agg = MetricsAggregator()
+    store = FlakyStore(fail_times=2)
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, store=store, aggregator=agg
+    )
+    proc.run_batch(records.limit(100))
+    ckpts = store.all_checkpoints()
+    assert ckpts  # every shard eventually committed
+    types = agg.event_types()
+    assert types[-1] == M.BATCH_COMPLETE  # batch completed, no raise
+    assert types.count(M.CHECKPOINT_FAILURE) == 2 * len(ckpts)
+    assert types.count(M.CHECKPOINT_SUCCESS) == len(ckpts)
+    # retry-forever default still records each failure in shard metrics
+    assert all(
+        agg.metrics(s).checkpoint_failures == 2 for s in ckpts
+    )
+
+
+def test_checkpoint_save_bounded_retries_exhaust(spark, tmp_path, records):
+    """With checkpoint_max_retries bounded below the failure count the
+    commit surfaces RetryExhausted (batch fails ⇒ redelivery)."""
+    from go_zoom_kinesis_spark.streaming.retry import RetryExhausted
+
+    store = FlakyStore(fail_times=5)
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, store=store, checkpoint_max_retries=1
+    )
+    with pytest.raises(RetryExhausted):
+        proc.run_batch(records.limit(100))
+    assert store.all_checkpoints() == {}
+
+
+def test_checkpoint_save_retry_interruptible_by_shutdown(
+    spark, tmp_path, records
+):
+    """An always-failing store stalls the commit; a shutdown signal
+    interrupts the retry sleep (ref src/retry/mod.rs:95-108)."""
+    import threading
+
+    from go_zoom_kinesis_spark.streaming.retry import ShutdownRequested
+
+    store = FlakyStore(fail_times=10**9)
+    proc, sunk, dlq = make_processor(spark, tmp_path, store=store)
+    timer = threading.Timer(0.05, proc.shutdown.set)
+    timer.start()
+    try:
+        with pytest.raises(ShutdownRequested):
+            proc.run_batch(records.limit(100))
+    finally:
+        timer.cancel()
+    assert store.all_checkpoints() == {}
+
+
 # --- before_checkpoint barrier (↔ test_suite3.rs:239-541) ---------------
 
 
@@ -370,6 +447,16 @@ def test_monitoring_event_sequence(spark, tmp_path, records):
     assert max(i for i, t in enumerate(types) if t == M.RECORD_SUCCESS) < min(
         i for i, t in enumerate(types) if t == M.CHECKPOINT_SUCCESS
     )
+    # typed batch-metrics payload (ProcessingEventType::BatchMetrics,
+    # ref src/monitoring/types.rs:52-123) precedes BATCH_COMPLETE
+    assert types[-2] == M.BATCH_METRICS
+    (bm_event,) = [e for e in agg.events if e.event_type == M.BATCH_METRICS]
+    bm = bm_event.detail["metrics"]
+    assert isinstance(bm, M.BatchMetrics)
+    assert bm.records_success == len(sunk)
+    assert bm.checkpoints_saved == len(proc.store.all_checkpoints())
+    assert bm.duration_ms > 0
+    assert bm.attempt_passes >= 1
 
 
 def test_metrics_aggregation_counts(spark, tmp_path, records):

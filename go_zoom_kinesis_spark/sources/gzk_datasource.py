@@ -119,6 +119,16 @@ class GzkStreamReader(DataSourceStreamReader):
         self._cur = self._load_progress() or {
             str(s): self.o.start_sequence for s in range(self.o.shards)
         }
+        if not self.o.progress_path:
+            import warnings
+
+            warnings.warn(
+                "gzk_stream without progress_path: a query restart "
+                "resets the pacing cursor to start_sequence; Spark's "
+                "committed offsets stay ahead until the cursor "
+                "re-ratchets from the first trigger's start offsets",
+                stacklevel=2,
+            )
 
     # --- durable high-water mark (reference CheckpointStore analog) ---
 
@@ -166,6 +176,11 @@ class GzkStreamReader(DataSourceStreamReader):
         return nxt
 
     def partitions(self, start, end):
+        # ratchet from BOTH bounds: `start` carries Spark's committed
+        # high-water mark, so a restarted reader with no progress file
+        # resynchronizes its pacing cursor in this first trigger instead
+        # of emitting backward offsets until it catches up
+        self._ratchet(start)
         self._ratchet(end)
         return [
             _ShardRange(int(s), int(start[s]), int(end[s]))
@@ -178,8 +193,11 @@ class GzkStreamReader(DataSourceStreamReader):
             yield _record(partition.shard, seq)
 
     def commit(self, end):
+        # persist the RATCHETED cursor, not the raw `end`: if the
+        # progress file was deleted while the query was behind, writing
+        # raw `end` could regress the durable high-water mark
         self._ratchet(end)
-        self._save_progress({s: int(v) for s, v in end.items()})
+        self._save_progress({s: int(v) for s, v in self._cur.items()})
 
 
 class GzkStreamDataSource(DataSource):

@@ -74,3 +74,31 @@ def test_salted_agg_two_shuffles(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = salted_agg(ev, "event_type")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_documents_text_is_pure_ascii_all_sfs():
+    """LOUD testdata guard: the multimodal oracles equate DuckDB's
+    codepoint-based ascii()/length()/substring() with the Python path's
+    UTF-8 BYTE operations — valid only while documents.text is pure
+    ASCII. Testdata regenerates between rounds; if a regeneration ships
+    non-ASCII text this must fail explicitly here, not as an opaque
+    driver hash mismatch."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        (max_cp,) = con.execute(
+            f"""SELECT max(list_max(list_transform(
+                    split(text, ''), c -> unicode(c))))
+                FROM '{p}'"""
+        ).fetchone()
+        assert max_cp is not None and max_cp < 128, (
+            f"{sf}: documents.text contains non-ASCII (max codepoint "
+            f"{max_cp}) — the multimodal byte-level oracles are invalid; "
+            "rewrite them byte-based before the driver round"
+        )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.fixedpoint import fsum, isum
 from ..io import load_table
 
 DEC = "decimal(25,6)"
@@ -36,7 +37,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dsum(col: F.Column) -> F.Column:
-    return F.sum(col.cast(DEC)).cast("double")
+    """Exact money sum — fixed-point dual-bigint form (see
+    functions/fixedpoint.py)."""
+    return fsum(col, 6)
 
 
 # --- TPC-H-shaped queries ----------------------------------------------
@@ -152,10 +155,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0).cast(DEC)).cast(
-                "double"
-            )
-            / F.sum(disc.cast(DEC)).cast("double")
+            * fsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0), 6)
+            / fsum(disc, 6)
         ).alias("promo_revenue_pct"),
         F.count("*").alias("n_items"),
     )
@@ -172,7 +173,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     per_part = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        isum(F.col("l_quantity")).alias("sum_qty"),
         F.count("*").alias("n_li"),
     )
     small = li_b.join(
@@ -190,7 +191,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+        .agg(isum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 250)
     )
     orders = _t(spark, sf_dir, "orders")
@@ -232,12 +233,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         (
-            F.sum(
+            fsum(
                 F.when(F.col("supp_nation") == "NATION_5", disc)
-                .otherwise(0.0)
-                .cast(DEC)
-            ).cast("double")
-            / F.sum(disc.cast(DEC)).cast("double")
+                .otherwise(0.0),
+                6,
+            )
+            / fsum(disc, 6)
         ).alias("mkt_share"),
         F.count("*").alias("n_items"),
     )
@@ -293,7 +294,7 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery (avg positive balance) + anti join."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*"))
+        (fsum(F.col("c_acctbal"), 6) / F.count("*"))
         .alias("avg_bal")
     )
     orders = _t(spark, sf_dir, "orders")
@@ -351,7 +352,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         "l_returnflag",
         "l_linestatus",
-    ).agg(_dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+    ).agg(isum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
 
 
 # --- analytic window functions -----------------------------------------
@@ -402,7 +403,7 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg), so the fact side streams through one filter."""
     orders = _t(spark, sf_dir, "orders")
     avg_row = orders.agg(
-        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*"))
+        (fsum(F.col("o_totalprice"), 6) / F.count("*"))
         .alias("avg_price")
     )
     return (
@@ -477,7 +478,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             # sum→double BEFORE dividing: decimal-division scale rules
             # differ between engines; double division is pure IEEE
-            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"))
+            (fsum(F.col("value"), 6) / F.count("*"))
             .alias("avg_value"),
         )
         .select(
@@ -499,17 +500,12 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sums = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
-        .cast("double")
+        isum(F.col("l_quantity")).alias("sx"),
+        isum(F.col("l_quantity") * F.col("l_quantity"))
         .alias("sxx"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
-        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(DEC))
-        .cast("double")
-        .alias("syy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
-        .cast("double")
-        .alias("sxy"),
+        fsum(F.col("l_extendedprice"), 6).alias("sy"),
+        fsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 6).alias("syy"),
+        fsum(F.col("l_quantity") * F.col("l_extendedprice"), 6).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
@@ -669,11 +665,11 @@ ORACLE = {
         FROM (
             SELECT l_returnflag,
                    CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-                   CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
-                   CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+                   CAST((sum(CAST(floor(l_extendedprice) AS BIGINT)) + sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS sy,
+                   CAST((sum(CAST(floor(l_extendedprice * l_extendedprice) AS BIGINT)) + sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS syy,
+                   CAST((sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)) + sum(CAST(round((l_quantity * l_extendedprice - floor(l_quantity * l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS sxy
             FROM lineitem GROUP BY l_returnflag
         )
     """,
@@ -692,10 +688,8 @@ ORACLE = {
     """,
     "q8_market_share": """
         SELECT year(o_orderdate) AS o_year,
-               CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_5'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
-               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+               CAST((sum(CAST(floor(CASE WHEN ns.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS BIGINT)) + sum(CAST(round((CASE WHEN ns.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END - floor(CASE WHEN ns.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE)
+               / CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE)
                    AS mkt_share,
                count(*) AS n_items
         FROM lineitem
@@ -718,7 +712,7 @@ ORACLE = {
         ) GROUP BY c_count
     """,
     "q19_disjunctive_predicates": """
-        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        SELECT CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -730,10 +724,10 @@ ORACLE = {
     """,
     "q22_no_order_customers": """
         SELECT c_mktsegment, count(*) AS numcust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+               CAST((sum(CAST(floor(c_acctbal) AS BIGINT)) + sum(CAST(round((c_acctbal - floor(c_acctbal)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS totacctbal
         FROM customer
         WHERE c_acctbal > (
-            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+            SELECT CAST((sum(CAST(floor(c_acctbal) AS BIGINT)) + sum(CAST(round((c_acctbal - floor(c_acctbal)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) / count(*)
             FROM customer WHERE c_acctbal > 0.0
         )
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -772,7 +766,7 @@ ORACLE = {
         GROUP BY o_orderpriority
     """,
     "q6_forecast_revenue": """
-        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        SELECT CAST((sum(CAST(floor(l_extendedprice * l_discount) AS BIGINT)) + sum(CAST(round((l_extendedprice * l_discount - floor(l_extendedprice * l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -783,7 +777,7 @@ ORACLE = {
     "q7_volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+               CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -796,7 +790,7 @@ ORACLE = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+               CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -809,10 +803,8 @@ ORACLE = {
         LIMIT 20
     """,
     "q14_promo_revenue": """
-        SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                                          THEN l_extendedprice * (1 - l_discount)
-                                          ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
-               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        SELECT 100.0 * CAST((sum(CAST(floor(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS BIGINT)) + sum(CAST(round((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END - floor(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE)
+               / CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE)
                    AS promo_revenue_pct,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -826,11 +818,11 @@ ORACLE = {
         ),
         per_part AS (
             SELECT l_partkey AS a_partkey,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
                    count(*) AS n_li
             FROM li_b GROUP BY 1
         )
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+        SELECT CAST((sum(CAST(floor(l_extendedprice) AS BIGINT)) + sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) / 7.0
                    AS avg_yearly,
                count(*) AS n_small
         FROM li_b JOIN per_part ON l_partkey = a_partkey
@@ -840,7 +832,7 @@ ORACLE = {
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
         FROM (
             SELECT l_orderkey,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_qty
             FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250
         )
         JOIN orders ON l_orderkey = o_orderkey
@@ -850,7 +842,7 @@ ORACLE = {
     """,
     "agg_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -874,10 +866,10 @@ ORACLE = {
     """,
     "orders_above_avg": """
         SELECT o_orderpriority, count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+               CAST((sum(CAST(floor(o_totalprice) AS BIGINT)) + sum(CAST(round((o_totalprice - floor(o_totalprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS total_price
         FROM orders
         WHERE o_totalprice > (
-            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+            SELECT CAST((sum(CAST(floor(o_totalprice) AS BIGINT)) + sum(CAST(round((o_totalprice - floor(o_totalprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) / count(*)
             FROM orders
         ) * 1.5
         GROUP BY o_orderpriority
@@ -935,7 +927,7 @@ ORACLE = {
                    + to_seconds({SLIDE_MIN * 60} * (CAST(floor(epoch(ts) / {SLIDE_MIN * 60}) AS BIGINT) - g) + {SLIDE_WINDOW_MIN * 60})
                    AS window_end,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_value
+               CAST((sum(CAST(floor(value) AS BIGINT)) + sum(CAST(round((value - floor(value)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) / count(*) AS avg_value
         FROM events CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) grid
         GROUP BY 1, 2
     """,

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fixedpoint import fsum, isum
 from ..io import load_table
 
 DEC = "decimal(25,6)"
@@ -47,7 +48,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dsum(col: F.Column) -> F.Column:
-    return F.sum(col.cast(DEC)).cast("double")
+    """Exact money sum — fixed-point dual-bigint form (see
+    functions/fixedpoint.py)."""
+    return fsum(col, 6)
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +233,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("pair_qty")
+        isum(F.col("l_quantity")).alias("pair_qty")
     )
     per_part = per_pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum(F.col("pair_qty")).alias("part_qty")
@@ -408,17 +411,12 @@ def regr_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEC = "decimal(25,6)"
     sums = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
-        .cast("double")
+        isum(F.col("l_quantity")).alias("sx"),
+        fsum(F.col("l_extendedprice"), 6).alias("sy"),
+        isum(F.col("l_quantity") * F.col("l_quantity"))
         .alias("sxx"),
-        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(DEC))
-        .cast("double")
-        .alias("syy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
-        .cast("double")
-        .alias("sxy"),
+        fsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 6).alias("syy"),
+        fsum(F.col("l_quantity") * F.col("l_extendedprice"), 6).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -532,16 +530,13 @@ ORACLE = {
         WITH sums AS (
             SELECT l_returnflag,
                    CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                        AS sx,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST((sum(CAST(floor(l_extendedprice) AS BIGINT)) + sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE)
                        AS sy,
-                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
-                       AS DOUBLE) AS sxx,
-                   CAST(sum(CAST(l_extendedprice * l_extendedprice
-                       AS DECIMAL(25,6))) AS DOUBLE) AS syy,
-                   CAST(sum(CAST(l_quantity * l_extendedprice
-                       AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+                   CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+                   CAST((sum(CAST(floor(l_extendedprice * l_extendedprice) AS BIGINT)) + sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS syy,
+                   CAST((sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)) + sum(CAST(round((l_quantity * l_extendedprice - floor(l_quantity * l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS sxy
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag,
@@ -610,9 +605,7 @@ ORACLE = {
     "q9_product_type_profit": """
         SELECT n_name AS nation_name,
                year(o_orderdate) AS o_year,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             - p_retailprice * 0.6 * l_quantity
-                             AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit,
+               CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity - floor(l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS sum_profit,
                count(*) AS n_items
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -631,7 +624,7 @@ ORACLE = {
         ),
         per_part AS (
             SELECT l_partkey AS partkey,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST((sum(CAST(floor(l_extendedprice) AS BIGINT)) + sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE)
                        AS value_sum
             FROM filtered GROUP BY 1
         )
@@ -654,8 +647,7 @@ ORACLE = {
     "q15_top_supplier": """
         WITH revenue AS (
             SELECT l_suppkey,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+                   CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) + sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 1000000.0) AS BIGINT)) / 1000000.0) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -679,7 +671,7 @@ ORACLE = {
     "q20_dominant_supplier": """
         WITH pair AS (
             SELECT l_partkey, l_suppkey,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                        AS pair_qty
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

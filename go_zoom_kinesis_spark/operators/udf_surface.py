@@ -110,8 +110,11 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name AS nation_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT))
+                     + sum(CAST(round((l_extendedprice * (1 - l_discount)
+                         - floor(l_extendedprice * (1 - l_discount)))
+                         * 1000000.0) AS BIGINT)) / 1000000.0)
+                    AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM gzk_lineitem
         JOIN gzk_orders ON l_orderkey = o_orderkey
@@ -147,8 +150,11 @@ ORACLE = {
     """,
     "sql_api_nation_revenue": """
         SELECT n_name AS nation_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT))
+                     + sum(CAST(round((l_extendedprice * (1 - l_discount)
+                         - floor(l_extendedprice * (1 - l_discount)))
+                         * 1000000.0) AS BIGINT)) / 1000000.0)
+                    AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey

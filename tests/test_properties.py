@@ -167,3 +167,69 @@ def test_sample_frames_cover_and_stay_in_bounds(payload):
     assert frames[0][1] == 0
     offs = [off for _, off, _ in frames]
     assert offs == sorted(offs)
+
+
+# --- fixed-point money arithmetic (functions/fixedpoint.py) -------------
+
+
+def test_fixedpoint_testdata_guard():
+    """LOUD guard: the fixed-point sum conversion is exact only while
+    money columns carry ≤2dp values and l_quantity is integral. If a
+    testdata regeneration breaks this, fail HERE, not as an opaque
+    driver hash mismatch."""
+    import os
+
+    checks = {
+        "lineitem": [
+            ("l_quantity", 0),
+            ("l_extendedprice", 2),
+            ("l_discount", 2),
+            ("l_tax", 2),
+        ],
+        "orders": [("o_totalprice", 2)],
+        "customer": [("c_acctbal", 2)],
+        "supplier": [("s_acctbal", 2)],
+        "part": [("p_retailprice", 2)],
+        "events": [("value", 6)],
+    }
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for table, cols in checks.items():
+            p = f"/root/testdata/{sf}/{table}.parquet"
+            if not os.path.exists(p):
+                continue
+            for col, dp in cols:
+                (frac,) = con.execute(
+                    f"SELECT max(abs({col} - round({col}, {dp}))) FROM '{p}'"
+                ).fetchone()
+                assert frac == 0.0, (
+                    f"{sf}/{table}.{col} has values beyond {dp}dp "
+                    f"(max dev {frac}) — fixed-point sums (fsum/isum) "
+                    "are no longer exact; re-audit fixedpoint.py call "
+                    "sites before the driver round"
+                )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-999999, max_value=999999, places=6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_fsum_scalar_reference_exact(vals):
+    """fsum's split (floor + scaled fraction) recombination equals the
+    exact decimal sum for ≤6dp values, evaluated scalar-side with the
+    same arithmetic the engines use."""
+    import math
+
+    doubles = [float(v) for v in vals]
+    high = sum(math.floor(x) for x in doubles)
+    low = sum(round((x - math.floor(x)) * 1000000.0) for x in doubles)
+    got = high + low / 1000000.0
+    want = float(sum(vals))
+    assert abs(got - want) < 5e-7, (vals, got, want)

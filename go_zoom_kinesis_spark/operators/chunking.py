@@ -1,0 +1,187 @@
+"""Document chunking + tokenizer-training primitives — the
+RAG-ingest / BPE-training half of an LLM data pipeline.
+
+The reference (go-zoom-kinesis) ends at per-record delivery
+(src/processor.rs); what a training/RAG pipeline does with delivered
+documents — split them into overlapping windows, count merge-candidate
+symbol pairs, draw fixed-size per-stratum samples — is the analytics
+completion this module adds (SURVEY.md §2 north-star extensions).
+
+All three operators are pure built-in column ops (split / sequence /
+explode / substring / window) — no Python in the hot path, so the
+whole stage is JVM codegen.
+
+Scale notes (100 TB):
+- ``chunk_documents``: explode(sequence) is a NARROW transform — chunk
+  rows are produced inside the scan stage, no shuffle at all; output
+  partitioning follows the input file splits. Chunk count per task is
+  bounded by doc length / stride, so no task amplification skew beyond
+  the document-length skew already present in the input.
+- ``bpe_pair_stats``: the double explode (tokens × positions) fans out
+  ~n_chars rows per document, all map-side; the only exchange is the
+  final pair-count aggregate (map-side partial combine collapses to
+  |alphabet|² ≈ small), then a tiny top-k sort on the aggregated set.
+  This is exactly one BPE merge-selection iteration; a full BPE train
+  loops this with a shrinking pair table.
+- ``reservoir_topk_per_lang``: deterministic fixed-k reservoir per
+  stratum via rank-over-content-hash. One shuffle on the stratum key;
+  at extreme per-key cardinality swap the window for the two-phase
+  per-partition top-k + merge (same result by hash-order determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 80
+RESERVOIR_K = 5
+TOP_PAIRS = 30
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character windows per document
+    (size 120, stride 80) — the RAG-ingest chunker. Chunk count is
+    ``floor((max(len-size,0)+stride-1)/stride)+1`` so every char is
+    covered and a short document still yields one chunk; the final
+    chunk may be shorter. chunk_id = doc_id·10^4 + idx is a stable
+    global key (guarded: idx < 10^4)."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - CHUNK_SIZE, F.lit(0)) + (CHUNK_STRIDE - 1))
+            / CHUNK_STRIDE
+        )
+        + 1
+    ).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "text",
+    )
+    chunk_text = F.expr(
+        f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})"
+    )
+    return chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_id"),
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_STRIDE).alias("chunk_start"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("chunk_len"),
+    )
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection iteration: adjacent character-pair
+    frequencies inside whitespace tokens, over the full corpus — the
+    pair table a byte-pair tokenizer trainer maximizes over. Returns
+    the top 30 pairs (count desc, pair asc — deterministic
+    tie-break) with occurrence and distinct-word support counts."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select("w", F.expr("substring(w, i, 2)").alias("pair"))
+    counted = pairs.groupBy("pair").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("w").alias("n_words"),
+    )
+    return counted.orderBy(
+        F.desc("n_occurrences"), F.asc("pair")
+    ).limit(TOP_PAIRS)
+
+
+def reservoir_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k reservoir sample per language: rank
+    documents inside each stratum by md5(doc_id) (content-hash order =
+    an arbitrary-but-reproducible permutation, the property a seeded
+    reservoir gives a single machine) and keep the first k=5. Unlike
+    the rate-based stratified sampler (sampling.py), the output size
+    per stratum is exact."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "rk", "doc_id", "source", "n_chars")
+    )
+
+
+QUERIES = {
+    "chunk_documents": chunk_documents,
+    "bpe_pair_stats": bpe_pair_stats,
+    "reservoir_topk_per_lang": reservoir_topk_per_lang,
+}
+
+ORACLE = {
+    "chunk_documents": f"""
+        WITH c AS (
+            SELECT doc_id, lang, text,
+                   unnest(generate_series(0,
+                       CAST(floor((greatest(length(text) - {CHUNK_SIZE}, 0)
+                                   + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE})
+                            AS INTEGER))) AS chunk_idx
+            FROM documents
+        )
+        SELECT doc_id * 10000 + chunk_idx AS chunk_id,
+               doc_id, lang,
+               CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+               substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})
+                   AS chunk_text,
+               CAST(length(substring(text, chunk_idx * {CHUNK_STRIDE} + 1,
+                                     {CHUNK_SIZE})) AS INTEGER) AS chunk_len
+        FROM c
+    """,
+    "bpe_pair_stats": f"""
+        WITH words AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT w, substring(w, i, 2) AS pair
+            FROM (
+                SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+                FROM words WHERE length(w) >= 2
+            )
+        )
+        SELECT pair,
+               count(*) AS n_occurrences,
+               count(DISTINCT w) AS n_words
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC
+        LIMIT {TOP_PAIRS}
+    """,
+    "reservoir_topk_per_lang": f"""
+        SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, source, n_chars
+        FROM (
+            SELECT lang, doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {RESERVOIR_K}
+    """,
+}

@@ -21,6 +21,7 @@ from .session import configure_session
 def _modules():
     from .operators import (
         behavior,
+        chunking,
         curation,
         dedup,
         graph,
@@ -43,6 +44,7 @@ def _modules():
 
     return [
         behavior,
+        chunking,
         graph,
         streaming_analogs,
         relational,

@@ -374,6 +374,61 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication: assign every embedding to its nearest
+    coarse-quantizer centroid (the IVF E-step) and keep ONE
+    representative per cluster (min vec_id — deterministic), reporting
+    how much the corpus shrinks and how label-pure each cluster is
+    (majority label by count, ties to the smaller label id).
+
+    This is the cluster-then-keep-one semantic dedup recipe (SemDeDup
+    shape): at 100 TB the assignment is a broadcast-centroids map-side
+    pass and the rollup two small keyed aggregates — nothing pairwise,
+    unlike embedding-NN dedup which needs the blocked all-pairs kernel.
+    """
+    emb = _with_norm(_emb(spark, sf_dir))
+    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    assign = (
+        emb.join(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "c_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+            ),
+        )
+        .filter(F.col("c_rk") == 1)
+        .select("vec_id", F.col("c_id").alias("bucket"), "label")
+    )
+    by_label = assign.groupBy("bucket", "label").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_vid")
+    )
+    lrk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("label"))
+    )
+    return (
+        by_label.withColumn("lrk", lrk)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_members"),
+            (F.sum("n") - 1).alias("n_dropped"),
+            F.min("min_vid").alias("rep_vec_id"),
+            F.count("*").alias("n_labels"),
+            F.max(F.when(F.col("lrk") == 1, F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.max(F.when(F.col("lrk") == 1, F.col("n"))).alias("majority_count"),
+        )
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "kmeans_update_step": kmeans_update_step,
@@ -381,6 +436,7 @@ QUERIES = {
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_nearest": dedup_embedding_nearest,
     "similarity_recall_eval": similarity_recall_eval,
+    "semantic_dedup_reps": semantic_dedup_reps,
 }
 
 
@@ -554,4 +610,42 @@ ORACLE["similarity_recall_eval"] = f"""
                         THEN 1 ELSE 0 END) * 1000000
                / sum(in_truth)) AS BIGINT) AS recall_ppm
     FROM j GROUP BY q_id
+"""
+
+ORACLE["semantic_dedup_reps"] = f"""
+    {_EMB_CTE},
+    cent AS (
+        SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+        FROM en WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, bucket, label FROM (
+            SELECT e.vec_id, c.c_id AS bucket, em.label,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT.format(a='e.emb', b='c.c_emb')}
+                                / (e.norm * c.c_norm) DESC,
+                                c.c_id ASC) AS c_rk
+            FROM en e
+            JOIN embeddings em ON em.vec_id = e.vec_id
+            CROSS JOIN cent c
+        ) WHERE c_rk = 1
+    ),
+    by_label AS (
+        SELECT bucket, label, count(*) AS n, min(vec_id) AS min_vid
+        FROM assign GROUP BY bucket, label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY n DESC, label ASC) AS lrk
+        FROM by_label
+    )
+    SELECT bucket,
+           CAST(sum(n) AS BIGINT) AS n_members,
+           CAST(sum(n) - 1 AS BIGINT) AS n_dropped,
+           min(min_vid) AS rep_vec_id,
+           count(*) AS n_labels,
+           max(CASE WHEN lrk = 1 THEN label END) AS majority_label,
+           CAST(max(CASE WHEN lrk = 1 THEN n END) AS BIGINT) AS majority_count
+    FROM ranked GROUP BY bucket
 """

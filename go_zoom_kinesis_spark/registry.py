@@ -35,6 +35,7 @@ def _modules():
         sampling,
         search,
         similarity,
+        simjoin,
         skew,
         streaming_analogs,
         text,
@@ -53,6 +54,7 @@ def _modules():
         dedup,
         sampling,
         similarity,
+        simjoin,
         text,
         multimodal,
         skew,

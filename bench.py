@@ -75,6 +75,18 @@ HEADLINE = [
     "kmeans_update_step",
 ]
 
+# Added in round 4 — timed and reported, but ALSO rolled into a
+# separate subtotal so the headline total stays comparable with the
+# round-1 BASELINE set (the gate is vs that set's total).
+HEADLINE_R4 = [
+    "profile_columns",
+    "chunk_documents",
+    "bpe_pair_stats",
+    "reservoir_topk_per_lang",
+    "similarity_prefix_join",
+    "semantic_dedup_reps",
+]
+
 
 def main() -> None:
     from go_zoom_kinesis_spark import registry
@@ -88,7 +100,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    total_baseline_set = 0.0
+    for name in HEADLINE + HEADLINE_R4:
         fn = queries.get(name)
         if fn is None:
             timings[name] = -1.0
@@ -106,6 +119,8 @@ def main() -> None:
             dt = min(dt, round(time.perf_counter() - t0, 3))
         timings[name] = dt
         total += dt
+        if name in HEADLINE:
+            total_baseline_set += dt
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -114,6 +129,11 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                # subtotal over exactly the round-1 BASELINE query set —
+                # the apples-to-apples number vs BASELINE.md (the full
+                # `value` above also counts queries added in later
+                # rounds)
+                "value_baseline_set": round(total_baseline_set, 3),
                 "queries": timings,
                 "sf": float(sf) if sf else None,
             }

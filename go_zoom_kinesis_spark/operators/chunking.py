@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 CHUNK_SIZE = 120
 CHUNK_STRIDE = 80
@@ -43,7 +43,8 @@ TOP_PAIRS = 30
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # fan out the single-file scan before the CPU-heavy explodes
+    return fan_out_narrow(load_table(spark, sf_dir, "documents"))
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

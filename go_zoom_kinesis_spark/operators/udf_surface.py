@@ -125,13 +125,94 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _TokenPositions:
+    """Python UDTF body: one input row (text) → one output row per
+    token with its position. Defined as a plain class; wrapped with
+    ``F.udtf`` at call time (decorating at import would bind the return
+    schema before any SparkSession exists)."""
+
+    def eval(self, text: str):
+        ws = [w for w in (text or "").lower().split(" ") if w]
+        for i, w in enumerate(ws):
+            yield i, w
+
+
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Python UDTF surface (Spark 3.5+/4): a table function
+    applied per input row via SQL LATERAL — completing the
+    UDF/UDAF/UDTF triple (``explode_tokens`` is the built-in UDTF
+    SHAPE; this is the Python API itself). Row-at-a-time Python is the
+    slow path by design — the entry pins the mechanism on a bounded
+    input (doc_id < 40), not a 100 TB recipe; at scale the same logic
+    is the posexplode/split one-liner."""
+    from pyspark.sql.functions import udtf
+
+    tp = udtf(_TokenPositions, returnType="pos int, token string")
+    spark.udtf.register("gzk_token_positions", tp)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs.createOrReplaceTempView("gzk_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.pos, f.token
+        FROM gzk_docs_udtf d, LATERAL gzk_token_positions(d.text) f
+        """
+    )
+
+
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT surface: ``parse_json`` → semi-structured
+    VARIANT column → typed ``try_variant_get`` extraction, then a
+    plain rollup. VARIANT is the modern open-table semi-structured
+    type (binary-encoded, predicate-pushable) — the 100 TB replacement
+    for string-JSON re-parsing in every expression; the oracle states
+    the same extraction over DuckDB's JSON functions."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k_value"))
+        .groupBy((F.col("k_value") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k_value").alias("sum_k"),
+            F.max("k_value").alias("max_k"),
+        )
+    )
+
+
 QUERIES = {
     "udaf_weighted_qty": udaf_weighted_qty,
+    "udtf_token_positions": udtf_token_positions,
+    "variant_props_rollup": variant_props_rollup,
     "map_functions": map_functions,
     "sql_api_nation_revenue": sql_api_nation_revenue,
 }
 
 ORACLE = {
+    "udtf_token_positions": """
+        WITH t1 AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '') AS ws
+            FROM documents WHERE doc_id < 40
+        ),
+        t2 AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS i
+            FROM t1
+        )
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS token
+        FROM t2
+    """,
+    "variant_props_rollup": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                   AS k_mod,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS max_k
+        FROM events
+        GROUP BY 1
+    """,
     "udaf_weighted_qty": """
         SELECT l_returnflag,
                sum(l_quantity * l_linenumber) AS weighted_qty,

@@ -126,10 +126,42 @@ def reservoir_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document repetition removal (the RefinedWeb/CCNet-style
+    exact-substring dedup, at chunk granularity): hash every chunk,
+    keep the globally FIRST occurrence of each distinct chunk text
+    (min chunk_id — deterministic), and report per document how many
+    chunks were duplicates and how many characters survive.
+
+    Composes ``chunk_documents`` (narrow explode) with one
+    hash-partitioned window — the same single shuffle an exact-dedup
+    groupBy would pay; no pairwise work at any scale."""
+    ch = chunk_documents(spark, sf_dir)
+    marked = ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_len",
+        F.md5("chunk_text").alias("h"),
+    ).withColumn("first_chunk", F.min("chunk_id").over(Window.partitionBy("h")))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((F.col("chunk_id") != F.col("first_chunk")).cast("bigint")).alias(
+            "n_dup_chunks"
+        ),
+        F.sum(
+            F.when(
+                F.col("chunk_id") == F.col("first_chunk"), F.col("chunk_len")
+            ).otherwise(0)
+        ).alias("chars_retained"),
+    )
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "bpe_pair_stats": bpe_pair_stats,
     "reservoir_topk_per_lang": reservoir_topk_per_lang,
+    "chunk_dedup_stats": chunk_dedup_stats,
 }
 
 ORACLE = {
@@ -186,3 +218,35 @@ ORACLE = {
         WHERE rk <= {RESERVOIR_K}
     """,
 }
+
+ORACLE["chunk_dedup_stats"] = f"""
+    WITH c AS (
+        SELECT doc_id, lang, text,
+               unnest(generate_series(0,
+                   CAST(floor((greatest(length(text) - {CHUNK_SIZE}, 0)
+                               + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE})
+                        AS INTEGER))) AS chunk_idx
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               doc_id * 10000 + chunk_idx AS chunk_id,
+               length(substring(text, chunk_idx * {CHUNK_STRIDE} + 1,
+                                {CHUNK_SIZE})) AS chunk_len,
+               md5(substring(text, chunk_idx * {CHUNK_STRIDE} + 1,
+                             {CHUNK_SIZE})) AS h
+        FROM c
+    ),
+    marked AS (
+        SELECT doc_id, chunk_id, chunk_len,
+               min(chunk_id) OVER (PARTITION BY h) AS first_chunk
+        FROM ch
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN chunk_id <> first_chunk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN chunk_id = first_chunk THEN chunk_len
+                         ELSE 0 END) AS BIGINT) AS chars_retained
+    FROM marked GROUP BY doc_id
+"""

@@ -155,3 +155,44 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# --- round-4 operators --------------------------------------------------
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    """The chunker is a narrow transform: explode(sequence) inside the
+    scan stage — no KEY exchange anywhere. The only exchange allowed is
+    the round-robin fan-out of the 1-partition test-scale scan
+    (io.fan_out_narrow — a no-op on real multi-split inputs)."""
+    plan = _plan(spark, sf_dir, "chunk_documents")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line.strip()
+
+
+def test_profile_columns_bounded_exchanges(spark, sf_dir):
+    """Unpivot-first profiling: one scan, at most two aggregation
+    exchanges (per-value counts, per-column rollup) — never the
+    10-exchange union-of-scans shape or the Expand blow-up."""
+    plan = _plan(spark, sf_dir, "profile_columns")
+    assert plan.count("Exchange") <= 2
+    assert "Expand" not in plan
+    assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1
+
+
+def test_prefix_join_stays_equi(spark, sf_dir):
+    """PPJoin candidates and verification are equi-joins on shingle /
+    pair keys — no cartesian, no unconditioned nested loop."""
+    plan = _plan(spark, sf_dir, "similarity_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_centroids_broadcast(spark, sf_dir):
+    """The IVF assignment joins every vector against the 16-row
+    centroid set — that side must broadcast, never shuffle the
+    vectors on a join key."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_reps")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,184 @@
+"""Data-layout & scan-pruning operators — the 100 TB survival kit.
+
+The reference engine (go-zoom-kinesis, src/processor.rs) reads every
+delivered record exactly once; a batch engine at 100 TB wins or loses
+on how much it can *avoid* reading and shuffling. This module makes the
+two highest-leverage techniques first-class, driver-oracled operators:
+
+- ``bloom_prune_revenue``: Spark's runtime bloom-filter join pruning
+  (Catalyst ``InjectRuntimeFilter``). A selective dimension filter is
+  turned into a bloom filter that is evaluated on the fact-table scan
+  *before* the shuffle, so rows that cannot match never enter the
+  exchange. Results are exactly the plain join's (a bloom only prunes
+  true negatives); the oracle is therefore ordinary SQL and the plan
+  shape is pinned separately in ``tests/test_plans.py``.
+
+- ``zorder_cluster_audit``: Z-order (Morton) interleaving of two join/
+  filter dimensions, plus the min/max "zone map" audit that shows WHY
+  the layout works: sorting by the interleaved key keeps BOTH source
+  dimensions narrow within every key range, so parquet row-group
+  min/max statistics prune scans for predicates on either column.
+  This is the write-side layout policy (``repartitionByRange(zvalue)``
+  + ``sortWithinPartitions(zvalue)``) expressed as an auditable query.
+
+Scale notes (100 TB):
+- Bloom pruning wins exactly when the build side is selective and the
+  probe side is huge — the 1 MB bloom broadcast replaces shuffling the
+  un-matching ~99% of the probe table. With AQE it composes with skew
+  splitting; at local test scale the injection thresholds are forced
+  (the data is far below the 10 GB default) — on a real cluster the
+  defaults fire on their own.
+- The Z-order audit is one scan + one integer-keyed aggregate; the
+  interleave expression is pure bit arithmetic inside whole-stage
+  codegen. Writing the layout itself is ``repartitionByRange`` (range
+  exchange on the z-value) — one shuffle at write time buys min/max
+  pruning on every later scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.fixedpoint import fsum, fsum_sql
+from ..io import load_table
+
+# Runtime-filter confs forced at LOCAL test scale only: the lineitem
+# scan here is ~10 MB, far below the 10 GB applicationSideScanSize
+# default that gates injection on a real cluster (where it fires
+# unforced). configure_session() resets them so no other query
+# inherits the override.
+_BLOOM_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    # InjectRuntimeFilter only fires on probably-shuffle joins; a
+    # broadcast-able creation side suppresses it. At 100 TB the
+    # filtered dim side is far past any broadcast threshold — model
+    # that here by disabling auto-broadcast for this query.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ship mode for lineitems of high-value urgent orders.
+
+    The orders predicate keeps ~2% of orders; the bloom built from the
+    surviving o_orderkey set is pushed onto the lineitem scan
+    (``might_contain`` beside the parquet reader), so non-matching
+    lineitems are dropped pre-shuffle. The merge hint keeps the join a
+    shuffle join as it would be at cluster scale (broadcast joins
+    don't need the bloom — their probe side never shuffles)."""
+    for k, v in _BLOOM_CONF.items():
+        spark.conf.set(k, v)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_totalprice") > 400000.0)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .hint("merge")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy("l_returnflag", "l_linestatus").agg(
+        fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# 8 bits per dimension → 16-bit Morton code, 64 audit buckets
+_ZBITS = 8
+_BUCKET_SHIFT = 10  # 2^16 codes / 2^10 = 64 buckets
+
+
+def _zvalue(x: F.Column, y: F.Column) -> F.Column:
+    """Interleave the low 8 bits of x (even positions) and y (odd):
+    classic Morton/Z-order code, pure codegen bit arithmetic."""
+    z = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit of Z-order layout over (l_partkey, l_suppkey).
+
+    Buckets the 16-bit Morton code into 64 contiguous z-ranges (the
+    stand-ins for files written by ``repartitionByRange(zvalue)``) and
+    reports each range's min/max span in BOTH source dimensions. The
+    point the numbers make: every bucket covers ≤ 1/8 of each
+    dimension's domain (a linear sort by either column alone leaves the
+    OTHER dimension's span at 100%), which is what lets parquet min/max
+    stats prune scans for predicates on either column after one
+    z-ordered write."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_partkey") % 256
+    y = F.col("l_suppkey") % 256
+    coded = li.select(
+        F.shiftright(_zvalue(x, y), _BUCKET_SHIFT).alias("z_bucket"),
+        x.alias("px"),
+        y.alias("sx"),
+    )
+    return coded.groupBy("z_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("px").alias("part_min"),
+        F.max("px").alias("part_max"),
+        F.min("sx").alias("supp_min"),
+        F.max("sx").alias("supp_max"),
+        (F.max("px") - F.min("px") + F.max("sx") - F.min("sx")).alias("span_sum"),
+    )
+
+
+QUERIES = {
+    "bloom_prune_revenue": bloom_prune_revenue,
+    "zorder_cluster_audit": zorder_cluster_audit,
+}
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+ORACLE = {
+    "bloom_prune_revenue": f"""
+        SELECT l_returnflag, l_linestatus,
+               {fsum_sql(_REV)} AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000.0 AND o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "zorder_cluster_audit": f"""
+        WITH coded AS (
+            SELECT ({_zvalue_sql('(l_partkey % 256)', '(l_suppkey % 256)')})
+                       // 1024 AS z_bucket,
+                   l_partkey % 256 AS px,
+                   l_suppkey % 256 AS sx
+            FROM lineitem
+        )
+        SELECT z_bucket,
+               count(*) AS n_rows,
+               min(px) AS part_min,
+               max(px) AS part_max,
+               min(sx) AS supp_min,
+               max(sx) AS supp_max,
+               (max(px) - min(px) + max(sx) - min(sx)) AS span_sum
+        FROM coded
+        GROUP BY z_bucket
+    """,
+}

@@ -25,6 +25,7 @@ def _modules():
         curation,
         dedup,
         graph,
+        layout,
         multimodal,
         pipeline,
         privacy,
@@ -47,6 +48,7 @@ def _modules():
         behavior,
         chunking,
         graph,
+        layout,
         streaming_analogs,
         relational,
         relational2,

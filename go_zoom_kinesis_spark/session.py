@@ -69,6 +69,14 @@ def configure_session(spark: SparkSession) -> SparkSession:
         # right-size shuffles for the local test scale (runtime-settable;
         # a cluster deployment would size this to cores × 2-3)
         "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # restore runtime-bloom-filter injection gates to their cluster
+        # defaults — operators/layout.py forces them per-query at local
+        # test scale and this reset stops the override leaking into
+        # whatever query the driver runs next on the shared session
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }.items():
         try:
             spark.conf.set(k, v)

@@ -196,3 +196,30 @@ def test_semantic_dedup_centroids_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_dedup_reps")
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_revenue_injects_filter(spark, sf_dir):
+    """The registered bloom_prune_revenue query must carry the runtime
+    bloom: might_contain evaluated on the lineitem side BEFORE its
+    exchange, built from the filtered orders keys."""
+    plan = _plan(spark, sf_dir, "bloom_prune_revenue")
+    assert "might_contain" in plan, plan[:800]
+    assert "bloom_filter_agg" in plan, plan[:800]
+    # conf overrides must not leak: the wrapper re-pins session
+    # defaults before every query
+    from go_zoom_kinesis_spark.session import configure_session
+
+    configure_session(spark)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_zorder_audit_single_pass(spark, sf_dir):
+    """Morton-code audit is one scan + one keyed aggregate: bit
+    arithmetic stays in codegen, no join, ≤1 shuffle."""
+    plan = _plan(spark, sf_dir, "zorder_cluster_audit")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # scan pruned to exactly the two layout dimensions
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_partkey" in schema and "l_suppkey" in schema
+    assert "l_extendedprice" not in schema

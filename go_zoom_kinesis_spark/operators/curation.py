@@ -262,7 +262,62 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- model-based quality filtering --------------------------------------
+
+# "Pretrained" linear quality model (fastText-style filter analog): a
+# fixed-weight scorer over cheap surface features. Weights are part of
+# the operator contract — at scale the same shape loads weights from a
+# real trained model; the engine mechanics (featurize → score → gate)
+# are identical.
+_W_ALPHA = 2.5  # reward alphabetic density
+_W_DIGIT = 4.0  # penalize digit-heavy boilerplate
+_W_WORDS = 0.02  # reward length, capped
+_W_BIAS = 1.2
+_WORD_CAP = 100
+
+
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based keep/drop gate: score each document with a fixed
+    linear model over surface features (alphabetic ratio, digit ratio,
+    capped word count) and report the per-language score histogram with
+    keep counts (keep ⇔ score > 0, i.e. sigmoid > 0.5 — the sigmoid
+    itself is monotone so the gate never needs exp(), which is not
+    last-ulp-identical across engines).
+
+    Pure per-row projection + one keyed aggregate: the 100 TB plan is a
+    single scan with map-side partial aggregation; a real classifier
+    swaps the scoring expression for an Arrow-batched pandas UDF with
+    the same group-by tail."""
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_words = F.size(H.tokens_col(F.col("text")))
+    z = (
+        F.lit(_W_ALPHA) * (n_alpha.cast("double") / n_chars)
+        - F.lit(_W_DIGIT) * (n_digit.cast("double") / n_chars)
+        + F.lit(_W_WORDS) * F.least(n_words, F.lit(_WORD_CAP))
+        - F.lit(_W_BIAS)
+    )
+    scored = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        F.greatest(
+            F.least(F.floor(z * F.lit(4.0)), F.lit(8).cast("long")),
+            F.lit(-8).cast("long"),
+        ).alias("z_bucket"),
+        (z > 0.0).cast("bigint").alias("keep"),
+    )
+    return scored.groupBy("lang", "z_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+    )
+
+
 QUERIES = {
+    "quality_model_filter": quality_model_filter,
     "curriculum_quantile_bins": curriculum_quantile_bins,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
     "split_leakage_audit": split_leakage_audit,
@@ -274,6 +329,32 @@ _TOKS = H.TOKENS_SQL.format(text="text")
 _BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
 
 ORACLE = {
+    "quality_model_filter": f"""
+        WITH scored AS (
+            SELECT lang,
+                   len({_TOKS}) AS n_words,
+                   CAST({_W_ALPHA} AS DOUBLE)
+                       * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               AS DOUBLE) / length(text))
+                   - CAST({_W_DIGIT} AS DOUBLE)
+                       * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               AS DOUBLE) / length(text))
+                   + CAST({_W_WORDS} AS DOUBLE)
+                       * least(len({_TOKS}), {_WORD_CAP})
+                   - CAST({_W_BIAS} AS DOUBLE) AS z
+            FROM documents
+        )
+        SELECT lang,
+               greatest(least(CAST(floor(z * CAST(4.0 AS DOUBLE)) AS BIGINT),
+                              8), -8) AS z_bucket,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               min(n_words) AS min_words,
+               max(n_words) AS max_words
+        FROM scored
+        GROUP BY lang, z_bucket
+    """,
     "curriculum_quantile_bins": f"""
         WITH binned AS (
             SELECT lang, doc_id, n_chars,

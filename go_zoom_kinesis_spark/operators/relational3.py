@@ -477,7 +477,38 @@ def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_name", "n_buyers", "n_sellers", "side")
 
 
+def window_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of each customer's recent order prices —
+    ``percentile(x, 0.5)`` evaluated over a sliding 3-row frame
+    (robust trailing spend level; the windowed twin of
+    robust_outliers_mad).
+
+    The frame is rows-based, so state per window is O(3); at 100 TB
+    this is one shuffle on the partition key and a per-key sort —
+    identical shape to every other window query here. Frames with an
+    odd row count need no interpolation; the n=2 opening frame
+    interpolates midpoint, which both engines derive with the same
+    lower+(upper-lower)·f formula — the 6-dp canonicalizer absorbs the
+    sub-milli-cent associativity slack."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 400)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr("percentile(o_totalprice, 0.5)").over(w).alias("rolling_median"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
 QUERIES = {
+    "window_median_orders": window_median_orders,
     "join_full_outer_nations": join_full_outer_nations,
     "hll_sketch_rollup": hll_sketch_rollup,
     "regr_price_vs_qty": regr_price_vs_qty,
@@ -495,6 +526,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_median_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               quantile_cont(o_totalprice, 0.5) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS rolling_median,
+               count(*) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS frame_n
+        FROM orders
+        WHERE o_custkey < 400
+    """,
     "join_full_outer_nations": """
         WITH buyers AS (
             SELECT c_nationkey, count(*) AS n_buyers

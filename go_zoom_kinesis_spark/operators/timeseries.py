@@ -355,7 +355,86 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACTIVE_MIN = 10  # each event holds a resource for 10 minutes
+
+
+def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active intervals per event type — the sweep-line
+    counter (each event occupies [ts, ts+10min); how many overlap at
+    the worst moment?). Classic for connection/session capacity
+    planning; the reference's per-shard in-flight limiter
+    (src/processor.rs concurrency semaphore) is the streaming cousin.
+
+    Distributed prefix-sum, NOT one giant per-type sort: phase 1 runs
+    the ±1 sweep within (type, day) partitions; phase 2 prefix-sums the
+    tiny per-day delta totals and broadcasts the offsets back. At
+    100 TB the big sort is bounded by a single day per task while the
+    global running value is exact — the textbook two-phase scan. End
+    tie-breaking is pinned (-1 before +1 at equal t, then event_id) so
+    back-to-back intervals never double-count."""
+    ev = _events(spark, sf_dir)
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {ACTIVE_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "bucket", F.date_trunc("day", F.col("t"))
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = deltas.withColumn("run_in", F.sum("delta").over(w_in))
+    totals = deltas.groupBy("event_type", "bucket").agg(F.sum("delta").alias("tot"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("tot").over(w_b), F.lit(0)).alias("off"),
+    )
+    joined = inner.join(F.broadcast(offsets), ["event_type", "bucket"])
+    return joined.groupBy("event_type").agg(
+        F.max(F.col("run_in") + F.col("off")).alias("peak_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def latency_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P50/P95/P99 of event value per type × hour — the
+    percentile-band rollup every metrics pipeline ships (the reference
+    emits per-batch min/avg/max in its monitoring events,
+    src/monitoring/types.rs; percentile bands are the batch-analytics
+    upgrade).
+
+    Exact percentile holds each (type, hour) group's values — bounded
+    by one hour of one type, fine at any corpus size since group count
+    grows with time, not data volume. For un-bucketed long tails swap
+    in approx_percentile (t-digest, mergeable) — same plan shape."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.max("value").alias("max_value"),
+    )
+
+
 QUERIES = {
+    "interval_concurrency_peak": interval_concurrency_peak,
+    "latency_percentile_rollup": latency_percentile_rollup,
     "window_time_range_sum": window_time_range_sum,
     "ts_rollup_multires": ts_rollup_multires,
     "ts_gapfill_hours": ts_gapfill_hours,
@@ -369,6 +448,40 @@ QUERIES = {
 
 
 ORACLE = {
+    "interval_concurrency_peak": f"""
+        WITH deltas AS (
+            SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL {ACTIVE_MIN} MINUTE,
+                   -1, event_id
+            FROM events
+        ),
+        run AS (
+            SELECT event_type,
+                   sum(delta) OVER (
+                       PARTITION BY event_type
+                       ORDER BY t, delta, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS r
+            FROM deltas
+        )
+        SELECT event_type,
+               CAST(max(r) AS BIGINT) AS peak_concurrent,
+               CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        FROM run
+        GROUP BY event_type
+    """,
+    "latency_percentile_rollup": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket_hour,
+               count(*) AS n_events,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99,
+               max(value) AS max_value
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
     "window_time_range_sum": """
         SELECT event_id, user_id,
                CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,

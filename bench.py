@@ -85,6 +85,12 @@ HEADLINE_R4 = [
     "reservoir_topk_per_lang",
     "similarity_prefix_join",
     "semantic_dedup_reps",
+    "bloom_prune_revenue",
+    "zorder_cluster_audit",
+    "quality_model_filter",
+    "window_median_orders",
+    "interval_concurrency_peak",
+    "latency_percentile_rollup",
 ]
 
 

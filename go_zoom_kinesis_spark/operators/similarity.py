@@ -429,7 +429,103 @@ def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed linear algebra: int8 Gram + PCA power iteration --------
+
+INT8_MAX = 127
+PCA_ITERS = 10
+
+
+def _quantize_batch(pdf):
+    """Per-vector symmetric int8 quantization, numpy-vectorized —
+    bit-for-bit the embedding_quantize_error recipe (amax/127 scale,
+    explicit half-up floor(x/s + 0.5)), so the SQL oracle can restate
+    it exactly."""
+    import numpy as np
+
+    M = np.stack(pdf["emb"].values).astype(np.float64)
+    amax = np.abs(M).max(axis=1)
+    scale = np.where(amax == 0.0, 1.0, amax / INT8_MAX)
+    return np.floor(M / scale[:, None] + 0.5).astype(np.int64)
+
+
+def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix (Xᵀ X) of the int8-quantized corpus — the covariance
+    precursor every PCA / whitening / linear-probe step needs, and the
+    quantized-matmul shape a GPU stage would run at 100 TB.
+
+    Arrow-batched numpy matmul per partition (`mapInPandas`) emits
+    64×64 int64 partials; one keyed aggregate merges them. Integer
+    arithmetic makes the distributed sum ORDER-FREE — the result is
+    bit-identical for any partitioning, so the DuckDB oracle can check
+    an exact hash (a float Gram could not cross-check this way).
+    Output: upper triangle (i ≤ j), 2080 rows regardless of corpus
+    size — driver-safe at any scale."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = _emb(spark, sf_dir)
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _quantize_batch(pdf)
+            G = q.T @ q
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "g": G[iu]}
+            )
+
+    schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("g", LongType()),
+        ]
+    )
+    partials = emb.select("emb").mapInPandas(gram, schema=schema)
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the corpus — the production big-data
+    PCA split: the O(N·d²) Gram pass is distributed and integer-exact;
+    the d×d eigensolve runs driver-side on 4096 scalars (O(d²) driver
+    state, scale-invariant like the k-means M-step collect; power
+    iteration is the wrong tool here — this near-isotropic spectrum
+    has no eigengap for it to exploit).
+
+    No SQL oracle: a dense symmetric eigensolve is not SQL-expressible;
+    `tests/test_timeseries_search.py` pins the result against a direct
+    numpy eigendecomposition of the raw embeddings instead (the driver
+    runs the rows-only check). Deterministic because the Gram is
+    integer-exact and the solve is one driver-side LAPACK call."""
+    import numpy as np
+
+    gram_rows = embedding_gram_int8(spark, sf_dir).collect()
+    G = np.zeros((DIM, DIM))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    evals, evecs = np.linalg.eigh(G)
+    eig, v = float(evals[-1]), evecs[:, -1]
+    # sign convention: largest-magnitude loading is positive
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    rows = [
+        (int(d), float(v[d]), eig, int(len(gram_rows)))
+        for d in range(DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim_idx bigint, loading double, eigenvalue double, n_gram_cells bigint"
+    )
+
+
 QUERIES = {
+    "embedding_gram_int8": embedding_gram_int8,
+    "embedding_pca_top": embedding_pca_top,
     "similarity_topk": similarity_topk,
     "kmeans_update_step": kmeans_update_step,
     "similarity_lsh_buckets": similarity_lsh_buckets,
@@ -648,4 +744,37 @@ ORACLE["semantic_dedup_reps"] = f"""
            max(CASE WHEN lrk = 1 THEN label END) AS majority_label,
            CAST(max(CASE WHEN lrk = 1 THEN n END) AS BIGINT) AS majority_count
     FROM ranked GROUP BY bucket
+"""
+
+ORACLE["embedding_gram_int8"] = """
+    WITH xd AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, x,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(x, v -> abs(v))),
+                   (a, b) -> greatest(a, b)
+               ) AS amax
+        FROM xd
+    ),
+    qv AS (
+        SELECT vec_id,
+               list_transform(
+                   x,
+                   v -> CAST(floor(v / (CASE WHEN amax = 0.0 THEN 1.0
+                                             ELSE amax / 127 END)
+                                   + 0.5) AS BIGINT)
+               ) AS q
+        FROM sc
+    ),
+    dims AS (SELECT unnest(generate_series(0, 63)) AS i)
+    SELECT d1.i AS i, d2.i AS j,
+           CAST(sum(q[d1.i + 1] * q[d2.i + 1]) AS BIGINT) AS g
+    FROM qv, dims d1, dims d2
+    WHERE d2.i >= d1.i
+    GROUP BY d1.i, d2.i
 """

@@ -224,3 +224,31 @@ def test_fuzzy_match_symmetric_and_bounded(spark, sf_dir):
         # same blocking key
         assert name_a.split(" ")[-1] == name_b.split(" ")[-1]
         assert size_a == size_b
+
+
+def test_pca_power_matches_numpy_eigh(spark, sf_dir):
+    """embedding_pca_power's loading vector must align with the top
+    eigenvector of the exact int8 Gram computed directly in numpy
+    (|cos| -> 1) with a matching top eigenvalue."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_zoom_kinesis_spark.operators.similarity import (
+        INT8_MAX,
+        embedding_pca_top,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    M = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    amax = np.abs(M).max(axis=1)
+    scale = np.where(amax == 0.0, 1.0, amax / INT8_MAX)
+    q = np.floor(M / scale[:, None] + 0.5)
+    G = q.T @ q
+    evals, evecs = np.linalg.eigh(G)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+
+    out = embedding_pca_top(spark, sf_dir).orderBy("dim_idx").collect()
+    v = np.array([r["loading"] for r in out])
+    assert abs(abs(v @ top_vec) - 1.0) < 1e-6
+    assert abs(out[0]["eigenvalue"] - top_val) / top_val < 1e-9
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9

@@ -184,9 +184,57 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temperature-scaled corpus mixing -----------------------------------
+
+# Temperature sampling (multilingual-pretraining standard): resampling
+# probability ∝ share^α with α < 1 upweights low-resource languages.
+# The α-power arithmetic runs ONCE here in Python; only the resulting
+# integer hash-cuts enter either engine, so the operator is exactly
+# reproducible everywhere (the in-query surface is the same md5-bucket
+# primitive as corpus_mix_sample).
+TEMP_ALPHA = 0.7
+CORPUS_SHARES = {"en": 0.55, "de": 0.15, "fr": 0.12, "es": 0.10, "zh": 0.08}
+_p = {l: s**TEMP_ALPHA for l, s in CORPUS_SHARES.items()}
+_z = sum(_p.values())
+_rel = {l: (_p[l] / _z) / CORPUS_SHARES[l] for l in CORPUS_SHARES}
+_m = max(_rel.values())
+TEMP_CUTS = {l: int(_rel[l] / _m * 0xFFFF) for l in CORPUS_SHARES}
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (α = 0.7): keep-rates derived
+    from corpus shares so low-resource languages are upsampled toward
+    uniform, applied via the deterministic md5 bucket. Reports per
+    language the incoming size, the kept sample, and the applied cut —
+    the audit a data-mix owner reads before launching a run.
+
+    Same scale shape as corpus_mix_sample: selection is shuffle-free
+    inside the scan; one aggregate on the audit key."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    cut = None
+    for lang, c in TEMP_CUTS.items():
+        cond = F.col("lang") == lang
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    cut = cut.otherwise(F.lit(0))
+    return docs.select(
+        "lang", bucket.alias("bucket"), cut.alias("cut"), "n_chars"
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum((F.col("bucket") < F.col("cut")).cast("bigint")).alias("n_kept"),
+        F.max("cut").alias("rate_cut"),
+        F.sum(
+            F.when(F.col("bucket") < F.col("cut"), F.col("n_chars")).otherwise(0)
+        ).cast("bigint").alias("chars_kept"),
+    )
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "corpus_mix_sample": corpus_mix_sample,
+    "corpus_temperature_mix": corpus_temperature_mix,
     "decontaminate_ngram": decontaminate_ngram,
     "pipeline_funnel": pipeline_funnel,
 }
@@ -287,3 +335,19 @@ ORACLE = {
         GROUP BY lang, source
     """,
 }
+
+_TEMP_CUT = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {cut}" for lang, cut in TEMP_CUTS.items()
+) + " ELSE 0 END"
+
+ORACLE["corpus_temperature_mix"] = f"""
+    SELECT lang,
+           count(*) AS n_docs_in,
+           CAST(sum(CASE WHEN {_BUCKET} < {_TEMP_CUT} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           max({_TEMP_CUT}) AS rate_cut,
+           CAST(sum(CASE WHEN {_BUCKET} < {_TEMP_CUT} THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_kept
+    FROM documents
+    GROUP BY lang
+"""

@@ -89,6 +89,18 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same sorted order and absent terms contribute an exact 0.0
     (guarded, so a df=0 term can never inject Inf·0 = NaN)."""
     docs = load_table(spark, sf_dir, "documents")
+    folded = _bm25_scored(spark, sf_dir)
+    return (
+        folded.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(TOP_K_DOCS)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_score, n_terms_hit) for every document matching
+    ≥1 query term — the shared scoring core of search_bm25_topk and
+    hybrid_search_rrf."""
     toks = _doc_tokens(spark, sf_dir)
     terms = sorted(BM25_TERMS)
     per_doc = toks.groupBy("doc_id").agg(
@@ -132,11 +144,61 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("bm25_score"),
         n_hit.alias("n_terms_hit"),
     ).filter(F.col("n_terms_hit") >= 1)
-    return (
-        folded.join(docs.select("doc_id", "source"), "doc_id")
+    return folded
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical top-20 with the
+    cosine-embedding top-20 (query = vector 0) by reciprocal-rank
+    fusion — score(d) = Σ_lists 1/(60 + rank_d). The standard way a
+    RAG stack merges keyword and vector hits without score
+    calibration; ranks are integers, so the fused score is the same
+    IEEE double on every engine.
+
+    Scale: each list is produced with orderBy().limit(k) — Spark's
+    TakeOrdered, a per-partition top-k + driver merge of k·P rows,
+    never a global sort — and the rank window then runs on ≤k rows.
+    The fusion join is a 20×20-row full outer join."""
+    from pyspark.sql import Window
+
+    from .similarity import _dot, _emb, _with_norm
+
+    text_top = (
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(TOP_K_DOCS)
     )
+    wt = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    tr = text_top.select(
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wt).cast("bigint").alias("text_rank"),
+    )
+    emb = _with_norm(_emb(spark, sf_dir))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .withColumn(
+            "c",
+            _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")),
+        )
+    )
+    vec_top = scored.orderBy(F.desc("c"), F.asc("vec_id")).limit(TOP_K_DOCS)
+    wv = Window.orderBy(F.desc("c"), F.asc("vec_id"))
+    vr = vec_top.select(
+        F.col("vec_id").alias("item_id"),
+        F.row_number().over(wv).cast("bigint").alias("vec_rank"),
+    )
+    fused = tr.join(vr, "item_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("text_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    return fused.select("item_id", "text_rank", "vec_rank", rrf.alias("rrf_score"))
 
 
 def search_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,3 +485,43 @@ ORACLE = {
         GROUP BY token, exact_count
     """,
 }
+
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+
+from .similarity import _DOT as _VDOT  # noqa: E402
+from .similarity import _EMB_D as _VEMB  # noqa: E402
+from .similarity import _NORM as _VNORM  # noqa: E402
+
+ORACLE["hybrid_search_rrf"] = f"""
+    WITH bm AS ( {ORACLE['search_bm25_topk']} ),
+    bmr AS (
+        SELECT doc_id AS item_id,
+               CAST(row_number() OVER (
+                   ORDER BY bm25_score DESC, doc_id ASC) AS BIGINT)
+                   AS text_rank
+        FROM bm
+    ),
+    e AS (SELECT vec_id, {_VEMB} AS emb FROM embeddings),
+    en AS (SELECT vec_id, emb, {_VNORM.format(a='emb')} AS norm FROM e),
+    qv AS (SELECT emb AS q_emb, norm AS q_norm FROM en WHERE vec_id = 0),
+    vs AS (
+        SELECT en.vec_id,
+               {_VDOT.format(a='en.emb', b='q_emb')} / (en.norm * q_norm) AS c
+        FROM en, qv WHERE en.vec_id <> 0
+    ),
+    vtop AS (SELECT vec_id, c FROM vs ORDER BY c DESC, vec_id ASC LIMIT {TOP_K_DOCS}),
+    vr AS (
+        SELECT vec_id AS item_id,
+               CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT)
+                   AS vec_rank
+        FROM vtop
+    )
+    SELECT coalesce(b.item_id, v.item_id) AS item_id,
+           b.text_rank, v.vec_rank,
+           coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + b.text_rank),
+                    CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank),
+                      CAST(0 AS DOUBLE)) AS rrf_score
+    FROM bmr b FULL OUTER JOIN vr v ON b.item_id = v.item_id
+"""

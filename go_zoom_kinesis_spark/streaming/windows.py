@@ -112,6 +112,7 @@ def click_view_attribution(
     clicks: DataFrame,
     streaming: bool = True,
     watermark: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join — the Structured Streaming
     operator class the rest of the streaming layer doesn't exercise:
@@ -125,6 +126,13 @@ def click_view_attribution(
     (user_id) keeps the exchange hash-partitioned; at 100 TB the
     per-key buffered window is (user activity × 30 min), independent
     of stream length.
+
+    ``join_type="left_outer"`` adds the never-clicked views: Spark
+    holds an unmatched view in state until the watermark passes its
+    attribution horizon, THEN emits it null-padded — so outer results
+    trail the watermark rather than the data, and a stalled stream
+    delays them (`tests/test_streaming_windows.py` pins the flush
+    against a staged watermark advance).
     """
     v = views.select(
         F.col("user_id").alias("v_user"),
@@ -144,8 +152,12 @@ def click_view_attribution(
         & (F.col("c_ts") >= F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
     )
-    return v.join(c, cond, "inner").select(
-        F.col("c_user").alias("user_id"), "click_id", "view_id", "c_ts", "v_ts"
+    return v.join(c, cond, join_type).select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "click_id",
+        "view_id",
+        "c_ts",
+        "v_ts",
     )
 
 

@@ -210,3 +210,91 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path, events_batch, ev
     assert _rows(spark, got) == _rows(spark, batch)
     # every stream row survives the left enrichment
     assert got.count() == events_batch.count()
+
+
+def test_stream_stream_left_outer_flushes_on_watermark(spark, tmp_path, events_batch):
+    """Left-outer stream-stream join: unmatched views must emit
+    null-padded ONLY after the watermark passes their attribution
+    horizon. A staged two-file source (early data, then a far-future
+    watermark-pusher pair) forces a second microbatch whose watermark
+    advance flushes every early unmatched view; the streamed result
+    must then equal the batch left-outer join over the early data."""
+    from pyspark.sql import types as T
+
+    from go_zoom_kinesis_spark.streaming.windows import click_view_attribution
+
+    early = events_batch.filter(
+        F.col("event_type").isin("view", "click")
+    ).select("event_id", "ts", "user_id", "event_type")
+    src = str(tmp_path / "staged_src")
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    # stage 2: one far-future view + click for a user that matches
+    # nothing (-1) — advances BOTH branches' watermarks past every
+    # early horizon without joining anything
+    far = events_batch.agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    ).collect()[0]["ts"]
+    pusher = spark.createDataFrame(
+        [(10_000_001, far, -1, "view"), (10_000_002, far, -1, "click")],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        ),
+    )
+    pusher.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    joined = click_view_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        join_type="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_louter_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_louter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ss_louter_t").filter(F.col("user_id") >= 0)
+
+    batch = click_view_attribution(
+        early.filter(F.col("event_type") == "view"),
+        early.filter(F.col("event_type") == "click"),
+        streaming=False,
+        join_type="left_outer",
+    )
+    # repr-sort: null-padded rows contain None, which plain tuple
+    # ordering cannot compare
+    def rows_n(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    assert rows_n(got) == rows_n(batch)
+    n_null = got.filter(F.col("click_id").isNull()).count()
+    assert n_null > 0, "expected unmatched views to flush null-padded"
+
+
+def test_stream_stream_inner_unchanged_by_outer_param(spark, sf_dir):
+    """Regression guard: the default join_type stays inner and emits
+    no null-padded rows."""
+    from go_zoom_kinesis_spark.streaming.windows import click_view_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = click_view_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        streaming=False,
+    )
+    assert out.filter(F.col("click_id").isNull()).count() == 0
+    assert out.count() > 0

@@ -775,3 +775,44 @@ def test_monitoring_rate_limit_drops_and_recovers():
     agg.emit("s", M.RECORD_SUCCESS, count=1)
     assert len(agg.events) == 6
     assert agg.metrics("s").records_processed == 6
+
+
+def test_idempotent_sink_exactly_once_under_replay(spark, tmp_path, sf_dir):
+    """Exactly-once file output from an at-least-once stream: after a
+    full checkpoint wipe (worst-case replay — every batch re-fires with
+    its original batch_id), the sink directory must contain each input
+    record exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from go_zoom_kinesis_spark.io import load_table
+    from go_zoom_kinesis_spark.streaming.sinks import start_idempotent_stream
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = str(tmp_path / "sink_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "sink_out")
+    ck = str(tmp_path / "sink_ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_idempotent_stream(stream, out, ck)
+        q.awaitTermination(120)
+
+    run()
+    n_expected = events.count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_expected
+
+    # wipe the checkpoint: the restarted query replays EVERY batch
+    shutil.rmtree(ck)
+    run()
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n_expected, "replay must not duplicate rows"
+    assert replayed.select(F.countDistinct("event_id")).collect()[0][0] == n_expected

@@ -334,3 +334,97 @@ ORACLE = {
         FROM bytes_
     """,
 }
+
+
+# --- perceptual-hash-style binary dedup ---------------------------------
+
+PHASH_BLOCKS = 16
+
+
+def phash_bytes(payload: bytes) -> int:
+    """Deterministic perceptual-hash stand-in over an opaque payload:
+    split into 16 contiguous blocks, bit j = (block-sum_j > mean) via
+    the integer-exact comparison 16·b_j > total. A real pHash swaps
+    this for DCT-of-decoded-pixels inside the same mapInPandas batch;
+    the clustering semantics downstream are identical."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    if arr.size == 0:
+        return 0
+    blk = -(-arr.size // PHASH_BLOCKS)  # ceil
+    pad = blk * PHASH_BLOCKS - arr.size
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
+    sums = arr.reshape(PHASH_BLOCKS, blk).sum(axis=1)
+    total = int(sums.sum())
+    bits = (PHASH_BLOCKS * sums) > total
+    return int((bits << np.arange(PHASH_BLOCKS)).sum())
+
+
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering of binary payloads by perceptual-hash-style
+    block signature — the media twin of dedup_simhash: identical
+    signatures form a cluster with a canonical representative. The
+    signature runs batch-wise in mapInPandas (bytes never leave the
+    executors); the rollup is one small keyed aggregate."""
+    from collections.abc import Iterator as _It
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = with_payload(docs).select("doc_id", "payload")
+
+    def sig(batches: _It) -> _It:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(phash_bytes).astype("int64"),
+                }
+            )
+
+    hashed = src.mapInPandas(sig, schema="doc_id bigint, phash bigint")
+    return hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
+QUERIES["multimodal_phash_clusters"] = multimodal_phash_clusters
+
+# ASCII-payload equivalence (guarded by the corpus ASCII test): byte i
+# of the utf-8 payload is ascii(substring(text, i, 1)), so the oracle
+# restates the block-sum signature in pure SQL.
+_PH_N = "length(text)"
+_PH_BLK = f"(({_PH_N} + {PHASH_BLOCKS - 1}) // {PHASH_BLOCKS})"
+_PH_BSUM = (
+    "list_sum(list_transform(generate_series("
+    f"CAST(j * {_PH_BLK} + 1 AS BIGINT), "
+    f"CAST(least((j + 1) * {_PH_BLK}, {_PH_N}) AS BIGINT)), "
+    "i -> ascii(substring(text, CAST(i AS INT), 1))))"
+)
+
+ORACLE["multimodal_phash_clusters"] = f"""
+    WITH blocks AS (
+        SELECT doc_id, j,
+               coalesce({_PH_BSUM}, 0) AS bsum
+        FROM documents, (SELECT unnest(generate_series(0, {PHASH_BLOCKS - 1})) AS j)
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS total FROM blocks GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN {PHASH_BLOCKS} * b.bsum > t.total
+                             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                   AS phash
+        FROM blocks b JOIN tot t USING (doc_id)
+        GROUP BY b.doc_id
+    )
+    SELECT phash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_members
+    FROM sigs
+    GROUP BY phash
+"""

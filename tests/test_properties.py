@@ -233,3 +233,70 @@ def test_fsum_scalar_reference_exact(vals):
     got = high + low / 1000000.0
     want = float(sum(vals))
     assert abs(got - want) < 5e-7, (vals, got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_zorder_interleave_is_bijective(pairs):
+    """The Morton interleave used by zorder_cluster_audit must be a
+    bijection on 8-bit pairs — deinterleaving the code recovers both
+    coordinates, so range-bucketing the code can never merge distinct
+    (x, y) cells."""
+
+    def z(x, y):
+        out = 0
+        for i in range(8):
+            out += ((x >> i) & 1) << (2 * i)
+            out += ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    def unz(code):
+        x = sum(((code >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((code >> (2 * i + 1)) & 1) << i for i in range(8))
+        return x, y
+
+    for x, y in pairs:
+        assert unz(z(x, y)) == (x, y)
+        assert 0 <= z(x, y) < 1 << 16
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_phash_zero_pad_invariant(payload):
+    """phash_bytes pads the tail block with zero bytes internally, so
+    explicitly appending that same zero padding must not change the
+    signature (the property that makes the SQL oracle's short final
+    block equivalent to numpy's padded reshape)."""
+    from go_zoom_kinesis_spark.operators.multimodal import (
+        PHASH_BLOCKS,
+        phash_bytes,
+    )
+
+    h = phash_bytes(payload)
+    assert 0 <= h < 1 << PHASH_BLOCKS
+    n = len(payload)
+    if n:
+        blk = -(-n // PHASH_BLOCKS)
+        padded = payload + b"\x00" * (blk * PHASH_BLOCKS - n)
+        assert phash_bytes(padded) == h
+
+
+def test_rrf_scores_bounded_and_monotone():
+    """Reciprocal-rank fusion invariants: a doc in both lists at rank 1
+    gets the maximum 2/(k+1); scores strictly decrease with rank."""
+    from go_zoom_kinesis_spark.operators.search import RRF_K
+
+    def rrf(tr, vr):
+        return (1.0 / (RRF_K + tr) if tr else 0.0) + (
+            1.0 / (RRF_K + vr) if vr else 0.0
+        )
+
+    assert rrf(1, 1) == 2.0 / (RRF_K + 1)
+    assert rrf(1, None) > rrf(2, None) > rrf(20, None) > 0.0
+    assert rrf(1, 1) > rrf(1, None)

@@ -59,6 +59,8 @@ from typing import Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .retry import ShutdownRequested
+
 from . import monitoring as M
 from .backoff import ExponentialBackoff
 from .checkpoint import CheckpointStore, pad_seq
@@ -316,6 +318,14 @@ class StreamProcessor:
                     )
                     break
                 n_soft_retries += n_soft
+                # graceful shutdown with pending records (P6,
+                # src/tests/test_suite.rs test_graceful_shutdown_with_
+                # pending_records): abort BEFORE the next retry pass —
+                # the batch fails un-checkpointed, so the stream
+                # redelivers every pending record on restart
+                # (at-least-once preserved, nothing half-committed)
+                if self.shutdown.is_set():
+                    raise ShutdownRequested()
                 # retry only the soft subset with attempt+1
                 # (src/processor.rs:1506-1510: attempt increments, same record)
                 attempt += 1

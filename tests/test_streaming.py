@@ -816,3 +816,57 @@ def test_idempotent_sink_exactly_once_under_replay(spark, tmp_path, sf_dir):
     replayed = spark.read.parquet(out)
     assert replayed.count() == n_expected, "replay must not duplicate rows"
     assert replayed.select(F.countDistinct("event_id")).collect()[0][0] == n_expected
+
+
+def test_graceful_shutdown_pending_records_redeliver(spark, tmp_path, records):
+    """Graceful shutdown with pending records (↔ test_suite.rs
+    test_graceful_shutdown_with_pending_records): a shutdown that fires
+    during the soft-retry backoff must abort the batch BEFORE the next
+    pass — no checkpoint is written, so a restarted processor over the
+    same store redelivers and completes the full batch (at-least-once,
+    nothing lost, nothing half-committed)."""
+    store = InMemoryCheckpointStore()
+    small = records.limit(40)
+
+    def slow_soft(df):
+        # soft for two passes: the batch still has pending records
+        # when the shutdown lands during the first backoff sleep
+        return df.withColumn(
+            "outcome",
+            F.when(
+                (F.col("sequence_number") % 5 == 0) & (F.col("attempt") < 2),
+                F.lit("soft"),
+            ).otherwise(F.lit("success")),
+        )
+
+    def build(interrupt):
+        cfg = ProcessorConfig(
+            checkpoint_location=str(tmp_path / "ck_shut"),
+            max_attempts=5,
+            backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+        )
+        sunk: list = []
+        proc = StreamProcessor(
+            spark, slow_soft, store, cfg,
+            sink=lambda df, e: sunk.extend(df.collect()),
+            sleep=lambda s: None,
+        )
+        if interrupt:
+            proc._sleep = lambda s: proc.shutdown.set()
+        return proc, sunk
+
+    proc, sunk = build(interrupt=True)
+    with pytest.raises(ShutdownRequested):
+        proc.run_batch(small)
+    # aborted batch: nothing sunk, no checkpoint committed
+    for s in range(N_SHARDS):
+        assert store.get_checkpoint(str(s)) is None
+    assert sunk == []
+
+    # restart: fresh processor, same store — the redelivered batch
+    # completes exactly as if the shutdown never happened
+    proc2, sunk2 = build(interrupt=False)
+    proc2.run_batch(small)
+    assert len(sunk2) == small.count()
+    seqs = [r["sequence_number"] for r in sunk2]
+    assert len(seqs) == len(set(seqs))

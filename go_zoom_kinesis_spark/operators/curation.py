@@ -288,7 +288,10 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan with map-side partial aggregation; a real classifier
     swaps the scoring expression for an Arrow-batched pandas UDF with
     the same group-by tail."""
-    docs = _docs(spark, sf_dir)
+    # empty documents would divide by zero — and Spark (NULL) and
+    # DuckDB (inf) disagree on double x/0, so exclude them explicitly
+    # in BOTH engines rather than depend on the corpus never shipping one
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
@@ -343,6 +346,7 @@ ORACLE = {
                        * least(len({_TOKS}), {_WORD_CAP})
                    - CAST({_W_BIAS} AS DOUBLE) AS z
             FROM documents
+            WHERE length(text) > 0
         )
         SELECT lang,
                greatest(least(CAST(floor(z * CAST(4.0 AS DOUBLE)) AS BIGINT),

@@ -91,6 +91,7 @@ HEADLINE_R4 = [
     "window_median_orders",
     "interval_concurrency_peak",
     "latency_percentile_rollup",
+    "similarity_containment_join",
 ]
 
 

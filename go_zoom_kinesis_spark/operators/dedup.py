@@ -308,8 +308,78 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types, estimated from
+    16-permutation minhash signatures of each type's user-id SET, with
+    the exact Jaccard alongside as the accuracy audit (same
+    sketch-vs-truth pattern as ``countmin_heavy_hitters``).
+
+    Why sketches: each signature component is a ``min`` over an affine
+    hash of ``user_id`` — associative + commutative, so it partially
+    aggregates map-side and merges across partitions, days, or
+    incremental loads. Comparing k audiences costs O(k² · 16) on
+    O(k · 16) longs of state, independent of user count. The exact
+    intersection (one self-equi-join on ``user_id`` over the distinct
+    pairs) is what you DROP at 100 TB; the estimate column is what
+    survives, and this query shows the two against each other.
+
+    Affine family (a·uid + b) mod P from ``functions/hashes.py`` —
+    products stay < 2^63 for any realistic uid (a < 2^25, uid < 2^38).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sigs = du.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        *[
+            F.min((F.col("user_id") * H.A[i] + H.B[i]) % H.P).alias(f"mh{i}")
+            for i in range(H.NUM_HASHES)
+        ],
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    )
+    matches = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(H.NUM_HASHES)
+    )
+    x, y = du.alias("x"), du.alias("y")
+    inter = (
+        x.join(y, "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    joined = pairs.join(
+        inter,
+        (F.col("a.event_type") == F.col("ta"))
+        & (F.col("b.event_type") == F.col("tb")),
+        "left",
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    return joined.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n_users").alias("n_a"),
+        F.col("b.n_users").alias("n_b"),
+        n_common.alias("n_common"),
+        (
+            n_common.cast("double")
+            / (F.col("a.n_users") + F.col("b.n_users") - n_common)
+        ).alias("jaccard_exact"),
+        matches.cast("long").alias("sketch_matches"),
+        (matches.cast("double") / F.lit(float(H.NUM_HASHES))).alias(
+            "jaccard_est"
+        ),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "minhash_user_overlap": minhash_user_overlap,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -351,7 +421,42 @@ _JACCARD_SQL = (
     "len(list_distinct(list_concat(x.hs, y.hs)))"
 )
 
+_UID_MH_COLS = ",\n               ".join(
+    f"min({H.affine_sql('user_id', i)}) AS mh{i}" for i in range(H.NUM_HASHES)
+)
+_UID_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(H.NUM_HASHES)
+)
+
 ORACLE = {
+    "minhash_user_overlap": f"""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        sigs AS (
+            SELECT event_type, count(*) AS n_users,
+               {_UID_MH_COLS}
+            FROM du GROUP BY event_type
+        ),
+        inter AS (
+            SELECT x.event_type AS ta, y.event_type AS tb,
+                   count(*) AS n_common
+            FROM du x JOIN du y USING (user_id)
+            WHERE x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n_users AS n_a, b.n_users AS n_b,
+               coalesce(i.n_common, 0) AS n_common,
+               coalesce(i.n_common, 0)::DOUBLE
+                   / (a.n_users + b.n_users - coalesce(i.n_common, 0))
+                   AS jaccard_exact,
+               CAST({_UID_MATCHES} AS BIGINT) AS sketch_matches,
+               ({_UID_MATCHES})::DOUBLE / {float(H.NUM_HASHES)}
+                   AS jaccard_est
+        FROM sigs a JOIN sigs b ON a.event_type < b.event_type
+        LEFT JOIN inter i
+          ON i.ta = a.event_type AND i.tb = b.event_type
+    """,
     "dedup_exact": """
         SELECT sha256(text) AS text_sha,
                min(doc_id) AS canonical_id,

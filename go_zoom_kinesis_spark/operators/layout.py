@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashes as H
 from ..functions.fixedpoint import fsum, fsum_sql
 from ..io import load_table
 
@@ -146,9 +147,88 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target compaction-bin size in bytes. At sf0.01 each source holds
+# ~25 docs × ~300 B ≈ 7.5 kB → ~4 bins/source; on a real lake this is
+# 128 MB–1 GB. The planner's shape is size-independent.
+_COMPACT_TARGET = 2_000
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (Delta/Iceberg ``OPTIMIZE``
+    analog): greedily bin-pack each source-partition's files into
+    target-sized rewrite groups, preserving file order.
+
+    ``documents`` stands in for the file listing (one row per file,
+    ``n_chars`` = file bytes, ``source`` = table partition). The rule
+    is the deterministic first-fit on running offsets: a file joins
+    bin ``floor(start_offset / target)`` where ``start_offset`` is the
+    exclusive prefix sum of bytes within its partition. One window
+    cumsum per partition (single shuffle on ``source``) + one grouped
+    rollup — the plan is O(files) with no pairwise packing search,
+    which is what makes it runnable over a 100 TB table's million-file
+    manifest. Each output row is one rewrite task: contiguous file
+    span, file count, and total bytes (bounded by target + one file).
+    """
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    )
+    return (
+        offs.withColumn(
+            "bin_id", F.floor(F.col("start_off") / F.lit(_COMPACT_TARGET))
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def integrity_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition content checksums for replication / migration
+    verification: row count, byte total, and an order-independent
+    ``bit_xor`` fold of each row's content hash.
+
+    XOR is the right reducer at scale: commutative + associative (any
+    partitioning and merge order gives the same bits — partial
+    aggregation works), overflow-free at any row count (unlike a sum),
+    and mergeable across incremental runs. Two replicas of a 100 TB
+    table compare as one scan each + an O(partitions) exchange of
+    64-bit digests. The row hash is the engine's portable char-fold
+    (``functions/hashes.py``) so the DuckDB oracle states the
+    identical computation end-to-end.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = H.char_hash_col(F.col("text"))
+    return (
+        docs.select("source", "n_chars", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("bytes_total"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )
+
+
 QUERIES = {
     "bloom_prune_revenue": bloom_prune_revenue,
     "zorder_cluster_audit": zorder_cluster_audit,
+    "compaction_plan": compaction_plan,
+    "integrity_checksum_audit": integrity_checksum_audit,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -162,6 +242,32 @@ ORACLE = {
         JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000.0 AND o_orderpriority = '1-URGENT'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "compaction_plan": f"""
+        WITH offs AS (
+            SELECT source, doc_id, n_chars,
+                   sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_chars AS start_off
+            FROM documents
+        )
+        SELECT source,
+               CAST(floor(start_off / {_COMPACT_TARGET}.0) AS BIGINT) AS bin_id,
+               count(*) AS n_files,
+               CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM offs
+        GROUP BY source, bin_id
+    """,
+    "integrity_checksum_audit": f"""
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+               bit_xor({H.CHAR_HASH_SQL.format(s='text')}) AS checksum
+        FROM documents
+        GROUP BY source
     """,
     "zorder_cluster_audit": f"""
         WITH coded AS (

@@ -507,7 +507,49 @@ def window_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize
+    ``p_retailprice``, maximize ``p_size``. A part is dominated when
+    some other part is no more expensive AND no smaller, with at least
+    one strict inequality; the skyline is every undominated part.
+
+    Spark-first shape — NO O(n²) dominance self-join. For 2-D skylines
+    the frontier is a prefix-max: collapse to one row per distinct
+    price (max size at that price), take the running max of size over
+    strictly-cheaper prices with a rows-frame window, and a part
+    survives iff it carries its price's max size and beats the prefix
+    max. The window runs over DISTINCT prices only (2 narrow columns;
+    ~100k rows even at TPC-H SF100), and the frontier map broadcasts
+    back onto the base table — one aggregate shuffle + one broadcast
+    join, no cartesian anywhere. At larger key domains the prefix-max
+    becomes the classic two-pass range-partition + partial-max merge
+    (same pattern as a distributed global sort), still no self-join.
+
+    Ties on BOTH dimensions are all kept (neither strictly dominates),
+    which the max-size-at-price equality preserves.
+    """
+    from pyspark.sql import Window as W
+
+    part = _t(spark, sf_dir, "part")
+    per_price = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("mx_at_price")
+    )
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    frontier = per_price.withColumn("prev_mx", F.max("mx_at_price").over(w))
+    return (
+        part.join(
+            F.broadcast(frontier), part.p_retailprice == frontier.price
+        )
+        .filter(
+            (F.col("p_size") == F.col("mx_at_price"))
+            & (F.col("prev_mx").isNull() | (F.col("p_size") > F.col("prev_mx")))
+        )
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )
+
+
 QUERIES = {
+    "skyline_parts_2d": skyline_parts_2d,
     "window_median_orders": window_median_orders,
     "join_full_outer_nations": join_full_outer_nations,
     "hll_sketch_rollup": hll_sketch_rollup,
@@ -526,6 +568,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "skyline_parts_2d": """
+        WITH per_price AS (
+            SELECT p_retailprice AS price, max(p_size) AS mx_at_price
+            FROM part GROUP BY p_retailprice
+        ),
+        frontier AS (
+            SELECT price, mx_at_price,
+                   max(mx_at_price) OVER (
+                       ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_mx
+            FROM per_price
+        )
+        SELECT p_partkey, p_brand, p_retailprice, p_size
+        FROM part JOIN frontier ON p_retailprice = frontier.price
+        WHERE p_size = mx_at_price
+          AND (prev_mx IS NULL OR p_size > prev_mx)
+    """,
     "window_median_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                quantile_cont(o_totalprice, 0.5) OVER (

@@ -223,3 +223,43 @@ def test_zorder_audit_single_pass(spark, sf_dir):
     schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "l_partkey" in schema and "l_suppkey" in schema
     assert "l_extendedprice" not in schema
+
+
+def test_skyline_no_dominance_self_join(spark, sf_dir):
+    """The 2-D skyline must be the prefix-max shape — a broadcast of
+    the O(distinct prices) frontier back onto part — never an O(n²)
+    dominance self-join (cartesian / unconditioned nested loop)."""
+    plan = _plan(spark, sf_dir, "skyline_parts_2d")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_compaction_plan_single_partition_shuffle(spark, sf_dir):
+    """The compaction planner is one window pass partitioned by source
+    + one grouped rollup: every keyed exchange hashes on source (the
+    rollup reuses the window's partitioning clustering), and there is
+    no join at all."""
+    plan = _plan(spark, sf_dir, "compaction_plan")
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "source" in line, line.strip()
+
+
+def test_integrity_checksum_partial_agg(spark, sf_dir):
+    """bit_xor checksums must partially aggregate map-side (mergeable
+    digests are the point): expect a partial/final HashAggregate pair
+    around a single source-keyed exchange, no join."""
+    plan = _plan(spark, sf_dir, "integrity_checksum_audit")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_minhash_overlap_sketch_joins_broadcast(spark, sf_dir):
+    """Signature comparison is a broadcast of the O(|types|) sketch
+    rows; only the exact-audit self-join shuffles on user_id. No
+    cartesian plans."""
+    plan = _plan(spark, sf_dir, "minhash_user_overlap")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

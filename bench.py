@@ -92,6 +92,10 @@ HEADLINE_R4 = [
     "interval_concurrency_peak",
     "latency_percentile_rollup",
     "similarity_containment_join",
+    "skyline_parts_2d",
+    "compaction_plan",
+    "integrity_checksum_audit",
+    "minhash_user_overlap",
 ]
 
 

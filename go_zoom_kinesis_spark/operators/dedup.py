@@ -377,9 +377,62 @@ def minhash_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-root resolution by parent-pointer chasing, written on
+    Spark 4's recursive-CTE surface (``WITH RECURSIVE``): every doc's
+    duplicate-of pointer is its SMALLEST directly-verified near-dup
+    (min doc_a over the ≥0.5-Jaccard pairs where it is doc_b); roots
+    have no pointer. Each doc then follows pointers to its terminal
+    root and reports the chain length.
+
+    This is the pointer-chase a dedup pipeline runs after pair
+    verification — distinct from ``dedup_components`` (full connected
+    components via label propagation): the chain rule only walks
+    DIRECT-duplicate links, so a hub that bridges two docs without
+    being similar to their union does not merge them.
+
+    Termination is structural, not a guard: the pointer graph is a
+    function graph on strictly-decreasing ids (parent < child), so
+    recursion depth = longest duplicate chain and UNION ALL recursion
+    (the only mode Spark supports) cannot revisit a state. At corpus
+    scale raise ``spark.sql.cteRecursionLevelLimit`` (default 100)
+    above the expected max chain; each iteration is one equi-join of
+    the frontier against the broadcast-sized parent map.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    parent = pairs.groupBy(F.col("doc_b").alias("child")).agg(
+        F.min("doc_a").alias("parent")
+    )
+    # Materialize the parent map BEFORE the recursion: every recursive
+    # step joins the frontier against this view, and an unmaterialized
+    # view would re-run the whole minhash pipeline once per iteration.
+    # cache()+count pins it (O(near-dup docs) rows — KB at any corpus
+    # size); on a real cluster checkpoint() also cuts the lineage.
+    parent = parent.cache()
+    parent.count()
+    parent.createOrReplaceTempView("gzk_dup_parent")
+    _docs(spark, sf_dir).select("doc_id").createOrReplaceTempView(
+        "gzk_dup_docs"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(doc_id, cur, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM gzk_dup_docs
+            UNION ALL
+            SELECT c.doc_id, p.parent, c.depth + 1
+            FROM chain c JOIN gzk_dup_parent p ON p.child = c.cur
+        )
+        SELECT c.doc_id, c.cur AS root_id, c.depth AS chain_len
+        FROM chain c LEFT JOIN gzk_dup_parent p ON p.child = c.cur
+        WHERE p.child IS NULL
+        """
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_user_overlap": minhash_user_overlap,
+    "dedup_canonical_chain": dedup_canonical_chain,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -430,6 +483,41 @@ _UID_MATCHES = " + ".join(
 )
 
 ORACLE = {
+    "dedup_canonical_chain": f"""
+        WITH RECURSIVE pairs AS (
+            {_SH_CTES},
+            sig AS (
+                SELECT doc_id, {_MH_COLS}
+                FROM shd WHERE len(hs) > 0
+            ),
+            bands AS ({_BAND_SELECTS}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b, {_JACCARD_SQL} AS j
+                FROM cand
+                JOIN shd x ON x.doc_id = doc_a
+                JOIN shd y ON y.doc_id = doc_b
+            ) WHERE j >= {JACCARD_THRESHOLD}
+        ),
+        parent AS (
+            SELECT doc_b AS child, min(doc_a) AS parent
+            FROM pairs GROUP BY doc_b
+        ),
+        chain(doc_id, cur, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            UNION ALL
+            SELECT c.doc_id, p.parent, c.depth + 1
+            FROM chain c JOIN parent p ON p.child = c.cur
+        )
+        SELECT c.doc_id, c.cur AS root_id, c.depth AS chain_len
+        FROM chain c LEFT JOIN parent p ON p.child = c.cur
+        WHERE p.child IS NULL
+    """,
     "minhash_user_overlap": f"""
         WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         sigs AS (

@@ -432,7 +432,71 @@ def latency_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search between event-type activity
+    profiles: build each type's 24-point hour-of-day value profile
+    (decimal-exact sums → one double division), then Pearson-correlate
+    every type pair across the shared hours — which signals move
+    together, the EDBT'19-style similarity query over aligned series.
+
+    Determinism: the correlation is stated from explicit component
+    sums (Σx, Σy, Σxy, Σx², Σy², n) rather than either engine's
+    built-in ``corr`` (whose one-pass update orders differ); both
+    engines then evaluate the identical closed form, and the 6-dp
+    canonicalizer absorbs the sub-ulp association slack of summing 24
+    doubles.
+
+    Scale: the profile is one hash-aggregate on (type, hour-of-day) —
+    24·|types| rows of state regardless of event count; the pair join
+    is on hour over that tiny relation (broadcast). With thousands of
+    series the pair stage switches to sketch-prefiltered candidates
+    (SCALE.md); the profile stage is unchanged.
+    """
+    ev = _events(spark, sf_dir)
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias(
+            "avg_v"
+        )
+    )
+    a = prof.select(
+        F.col("event_type").alias("type_a"),
+        "hod",
+        F.col("avg_v").alias("x"),
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"),
+        "hod",
+        F.col("avg_v").alias("y"),
+    )
+    joined = a.join(F.broadcast(b), "hod").filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    agg = joined.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_hours")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        (num / den).alias("pearson_r"),
+    )
+
+
 QUERIES = {
+    "ts_profile_correlation": ts_profile_correlation,
     "interval_concurrency_peak": interval_concurrency_peak,
     "latency_percentile_rollup": latency_percentile_rollup,
     "window_time_range_sum": window_time_range_sum,
@@ -448,6 +512,31 @@ QUERIES = {
 
 
 ORACLE = {
+    "ts_profile_correlation": """
+        WITH prof AS (
+            SELECT event_type, hour(ts) AS hod,
+                   (sum(CAST(value AS DECIMAL(25,6)))::DOUBLE / count(*))
+                       AS avg_v
+            FROM events GROUP BY event_type, hour(ts)
+        ),
+        j AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.avg_v AS x, b.avg_v AS y
+            FROM prof a JOIN prof b
+              ON a.hod = b.hod AND a.event_type < b.event_type
+        ),
+        agg AS (
+            SELECT type_a, type_b, count(*) AS n_hours,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM j GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b, n_hours,
+               (n_hours * sxy - sx * sy)
+                   / sqrt((n_hours * sxx - sx * sx)
+                          * (n_hours * syy - sy * sy)) AS pearson_r
+        FROM agg
+    """,
     "interval_concurrency_peak": f"""
         WITH deltas AS (
             SELECT event_type, ts AS t, 1 AS delta, event_id FROM events

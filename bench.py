@@ -96,6 +96,8 @@ HEADLINE_R4 = [
     "compaction_plan",
     "integrity_checksum_audit",
     "minhash_user_overlap",
+    "dedup_canonical_chain",
+    "ts_profile_correlation",
 ]
 
 

@@ -121,12 +121,14 @@ def main() -> None:
             continue
         df = fn(spark, SF_DIR)
         # warm-up run amortizes codegen/JIT + file-footer reads; the
-        # measurement is the best of two timed runs — this host runs
+        # measurement is the best of three timed runs — this host runs
         # other tenants, and min-of-N is the standard estimator for
-        # steady-state latency under external contention
+        # steady-state latency under external contention (a GC pause
+        # can span two consecutive runs; three keeps sub-second
+        # queries from reporting a transient as a regression)
         df.write.format("noop").mode("overwrite").save()
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = min(dt, round(time.perf_counter() - t0, 3))

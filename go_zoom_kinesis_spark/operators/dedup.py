@@ -21,6 +21,8 @@ the oracle SQL so results stay bit-identical).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -410,20 +412,23 @@ def dedup_canonical_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size); on a real cluster checkpoint() also cuts the lineage.
     parent = parent.cache()
     parent.count()
-    parent.createOrReplaceTempView("gzk_dup_parent")
-    _docs(spark, sf_dir).select("doc_id").createOrReplaceTempView(
-        "gzk_dup_docs"
-    )
+    # WITH RECURSIVE is SQL-only, so the inputs go through temp views;
+    # unique names keep concurrent invocations on a shared session from
+    # clobbering each other's bindings mid-plan
+    tag = uuid.uuid4().hex[:12]
+    pview, dview = f"gzk_dup_parent_{tag}", f"gzk_dup_docs_{tag}"
+    parent.createOrReplaceTempView(pview)
+    _docs(spark, sf_dir).select("doc_id").createOrReplaceTempView(dview)
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE chain(doc_id, cur, depth) AS (
-            SELECT doc_id, doc_id, 0 FROM gzk_dup_docs
+            SELECT doc_id, doc_id, 0 FROM {dview}
             UNION ALL
             SELECT c.doc_id, p.parent, c.depth + 1
-            FROM chain c JOIN gzk_dup_parent p ON p.child = c.cur
+            FROM chain c JOIN {pview} p ON p.child = c.cur
         )
         SELECT c.doc_id, c.cur AS root_id, c.depth AS chain_len
-        FROM chain c LEFT JOIN gzk_dup_parent p ON p.child = c.cur
+        FROM chain c LEFT JOIN {pview} p ON p.child = c.cur
         WHERE p.child IS NULL
         """
     )

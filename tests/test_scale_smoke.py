@@ -280,3 +280,106 @@ def test_amplified_curriculum_bins(spark, sf_dir, amp_sf_dir):
         arows.sort(key=lambda r: r["bin"])
         for x, y in zip(arows, arows[1:]):
             assert x["max_chars"] <= y["min_chars"]
+
+
+# --- round-4 operators at 8x volume ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def amp_events_dir(spark, sf_dir, tmp_path_factory, amp_events):
+    """A scale-factor dir whose events table is the 8x amplification
+    (event_id shifted, user_id/event_type/value duplicated); every
+    other table symlinks to the base dir."""
+    import os
+
+    from go_zoom_kinesis_spark.io import TABLES
+
+    d = tmp_path_factory.mktemp("amp_ev_sf")
+    amp_events.coalesce(4).write.parquet(str(d / "events.parquet"))
+    for t in TABLES:
+        if t == "events":
+            continue
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    return str(d)
+
+
+def test_amplified_compaction_totals_linear(spark, sf_dir, amp_sf_dir):
+    from go_zoom_kinesis_spark.operators.layout import compaction_plan
+
+    def per_source(rows):
+        out: dict[str, list] = {}
+        for r in rows:
+            agg = out.setdefault(r["source"], [0, 0])
+            agg[0] += r["n_files"]
+            agg[1] += r["total_bytes"]
+        return out
+
+    base = per_source(compaction_plan(spark, sf_dir).collect())
+    amp_rows = compaction_plan(spark, amp_sf_dir).collect()
+    amp = per_source(amp_rows)
+    assert set(amp) == set(base)
+    for s, (nf, nb) in base.items():
+        assert amp[s] == [nf * AMP, nb * AMP], s
+    # bins stay dense per source after the 8x jump
+    by_src: dict[str, list] = {}
+    for r in amp_rows:
+        by_src.setdefault(r["source"], []).append(r["bin_id"])
+    for s, bins in by_src.items():
+        assert sorted(bins) == list(range(len(bins))), s
+
+
+def test_amplified_checksum_xor_cancels(spark, sf_dir, amp_sf_dir):
+    """8 identical copies of every row XOR to zero — duplication is
+    VISIBLE to the digest (a sum of hashes would scale instead and a
+    count-insensitive digest would hide it); counts and bytes still
+    scale linearly."""
+    from go_zoom_kinesis_spark.operators.layout import (
+        integrity_checksum_audit,
+    )
+
+    base = {
+        r["source"]: r for r in integrity_checksum_audit(spark, sf_dir).collect()
+    }
+    amp = {
+        r["source"]: r
+        for r in integrity_checksum_audit(spark, amp_sf_dir).collect()
+    }
+    assert set(amp) == set(base)
+    for s, b in base.items():
+        a = amp[s]
+        assert a["n_rows"] == b["n_rows"] * AMP
+        assert a["bytes_total"] == b["bytes_total"] * AMP
+        assert a["checksum"] == 0, s  # even copy count cancels
+
+
+def test_amplified_overlap_and_correlation_duplication_invariant(
+    spark, sf_dir, amp_events_dir
+):
+    """Event duplication must not move set sketches (distinct user
+    sets unchanged) nor profile correlations (hourly means unchanged) —
+    the invariants that make both operators trustworthy on re-delivered
+    / at-least-once input."""
+    from go_zoom_kinesis_spark.operators.dedup import minhash_user_overlap
+    from go_zoom_kinesis_spark.operators.timeseries import (
+        ts_profile_correlation,
+    )
+
+    def keyed(rows):
+        return {
+            (r["type_a"], r["type_b"]): tuple(r) for r in rows
+        }
+
+    assert keyed(minhash_user_overlap(spark, sf_dir).collect()) == keyed(
+        minhash_user_overlap(spark, amp_events_dir).collect()
+    )
+    base = {
+        (r["type_a"], r["type_b"]): round(r["pearson_r"], 9)
+        for r in ts_profile_correlation(spark, sf_dir).collect()
+    }
+    amp = {
+        (r["type_a"], r["type_b"]): round(r["pearson_r"], 9)
+        for r in ts_profile_correlation(spark, amp_events_dir).collect()
+    }
+    assert base == amp

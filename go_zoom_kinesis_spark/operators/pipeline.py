@@ -156,11 +156,15 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix_key"
         ),
     ).join(
+        # LEFT join: text_quality drops token-less docs (its score is
+        # undefined there); the funnel still counts them in n_docs,
+        # with null score ⇒ quality-failed
         text_quality(spark, sf_dir).select(
             "doc_id", "n_tokens", "quality_score"
         ),
         "doc_id",
-    )
+        "left",
+    ).withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
     passed = base.filter(F.col("quality_score") >= QUALITY_CUT)
     w = Window.partitionBy("prefix_key").orderBy("doc_id")
     canon = (
@@ -289,7 +293,8 @@ ORACLE = {
                    len(toks) AS n_tokens,
                    md5(array_to_string(toks[1:{PREFIX_LEN}], ' '))
                        AS prefix_key,
-                   {_QSCORE_SQL} AS quality_score
+                   CASE WHEN len(toks) > 0 THEN {_QSCORE_SQL} END
+                       AS quality_score
             FROM tk
         ),
         canon AS (

@@ -131,12 +131,14 @@ def record_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "shard_id",
             "k",
-            F.round(
-                F.when(F.col("event_type") == "purchase", F.col("value") * 1.1).otherwise(
-                    F.col("value")
-                ),
-                4,
-            ).alias("adjusted_value"),
+            # no in-query round(): value·1.1 is one IEEE multiply —
+            # bit-identical in both engines — while round(x, 4) splits
+            # on half-boundaries differently (repo determinism rule)
+            F.when(
+                F.col("event_type") == "purchase", F.col("value") * 1.1
+            )
+            .otherwise(F.col("value"))
+            .alias("adjusted_value"),
         )
     )
 
@@ -298,11 +300,11 @@ ORACLE = {
     "record_map": f"""
         SELECT event_id,
                user_id % {N_SHARDS} AS shard_id,
-               CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k,
-               round(CASE WHEN event_type = 'purchase' THEN value * 1.1
-                          ELSE value END, 4) AS adjusted_value
+               CAST(regexp_extract(props, '-?[0-9]+', 0) AS BIGINT) AS k,
+               CASE WHEN event_type = 'purchase' THEN value * 1.1
+                    ELSE value END AS adjusted_value
         FROM events
-        WHERE CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 5 <> 0
+        WHERE CAST(regexp_extract(props, '-?[0-9]+', 0) AS BIGINT) % 5 <> 0
     """,
     "failure_classification": f"""
         SELECT user_id % {N_SHARDS} AS shard_id,

@@ -74,8 +74,13 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: type-token ratio, length saturation, stopword
     ratio → weighted score. Exactly the filter stage of a pretraining
-    data pipeline (per-row, embarrassingly parallel)."""
-    docs = _toks(_docs(spark, sf_dir))
+    data pipeline (per-row, embarrassingly parallel).
+
+    Token-less documents are dropped: every ratio here divides by the
+    token (or distinct-token) count, so quality is only defined over
+    tokenized docs — and under ANSI mode an unguarded empty doc is a
+    DIVIDE_BY_ZERO runtime error, not a quiet null."""
+    docs = _toks(_docs(spark, sf_dir)).filter(F.size("toks") > 0)
     n_tokens = F.size("toks")
     n_distinct = F.size(F.array_distinct("toks"))
     ttr = n_distinct / n_tokens
@@ -215,8 +220,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining filter. All in-row higher-order functions (JVM
     codegen, zero shuffles before the final projection); the in-row
     frequency scan is O(tokens · distinct) — bounded by document
-    length, which a real pipeline caps upstream anyway."""
-    docs = _toks(_docs(spark, sf_dir))
+    length, which a real pipeline caps upstream anyway.
+
+    Token-less documents are dropped (fractions of zero tokens are
+    undefined; ANSI mode would raise DIVIDE_BY_ZERO)."""
+    docs = _toks(_docs(spark, sf_dir)).filter(F.size("toks") > 0)
     toks = F.col("toks")
     n = F.size(toks)
     top_tok = F.array_max(
@@ -305,6 +313,7 @@ ORACLE = {
                CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
                    / len(toks) AS dup_token_frac
         FROM bg
+        WHERE len(toks) > 0
     """,
     "text_tfidf_topterms": f"""
         WITH toks AS (
@@ -369,13 +378,15 @@ ORACLE = {
                    + 0.3 * ({_stop_hits_sql("en")}::DOUBLE / len(list_distinct(toks)))
                    AS quality_score
         FROM tk
+        WHERE len(toks) > 0
     """,
     "text_token_stats": f"""
         WITH tk AS (SELECT doc_id, n_chars, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,
                len(toks) AS n_ws_tokens,
-               CAST(list_sum(list_transform(toks,
-                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)
+               CAST(coalesce(list_sum(list_transform(toks,
+                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
+                    AS BIGINT)
                    AS n_subwords_est,
                length(text) AS n_text_chars,
                n_chars

@@ -487,11 +487,13 @@ def ts_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    # correlation of a constant profile (or a single shared hour) is
+    # undefined — NULL, not a DIVIDE_BY_ZERO under ANSI mode
     return agg.select(
         "type_a",
         "type_b",
         "n_hours",
-        (num / den).alias("pearson_r"),
+        F.when(den != 0.0, num / den).alias("pearson_r"),
     )
 
 
@@ -532,9 +534,12 @@ ORACLE = {
             FROM j GROUP BY type_a, type_b
         )
         SELECT type_a, type_b, n_hours,
-               (n_hours * sxy - sx * sy)
-                   / sqrt((n_hours * sxx - sx * sx)
-                          * (n_hours * syy - sy * sy)) AS pearson_r
+               CASE WHEN sqrt((n_hours * sxx - sx * sx)
+                              * (n_hours * syy - sy * sy)) <> 0.0
+                    THEN (n_hours * sxy - sx * sy)
+                         / sqrt((n_hours * sxx - sx * sx)
+                                * (n_hours * syy - sy * sy))
+               END AS pearson_r
         FROM agg
     """,
     "interval_concurrency_peak": f"""

@@ -54,12 +54,23 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name in _TS_COLUMNS and isinstance(field.dataType, T.LongType):
             # integer division — nanos ~1.7e18 exceed double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+            )
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
+
+
+# Every timestamp column the generator has ever shipped (TESTDATA.md
+# schemas). Under nanosAsLong a NANOS column arrives as a plain long —
+# Spark's schema carries no marker of what it was — so normalization
+# must key on the known column names, not just "ts": generations have
+# shipped l_shipdate / o_orderdate as TIMESTAMP(NANOS) too.
+_TS_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
 
 
 def fan_out_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:

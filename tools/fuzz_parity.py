@@ -38,21 +38,46 @@ WORDS = (
     "batch retry checkpoint quality token near dup corpus train"
 ).split()
 
+# Non-ASCII vocabulary for --unicode: accented Latin, CJK, Cyrillic,
+# and an astral-plane emoji (surrogate-pair territory in UTF-16
+# engines). The byte-level multimodal queries are excluded under this
+# mode — their oracles equate UTF-8 payload bytes with codepoints,
+# which only holds for ASCII (guarded by
+# tests/test_multimodal_skew.py); everything else must survive.
+UNICODE_WORDS = WORDS + (
+    "café naïve übermäßig złoty żółć "
+    "数据 流处理 éngine 模型 привет данные "
+    "🚀rocket ñandú søster"
+).split()
+
+# Queries whose oracle contract is byte-level (UTF-8 == codepoint only
+# for ASCII); excluded from the --unicode sweep by design.
+BYTE_LEVEL_QUERIES = (
+    "multimodal_meta",
+    "multimodal_modality_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_phash_clusters",
+)
+
+
+VOCAB = WORDS
+
 
 def _doc_text(rng: random.Random, kind: int) -> str:
     if kind == 0:
         return ""  # empty text
     if kind == 1:
-        return rng.choice(WORDS)  # single token (no shingles)
+        return rng.choice(VOCAB)  # single token (no shingles)
     if kind == 2:
-        w = rng.choice(WORDS)
+        w = rng.choice(VOCAB)
         return " ".join([w] * rng.randint(2, 40))  # max repetition
     if kind == 3:  # near-identical cluster seed
         return "the data stream engine processes every shard record " + rng.choice(
-            WORDS
+            VOCAB
         )
     n = rng.randint(2, 60)
-    return " ".join(rng.choice(WORDS) for _ in range(n))
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
 
 
 def gen_documents(path: str, rng: random.Random, n: int = 400) -> None:
@@ -133,7 +158,17 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--unicode",
+        action="store_true",
+        help="non-ASCII document vocabulary; byte-level multimodal "
+        "queries are excluded (their oracles are ASCII-contracted)",
+    )
     args = ap.parse_args()
+
+    if args.unicode:
+        global VOCAB
+        VOCAB = UNICODE_WORDS
 
     rng = random.Random(args.seed)
     work = tempfile.mkdtemp(prefix="gzk_fuzz_sf_")
@@ -155,6 +190,16 @@ def main() -> None:
         ]
         if args.only:
             cmd += ["--only", args.only]
+        elif args.unicode:
+            sys.path.insert(0, REPO)
+            import __spark_entry__ as entry
+
+            keep = [
+                q
+                for q in entry.queries()
+                if q not in BYTE_LEVEL_QUERIES
+            ]
+            cmd += ["--only", ",".join(keep)]
         raise SystemExit(subprocess.call(cmd))
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -76,6 +76,14 @@ def _doc_text(rng: random.Random, kind: int) -> str:
         return "the data stream engine processes every shard record " + rng.choice(
             VOCAB
         )
+    if kind == 5:  # adversarial whitespace: tabs, newlines, runs of
+        # spaces — single-space tokenization must agree across engines
+        seps = [" ", "  ", "   ", "\t", "\n", " \n ", "\t "]
+        n = rng.randint(2, 20)
+        out = rng.choice(VOCAB)
+        for _ in range(n - 1):
+            out += rng.choice(seps) + rng.choice(VOCAB)
+        return out
     n = rng.randint(2, 60)
     return " ".join(rng.choice(VOCAB) for _ in range(n))
 
@@ -83,7 +91,9 @@ def _doc_text(rng: random.Random, kind: int) -> str:
 def gen_documents(path: str, rng: random.Random, n: int = 400) -> None:
     rows = []
     for i in range(n):
-        kind = rng.choices([0, 1, 2, 3, 4], weights=[3, 5, 5, 12, 75])[0]
+        kind = rng.choices(
+            [0, 1, 2, 3, 4, 5], weights=[3, 5, 5, 12, 65, 10]
+        )[0]
         text = _doc_text(rng, kind)
         rows.append(
             {

@@ -1,0 +1,94 @@
+"""Per-query scaling-curve measurement: sf0.001 → sf0.01 → sf0.1.
+
+Each scale step is 10× the data; a query whose wall time grows ≈
+linearly (or stays overhead-bound) scales; super-linear growth flags a
+plan that will not survive the next 100×. Times are min-of-three after
+a warm-up (same estimator as bench.py).
+
+Prints one JSON line per query:
+    {"query": name, "t_sf0001": s, "t_sf001": s, "t_sf01": s,
+     "growth_10x": t_sf01 / t_sf001_}
+and a final summary of the worst growth ratios. The growth ratio uses
+the 0.01→0.1 step (the 0.001 step is pure overhead at local scale).
+
+Usage: python tools/scaling_curve.py [--only name1,name2] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = {
+    "sf0.001": "/root/testdata/sf0.001",
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+}
+
+
+def _time_query(fn, spark, sf_dir: str) -> float:
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm-up
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from bench import HEADLINE, HEADLINE_R4
+    from go_zoom_kinesis_spark import registry
+    from go_zoom_kinesis_spark.session import get_spark
+
+    spark = get_spark(app_name="gzk-scaling")
+    spark.range(1).count()
+    queries = registry.all_queries()
+    names = (
+        args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4)
+    )
+
+    rows = []
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        row = {"query": name}
+        for label, d in SF_DIRS.items():
+            row[f"t_{label.replace('.', '')}"] = _time_query(fn, spark, d)
+        t_small, t_big = row["t_sf001"], row["t_sf01"]
+        row["growth_10x"] = round(t_big / t_small, 2) if t_small > 0 else None
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    rows.sort(key=lambda r: -(r["growth_10x"] or 0))
+    print(
+        json.dumps(
+            {
+                "summary": "worst 10x-data growth ratios",
+                "worst": [
+                    {k: r[k] for k in ("query", "t_sf001", "t_sf01", "growth_10x")}
+                    for r in rows[:8]
+                ],
+            }
+        )
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

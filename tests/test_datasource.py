@@ -58,7 +58,10 @@ def test_batch_start_sequence_positions_scan(spark):
     assert df.agg(F.min("sequence_number")).collect()[0][0] == 20
 
 
-def _drain(spark, q, name, total, timeout_s=90):
+def _drain(spark, q, name, total, timeout_s=300):
+    # generous ceiling: under a full-suite run the shared local JVM is
+    # contended and microbatches slow down ~5x; the loop exits as soon as
+    # `total` rows land, so the happy path is unaffected.
     for _ in range(int(timeout_s * 2)):
         n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
         if n >= total:
@@ -127,7 +130,7 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
             return 0
 
     q = start()
-    for _ in range(240):  # stop mid-stream after the first chunk lands
+    for _ in range(720):  # stop mid-stream after the first chunk lands
         if written() >= 100:
             break
         time.sleep(0.25)
@@ -135,7 +138,7 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
     mid = written()
     assert 0 < mid < 600
     q2 = start()
-    for _ in range(240):
+    for _ in range(720):
         if written() >= 600:
             break
         time.sleep(0.25)

@@ -593,7 +593,7 @@ def test_record_timeout_quarantines_and_batch_completes(spark, tmp_path):
     # defined in-test so cloudpickle ships it by value to executors
     def _hang_aware(rec):
         if rec["event_type"] == "hang":
-            time.sleep(8.0)  # far past the guard deadline
+            time.sleep(30.0)  # far past the guard deadline
         return "success"
 
     recs = spark.range(20).select(
@@ -628,8 +628,9 @@ def test_record_timeout_quarantines_and_batch_completes(spark, tmp_path):
     assert dlq[0]["dlq_reason"] == "processing_timeout"
     # checkpoint advanced past the timed-out record's successors
     assert store.get_checkpoint("0") == "19"
-    # the batch did NOT wait out the 8 s hang
-    assert wall < 8.0
+    # the batch did NOT wait out the 30 s hang; the generous
+    # margin absorbs Spark scheduling overhead on a loaded machine
+    assert wall < 30.0
 
 
 # --- shard-concurrency limiter P2 (↔ test_suite2.rs:215-273) ------------

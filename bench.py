@@ -98,6 +98,9 @@ HEADLINE_R4 = [
     "minhash_user_overlap",
     "dedup_canonical_chain",
     "ts_profile_correlation",
+    "session_split_dual_cap",
+    "attribution_linear",
+    "ts_cusum_shift",
 ]
 
 

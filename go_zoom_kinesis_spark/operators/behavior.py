@@ -200,12 +200,130 @@ def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 2 * 3600 * 1_000_000  # inactivity that closes a session
+SESSION_CAP_US = 8 * 3600 * 1_000_000  # max span of one session slice
+
+
+def session_split_dual_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH caps real products need: an inactivity
+    gap (2 h) closes a session, and a max-duration cap (8 h) splits
+    marathon sessions into fixed slices — Spark's built-in
+    ``session_window`` only has the gap, so the cap is composed from
+    two window passes over the same ``user_id`` partitioning.
+
+    Pass 1 flags gap-breaks and prefix-sums them into a gap-session
+    id; pass 2 (same shuffle key, so no second exchange) offsets each
+    event against its gap-session start and floors into duration
+    slices. All arithmetic is integer microseconds — both engines
+    agree at every boundary.
+
+    Scale: one shuffle on ``user_id``; per-task state is one row.
+    Skewed mega-users are bounded by the cap itself (a slice never
+    exceeds 8 h of events) and AQE skew-split handles the sort spill.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = base.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    start = Window.partitionBy("user_id", "session_seq")
+    sliced = sess.withColumn(
+        "slice_no",
+        F.floor(
+            (F.col("us") - F.min("us").over(start)) / F.lit(SESSION_CAP_US)
+        ).cast("bigint"),
+    )
+    return sliced.groupBy("user_id", "session_seq", "slice_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # touch→conversion lookback
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: every view/click that precedes
+    a purchase by the same user within 7 days shares that purchase's
+    credit equally (integer ppm, floored — sums stay exact). A touch
+    attributes to its NEAREST following purchase, found with one
+    forward-looking window (min of purchase timestamps over the
+    following rows) — no touch×purchase join, so a hyperactive user
+    costs O(events) not O(events²).
+
+    Conversions are identified by (user_id, purchase-time); the
+    grouping is on the same ``user_id`` shuffle key as the window, so
+    the whole query is one exchange plus a tiny final rollup by
+    touch type.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    touches = (
+        base.withColumn(
+            "next_p_us",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
+            ).over(w_next),
+        )
+        .filter(F.col("event_type").isin("view", "click"))
+        .filter(
+            F.col("next_p_us").isNotNull()
+            & ((F.col("next_p_us") - F.col("us")) <= ATTRIB_WINDOW_US)
+        )
+    )
+    conv = touches.groupBy("user_id", "next_p_us").agg(
+        F.count("*").alias("n_touches_conv")
+    )
+    credited = touches.join(conv, ["user_id", "next_p_us"]).withColumn(
+        "credit_ppm",
+        F.floor(F.lit(1_000_000) / F.col("n_touches_conv")).cast("bigint"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("credit_ppm").alias("sum_credit_ppm"),
+        F.countDistinct(
+            F.concat_ws("#", "user_id", "next_p_us")
+        ).alias("n_conversions"),
+    )
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "histogram_values": histogram_values,
     "domain_cap_documents": domain_cap_documents,
+    "session_split_dual_cap": session_split_dual_cap,
+    "attribution_linear": attribution_linear,
 }
 
 
@@ -287,6 +405,79 @@ ORACLE = {
                CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM cents
         GROUP BY 1, 2
+    """,
+    "session_split_dual_cap": """
+        WITH base AS (
+            SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 7200000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   CAST(sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_seq
+            FROM flagged
+        ),
+        sliced AS (
+            SELECT *,
+                   CAST(floor(
+                       (us - min(us) OVER (PARTITION BY user_id, session_seq))
+                       / 28800000000
+                   ) AS BIGINT) AS slice_no
+            FROM sess
+        )
+        SELECT user_id, session_seq, slice_no,
+               count(*) AS n_events,
+               min(ts) AS start_ts,
+               max(ts) AS end_ts,
+               max(us) - min(us) AS duration_us,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM sliced
+        GROUP BY user_id, session_seq, slice_no
+    """,
+    "attribution_linear": """
+        WITH base AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        touches AS (
+            SELECT * FROM (
+                SELECT *,
+                       min(CASE WHEN event_type = 'purchase' THEN us END)
+                           OVER (
+                               PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING
+                           ) AS next_p_us
+                FROM base
+            )
+            WHERE event_type IN ('view', 'click')
+              AND next_p_us IS NOT NULL
+              AND next_p_us - us <= 604800000000
+        ),
+        conv AS (
+            SELECT user_id, next_p_us, count(*) AS n_touches_conv
+            FROM touches GROUP BY user_id, next_p_us
+        )
+        SELECT t.event_type,
+               count(*) AS n_touches,
+               CAST(sum(CAST(floor(1000000 / c.n_touches_conv) AS BIGINT))
+                   AS BIGINT) AS sum_credit_ppm,
+               count(DISTINCT CAST(t.user_id AS VARCHAR) || '#'
+                     || CAST(t.next_p_us AS VARCHAR)) AS n_conversions
+        FROM touches t
+        JOIN conv c USING (user_id, next_p_us)
+        GROUP BY t.event_type
     """,
     "domain_cap_documents": """
         WITH ranked AS (

@@ -497,6 +497,144 @@ def ts_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection per event type via an integer-exact
+    CUSUM: with prefix sums S_k over cents and totals (n, T), the
+    statistic D_k = n·S_k − k·T is the classic cumulative deviation
+    from the global mean scaled by n (so no division ever happens —
+    every value both engines compare is a 64-bit integer). The row
+    maximizing |D_k| is the estimated mean-shift point.
+
+    Scale: one window shuffle on ``event_type`` computes k, S_k, n and
+    T in a single pass; the arg-max is a second tiny window over the
+    same partitioning (no new exchange). |D| ≤ n·T fits int64 up to
+    ~10⁹ rows per series at these magnitudes; beyond that the same
+    statistic runs on decimal(38,0) partials.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    wp = Window.partitionBy("event_type")
+    scored = (
+        base.withColumn("k", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "s_k", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("n_events", F.count("*").over(wp).cast("bigint"))
+        .withColumn("total_cents", F.sum("cents").over(wp))
+        .withColumn(
+            "d_k",
+            F.col("n_events") * F.col("s_k") - F.col("k") * F.col("total_cents"),
+        )
+    )
+    sel = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("d_k")).desc(), F.col("us").asc(), F.col("event_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(sel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            "total_cents",
+            F.col("k").alias("shift_k"),
+            F.col("ts").alias("shift_ts"),
+            F.col("s_k").alias("pre_sum_cents"),
+            F.abs(F.col("d_k")).alias("max_abs_d"),
+        )
+    )
+
+
+def trending_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: per event type, spend in the most recent
+    7 days vs the 7 days before, with the momentum ratio in integer
+    ppm (integer division — both engines truncate identically on
+    non-negative operands). The reference day is the corpus max date,
+    joined in as a broadcast scalar rather than collected.
+
+    Scale: one aggregate over event_type after a broadcast of the
+    1-row max-date relation; conditional sums fold map-side, so the
+    exchange carries |types| rows.
+    """
+    ev = _events(spark, sf_dir)
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_date"))
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.datediff(F.col("ref_date"), F.to_date("ts")).alias("age_days"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    agg = aged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("age_days") <= 6, F.col("cents")).otherwise(0)).alias(
+            "recent_cents"
+        ),
+        F.count(F.when(F.col("age_days") <= 6, True)).alias("recent_n"),
+        F.sum(
+            F.when(F.col("age_days").between(7, 13), F.col("cents")).otherwise(0)
+        ).alias("prior_cents"),
+        F.count(F.when(F.col("age_days").between(7, 13), True)).alias("prior_n"),
+    )
+    return agg.select(
+        "event_type",
+        "recent_n",
+        "recent_cents",
+        "prior_n",
+        "prior_cents",
+        F.when(
+            F.col("prior_cents") > 0,
+            F.expr("1000000 * recent_cents div prior_cents"),
+        ).alias("momentum_ppm"),
+    )
+
+
+def status_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-duration accounting over the SCD-2 history: how long do
+    users dwell in each status before switching? Change points come
+    from the same compaction as ``scd2_user_status``; open intervals
+    are closed at the corpus max timestamp (broadcast scalar). All
+    durations are integer microseconds.
+
+    Scale: one window shuffle on ``user_id`` for the change
+    compaction, then a |statuses|-row hash aggregate; the max-ts
+    relation is one broadcast row.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            (F.col("prev_type").isNull())
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    dwell = changes.crossJoin(F.broadcast(horizon)).select(
+        "status",
+        F.col("valid_to").isNull().alias("is_open"),
+        (
+            F.unix_micros(F.coalesce("valid_to", "max_ts"))
+            - F.unix_micros("valid_from")
+        ).alias("dwell_us"),
+    )
+    return dwell.groupBy("status").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("is_open").cast("bigint")).alias("n_open"),
+        F.sum("dwell_us").alias("total_dwell_us"),
+        F.max("dwell_us").alias("max_dwell_us"),
+    )
+
+
 QUERIES = {
     "ts_profile_correlation": ts_profile_correlation,
     "interval_concurrency_peak": interval_concurrency_peak,
@@ -510,10 +648,108 @@ QUERIES = {
     "merge_upsert_state": merge_upsert_state,
     "robust_outliers_mad": robust_outliers_mad,
     "incremental_agg_merge": incremental_agg_merge,
+    "ts_cusum_shift": ts_cusum_shift,
+    "trending_momentum": trending_momentum,
+    "status_dwell_time": status_dwell_time,
 }
 
 
 ORACLE = {
+    "ts_cusum_shift": """
+        WITH base AS (
+            SELECT event_type, ts, event_id, epoch_us(ts) AS us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        scored AS (
+            SELECT event_type, ts, us, event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS k,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY event_type ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS s_k,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_events,
+                   CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS total_cents
+            FROM base
+            WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+        ),
+        d AS (
+            SELECT *, n_events * s_k - k * total_cents AS d_k
+            FROM scored
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(d_k) DESC, us ASC, event_id ASC
+                   ) AS rn
+            FROM d
+        )
+        SELECT event_type, n_events, total_cents,
+               k AS shift_k, ts AS shift_ts,
+               s_k AS pre_sum_cents, abs(d_k) AS max_abs_d
+        FROM ranked WHERE rn = 1
+    """,
+    "trending_momentum": """
+        WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_date FROM events),
+        aged AS (
+            SELECT event_type,
+                   date_diff('day', CAST(ts AS DATE), ref.ref_date)
+                       AS age_days,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events, ref
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN age_days <= 6 THEN cents ELSE 0 END)
+                       AS BIGINT) AS recent_cents,
+                   count(CASE WHEN age_days <= 6 THEN 1 END) AS recent_n,
+                   CAST(sum(CASE WHEN age_days BETWEEN 7 AND 13
+                                 THEN cents ELSE 0 END)
+                       AS BIGINT) AS prior_cents,
+                   count(CASE WHEN age_days BETWEEN 7 AND 13 THEN 1 END)
+                       AS prior_n
+            FROM aged GROUP BY event_type
+        )
+        SELECT event_type, recent_n, recent_cents, prior_n, prior_cents,
+               CASE WHEN prior_cents > 0
+                    THEN (1000000 * recent_cents) // prior_cents
+               END AS momentum_ppm
+        FROM agg
+    """,
+    "status_dwell_time": """
+        WITH changes AS (
+            SELECT user_id, event_type AS status, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NULL OR prev_type <> event_type
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        horizon AS (SELECT max(ts) AS max_ts FROM events),
+        dwell AS (
+            SELECT status,
+                   valid_to IS NULL AS is_open,
+                   epoch_us(coalesce(valid_to, horizon.max_ts))
+                       - epoch_us(valid_from) AS dwell_us
+            FROM changes, horizon
+        )
+        SELECT status,
+               count(*) AS n_intervals,
+               CAST(sum(CASE WHEN is_open THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_open,
+               CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+               max(dwell_us) AS max_dwell_us
+        FROM dwell
+        GROUP BY status
+    """,
     "ts_profile_correlation": """
         WITH prof AS (
             SELECT event_type, hour(ts) AS hod,

@@ -101,6 +101,9 @@ HEADLINE_R4 = [
     "session_split_dual_cap",
     "attribution_linear",
     "ts_cusum_shift",
+    "nested_order_items_hof",
+    "bloom_novelty_filter",
+    "winsorize_values",
 ]
 
 

@@ -434,6 +434,100 @@ def dedup_canonical_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 2048  # m: filter size
+# 63 usable bits per int64 word: DuckDB raises on 1<<63 (signed
+# overflow) where the JVM wraps, so bit 63 is never used — the words
+# stay portable across both engines' bigint semantics
+BLOOM_WORD_BITS = 63
+_BLOOM_SLICES = ((1, 4), (5, 4), (9, 4))  # k=3 hex slices of md5(text)
+
+
+def _bloom_positions(text_col: F.Column) -> list[F.Column]:
+    """k bit positions from disjoint hex slices of md5(text) — the
+    portable double-hashing analog both engines rebuild exactly."""
+    h = F.md5(text_col)
+    return [
+        F.conv(F.substring(h, start, ln), 16, 10).cast("bigint")
+        % BLOOM_BITS
+        for start, ln in _BLOOM_SLICES
+    ]
+
+
+def bloom_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty check of an incoming batch against a historical corpus
+    through a SHARED-NOTHING Bloom filter: the historical side folds
+    into ~33 bigint words with ``bit_or`` (mergeable — partials combine
+    associatively, so the build is one map-side-combining aggregate no
+    matter how many executors), the words broadcast to the probe side,
+    and each incoming document tests its k=3 bit positions. The exact
+    duplicate check runs beside it so the summary audits the filter's
+    false-positive rate against ground truth.
+
+    This is the crawl-ingest front gate at 100 TB: the filter is a few
+    KB per billion historical docs (scaled m accordingly), the probe
+    is scan-local (broadcast join on a ≤32-row relation), and no
+    text ever crosses the wire — only word indexes and masks.
+    """
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def positions(df: DataFrame) -> DataFrame:
+        # hash once, drop the text immediately: only (doc_id, digest,
+        # word index, mask) ever move between stages
+        pos = F.explode(F.array(*_bloom_positions(F.col("text")))).alias("pos")
+        return df.select(
+            "doc_id", F.md5("text").alias("th"), pos
+        ).select(
+            "doc_id",
+            "th",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            # SQL form: the DataFrame shiftleft() only takes a literal
+            # bit count, the SQL function accepts a column
+            F.expr(
+                f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))"
+            ).alias("mask"),
+        )
+
+    words = (
+        positions(hist)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probes = (
+        positions(inc)
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")))
+            == F.col("mask"),
+        )
+        .groupBy("doc_id", "th")
+        .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
+    )
+    hist_hashes = hist.select(F.md5("text").alias("th")).distinct()
+    flagged = probes.join(
+        F.broadcast(hist_hashes.withColumnRenamed("th", "hist_th")),
+        probes["th"] == F.col("hist_th"),
+        "left",
+    ).select(
+        (F.col("all_hit") == 1).alias("bloom_hit"),
+        F.col("hist_th").isNotNull().alias("true_dup"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.col("bloom_hit").cast("bigint")).alias("n_bloom_hits"),
+        F.sum(F.col("true_dup").cast("bigint")).alias("n_true_dups"),
+        F.sum(
+            (F.col("bloom_hit") & ~F.col("true_dup")).cast("bigint")
+        ).alias("n_false_positives"),
+        # a Bloom filter NEVER misses a real member — this must be 0
+        F.sum(
+            (~F.col("bloom_hit") & F.col("true_dup")).cast("bigint")
+        ).alias("n_missed"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_user_overlap": minhash_user_overlap,
@@ -442,6 +536,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
+    "bloom_novelty_filter": bloom_novelty_filter,
 }
 
 
@@ -652,3 +747,57 @@ ORACLE = {
         ) WHERE j >= {NGRAM_THRESHOLD}
     """,
 }
+
+ORACLE["bloom_novelty_filter"] = f"""
+    WITH pos AS (
+        SELECT doc_id, md5(text) AS th, u.p AS pos,
+               doc_id % 2 = 0 AS is_hist
+        FROM documents,
+             LATERAL (
+                SELECT unnest([
+                    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT)
+                        % {BLOOM_BITS},
+                    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT)
+                        % {BLOOM_BITS},
+                    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT)
+                        % {BLOOM_BITS}
+                ]) AS p
+             ) u
+    ),
+    cells AS (
+        SELECT *, pos // {BLOOM_WORD_BITS} AS word_idx,
+               (1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER)) AS mask
+        FROM pos
+    ),
+    words AS (
+        SELECT word_idx, bit_or(mask) AS word
+        FROM cells WHERE is_hist GROUP BY word_idx
+    ),
+    probes AS (
+        SELECT c.doc_id, c.th,
+               min(CASE WHEN (coalesce(w.word, 0) & c.mask) = c.mask
+                        THEN 1 ELSE 0 END) AS all_hit
+        FROM cells c LEFT JOIN words w USING (word_idx)
+        WHERE NOT c.is_hist
+        GROUP BY c.doc_id, c.th
+    ),
+    hist_hashes AS (
+        SELECT DISTINCT md5(text) AS hist_th FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    flagged AS (
+        SELECT p.all_hit = 1 AS bloom_hit,
+               h.hist_th IS NOT NULL AS true_dup
+        FROM probes p LEFT JOIN hist_hashes h ON p.th = h.hist_th
+    )
+    SELECT count(*) AS n_incoming,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hits,
+           CAST(sum(CASE WHEN true_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_dups,
+           CAST(sum(CASE WHEN bloom_hit AND NOT true_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positives,
+           CAST(sum(CASE WHEN NOT bloom_hit AND true_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_missed
+    FROM flagged
+"""

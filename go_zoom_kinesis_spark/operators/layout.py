@@ -224,11 +224,48 @@ def integrity_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def datafile_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-data-file zone-map audit — the min/max statistics a
+    lakehouse table format (Delta/Iceberg) keeps per file to prune
+    scans: group by the physical input file (Spark's ``_metadata``
+    scan column — no extra I/O, the name rides along with each batch)
+    and report row count plus key/date ranges. Wide spans in the
+    output are exactly the files Z-ordering or compaction should fix
+    (``zorder_cluster_audit`` measures the after-state).
+
+    The shipped test tables are one file each, so the oracle can name
+    the file statically; the multi-file behavior is pinned by a unit
+    test that writes a partitioned copy and checks one row per file.
+
+    Scale: one scan, one hash-aggregate keyed on file name — O(files)
+    output; this is how you audit a million-file table without
+    touching the table-format metadata service.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    fname = F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1)
+    return (
+        li.select(
+            fname.alias("file_name"),
+            "l_orderkey",
+            "l_shipdate",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+    )
+
+
 QUERIES = {
     "bloom_prune_revenue": bloom_prune_revenue,
     "zorder_cluster_audit": zorder_cluster_audit,
     "compaction_plan": compaction_plan,
     "integrity_checksum_audit": integrity_checksum_audit,
+    "datafile_zonemap_audit": datafile_zonemap_audit,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -288,3 +325,13 @@ ORACLE = {
         GROUP BY z_bucket
     """,
 }
+
+ORACLE["datafile_zonemap_audit"] = """
+    SELECT 'lineitem.parquet' AS file_name,
+           count(*) AS n_rows,
+           min(l_orderkey) AS min_orderkey,
+           max(l_orderkey) AS max_orderkey,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate
+    FROM lineitem
+"""

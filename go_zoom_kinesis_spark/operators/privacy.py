@@ -103,9 +103,45 @@ def pii_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ERASE_MOD = 97  # deterministic right-to-be-forgotten request set
+
+
+def erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR/CCPA erasure dry-run: with the deletion set defined as
+    every ``user_id ≡ 0 (mod 97)``, report — per event type — how many
+    rows and how much value the erasure removes, and the removal share
+    in integer ppm. One conditional-aggregation scan, no join: the
+    membership test is a pure expression, so at 100 TB this is a
+    single map-side-combining pass (a real request list would arrive
+    as a broadcast hash set with identical plan shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    erase = F.col("user_id") % ERASE_MOD == 0
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(erase.cast("bigint")).alias("n_erased"),
+        F.sum(cents).alias("total_cents"),
+        F.sum(F.when(erase, cents).otherwise(0)).alias("erased_cents"),
+        F.countDistinct(F.when(erase, F.col("user_id"))).alias(
+            "n_users_erased"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "n_erased",
+        "total_cents",
+        "erased_cents",
+        "n_users_erased",
+        F.expr("1000000 * n_erased div n_rows").alias("erased_ppm"),
+    )
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "pii_summary": pii_summary,
+    "erasure_impact_audit": erasure_impact_audit,
 }
 
 # DuckDB mirrors. Injection CASE logic and regexes are character-for-
@@ -166,3 +202,24 @@ ORACLE = {
         FROM per_doc GROUP BY source
     """,
 }
+
+ORACLE["erasure_impact_audit"] = f"""
+    WITH agg AS (
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN user_id % {ERASE_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_erased,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(sum(CASE WHEN user_id % {ERASE_MOD} = 0
+                             THEN CAST(floor(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS erased_cents,
+               count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                                   THEN user_id END) AS n_users_erased
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_rows, n_erased, total_cents, erased_cents,
+           n_users_erased,
+           (1000000 * n_erased) // n_rows AS erased_ppm
+    FROM agg
+"""

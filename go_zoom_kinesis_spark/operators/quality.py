@@ -253,11 +253,56 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type: exact P1/P99 over
+    integer cents (Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n−1)·p convention), values clamped to those bounds, and
+    the winsorized sum carried through decimal(25,6) so the aggregate
+    is order-independent. Reports how many observations each tail
+    clipped — the outlier-capping stage of a feature pipeline.
+
+    Scale: two aggregate passes over the facts on the same low-
+    cardinality key (bounds, then clamped rollup) with the bounds
+    broadcast back — the same shape as ``robust_outliers_mad``. At
+    100 TB the exact percentile swaps for ``approx_percentile``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    vals = ev.select("event_type", cents.alias("cents"))
+    bounds = vals.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.01)").alias("p01"),
+        F.expr("percentile(cents, 0.99)").alias("p99"),
+    )
+    clamped = vals.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        "cents",
+        F.when(F.col("cents") < F.col("p01"), F.col("p01"))
+        .when(F.col("cents") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("cents").cast("double"))
+        .alias("w_cents"),
+    )
+    return clamped.groupBy("event_type", "p01", "p99").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("cents") < F.col("p01")).cast("bigint")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("cents") > F.col("p99")).cast("bigint")).alias(
+            "n_clipped_hi"
+        ),
+        F.sum(F.col("w_cents").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("winsorized_sum_cents"),
+    )
+
+
 QUERIES = {
     "profile_columns": profile_columns,
     "validate_constraints": validate_constraints,
     "chi_square_lang_source": chi_square_lang_source,
     "distribution_drift": distribution_drift,
+    "winsorize_values": winsorize_values,
 }
 
 _PROFILE_PAIRS = " UNION ALL ".join(
@@ -376,3 +421,30 @@ ORACLE = {
         FROM terms GROUP BY source
     """,
 }
+
+ORACLE["winsorize_values"] = """
+    WITH vals AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               quantile_cont(cents, 0.01) AS p01,
+               quantile_cont(cents, 0.99) AS p99
+        FROM vals GROUP BY event_type
+    )
+    SELECT v.event_type, b.p01, b.p99,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN v.cents < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(sum(CASE WHEN v.cents > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi,
+           CAST(sum(CAST(
+               CASE WHEN v.cents < b.p01 THEN b.p01
+                    WHEN v.cents > b.p99 THEN b.p99
+                    ELSE CAST(v.cents AS DOUBLE) END
+               AS DECIMAL(25,6))) AS DOUBLE) AS winsorized_sum_cents
+    FROM vals v JOIN bounds b USING (event_type)
+    GROUP BY v.event_type, b.p01, b.p99
+"""

@@ -548,6 +548,62 @@ def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NESTED_ORDER_MOD = 20  # audit every 20th order
+NESTED_BIG_QTY_CENTS = 2500
+
+
+def nested_order_items_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type analytics WITHOUT re-exploding: pack each audited
+    order's lineitems into a sorted ``array<struct>`` once, then answer
+    every per-order question with higher-order functions (``filter``,
+    ``aggregate``, ``element_at``) inside codegen — the document-model
+    pattern (one nested row per entity) that avoids a second shuffle
+    per question.
+
+    The oracle deliberately does NOT mirror the nested plan: it
+    recomputes the same answers with flat GROUP BY aggregation, so the
+    HOF path is checked against independent relational algebra.
+
+    Scale: one shuffle to build the nested column (collect_list on the
+    join key); all downstream answers are per-row lambda evaluation —
+    zero further exchanges no matter how many questions are asked.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % NESTED_ORDER_MOD == 0
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.floor(F.col("l_quantity") * 100)
+                    .cast("bigint")
+                    .alias("qty_cents"),
+                    F.floor(F.col("l_extendedprice") * 100)
+                    .cast("bigint")
+                    .alias("price_cents"),
+                )
+            )
+        ).alias("items")
+    )
+    return nested.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.size("items").alias("n_items"),
+        F.size(
+            F.filter("items", lambda x: x["qty_cents"] > NESTED_BIG_QTY_CENTS)
+        ).alias("n_big_items"),
+        F.aggregate(
+            "items", F.lit(0).cast("bigint"), lambda a, x: a + x["price_cents"]
+        ).alias("total_price_cents"),
+        F.aggregate(
+            "items",
+            F.lit(0).cast("bigint"),
+            lambda a, x: F.greatest(a, x["price_cents"]),
+        ).alias("max_price_cents"),
+        F.element_at("items", 1)["price_cents"].alias("first_line_price_cents"),
+    )
+
+
 QUERIES = {
     "skyline_parts_2d": skyline_parts_2d,
     "window_median_orders": window_median_orders,
@@ -565,6 +621,7 @@ QUERIES = {
     "q16_supplier_part_count": q16_supplier_part_count,
     "q20_dominant_supplier": q20_dominant_supplier,
     "q21_only_late_supplier": q21_only_late_supplier,
+    "nested_order_items_hof": nested_order_items_hof,
 }
 
 ORACLE = {
@@ -631,6 +688,37 @@ ORACLE = {
                TRUE AS merged_within_2pct,
                TRUE AS subkeys_partition
         FROM part GROUP BY p_brand
+    """,
+    "nested_order_items_hof": """
+        WITH items AS (
+            SELECT l_orderkey,
+                   l_linenumber AS ln,
+                   CAST(floor(l_quantity * 100) AS BIGINT) AS qty_cents,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT)
+                       AS price_cents,
+                   -- "first line" mirrors array_sort's lexicographic
+                   -- struct order: l_linenumber is NOT unique per order
+                   -- in this data, so the tie-break must include all
+                   -- struct fields
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber,
+                                CAST(floor(l_quantity * 100) AS BIGINT),
+                                CAST(floor(l_extendedprice * 100) AS BIGINT)
+                   ) AS rn
+            FROM lineitem
+            WHERE l_orderkey % 20 = 0
+        )
+        SELECT l_orderkey AS o_orderkey,
+               CAST(count(*) AS INTEGER) AS n_items,
+               CAST(count(CASE WHEN qty_cents > 2500 THEN 1 END)
+                   AS INTEGER) AS n_big_items,
+               CAST(sum(price_cents) AS BIGINT) AS total_price_cents,
+               max(price_cents) AS max_price_cents,
+               max(CASE WHEN rn = 1 THEN price_cents END)
+                   AS first_line_price_cents
+        FROM items
+        GROUP BY l_orderkey
     """,
     "regr_price_vs_qty": """
         WITH sums AS (

@@ -76,9 +76,53 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_K = 5  # docs kept per language
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis shape):
+    each document draws a reproducible uniform from the md5 of its id
+    and competes on priority u/weight — lower priority wins, so heavier
+    (longer) documents are proportionally more likely to be kept. The
+    fixed-size per-language sample is the exact-k companion to the
+    rate-based strata sampler above.
+
+    The classic ES key is u^(1/w); this uses the linearized integer
+    form floor(u·10⁹ / w) — still strictly monotone in weight for a
+    fixed draw, but every value either engine compares is a 64-bit
+    integer (no `pow`, whose last-ulp differences across libm
+    implementations could flip a selection).
+
+    Scale: one window shuffle on ``lang``; at 100 TB the same rank
+    runs after a per-partition top-k pre-filter (TakeOrdered shape) so
+    no task ever sorts a whole mega-stratum.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    u = _hash_bucket(F.col("doc_id")) + 1  # 1..65536, never zero
+    pri = F.expr(
+        "(u * 1000000000L) div greatest(n_chars, 1L)"
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        docs.select("lang", "doc_id", "n_chars", u.alias("u"))
+        .withColumn("priority", pri)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("priority", "doc_id")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= WEIGHTED_K).select(
+        "lang", "rk", "doc_id", "n_chars", "priority"
+    )
+
+
 QUERIES = {
     "sample_hash_events": sample_hash_events,
     "sample_stratified_documents": sample_stratified_documents,
+    "sample_weighted_priority": sample_weighted_priority,
 }
 
 _BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INTEGER)"
@@ -102,5 +146,24 @@ ORACLE = {
         FROM documents
         WHERE {_BUCKET.format(key="doc_id")} < {int(STRATA_PCT / 100 * 0xFFFF)}
         GROUP BY lang
+    """,
+    "sample_weighted_priority": f"""
+        WITH pri AS (
+            SELECT lang, doc_id, n_chars,
+                   ((CAST({_BUCKET.format(key="doc_id")} AS BIGINT) + 1)
+                    * 1000000000)
+                   // greatest(n_chars, 1) AS priority
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY priority, doc_id
+                   ) AS rk
+            FROM pri
+        )
+        SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+               CAST(priority AS BIGINT) AS priority
+        FROM ranked WHERE rk <= {WEIGHTED_K}
     """,
 }

@@ -224,8 +224,8 @@ def integrity_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def datafile_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-data-file zone-map audit — the min/max statistics a
+def datafile_zonemap_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-data-file zone-map detail — the min/max statistics a
     lakehouse table format (Delta/Iceberg) keeps per file to prune
     scans: group by the physical input file (Spark's ``_metadata``
     scan column — no extra I/O, the name rides along with each batch)
@@ -233,9 +233,10 @@ def datafile_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     output are exactly the files Z-ordering or compaction should fix
     (``zorder_cluster_audit`` measures the after-state).
 
-    The shipped test tables are one file each, so the oracle can name
-    the file statically; the multi-file behavior is pinned by a unit
-    test that writes a partitioned copy and checks one row per file.
+    Library + pytest surface (layout-DEPENDENT output: one row per
+    physical file, so no logical-view oracle can restate it — the
+    multi-file behavior is pinned by a unit test that writes a 4-file
+    partitioned copy and checks one row per file).
 
     Scale: one scan, one hash-aggregate keyed on file name — O(files)
     output; this is how you audit a million-file table without
@@ -257,6 +258,32 @@ def datafile_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_shipdate").alias("min_shipdate"),
             F.max("l_shipdate").alias("max_shipdate"),
         )
+    )
+
+
+def datafile_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map CONSISTENCY audit — the registered, oracle-checked
+    layer over ``datafile_zonemap_detail``: per-file zones are computed
+    from ``_metadata.file_path`` exactly as the detail query does, then
+    rolled up, asserting that the union of per-file zone maps
+    reproduces the logical table statistics (row count and key/date
+    spans). That claim is layout-INVARIANT — true for one file or a
+    million — so the DuckDB oracle can restate it from the logical view
+    alone, for any physical file layout or naming (the r4 oracle
+    hardcoded 'lineitem.parquet' and would have turned a re-layout of
+    the test data into a false verdict).
+
+    A real failure mode it catches: if file-metadata grouping dropped,
+    duplicated, or cross-assigned rows, counts or spans would diverge
+    from the table stats.
+    """
+    zones = datafile_zonemap_detail(spark, sf_dir)
+    return zones.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_orderkey").alias("min_orderkey"),
+        F.max("max_orderkey").alias("max_orderkey"),
+        F.min("min_shipdate").alias("min_shipdate"),
+        F.max("max_shipdate").alias("max_shipdate"),
     )
 
 
@@ -327,8 +354,7 @@ ORACLE = {
 }
 
 ORACLE["datafile_zonemap_audit"] = """
-    SELECT 'lineitem.parquet' AS file_name,
-           count(*) AS n_rows,
+    SELECT count(*) AS n_rows,
            min(l_orderkey) AS min_orderkey,
            max(l_orderkey) AS max_orderkey,
            min(l_shipdate) AS min_shipdate,

@@ -88,6 +88,14 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``nonneg_quantity``:       l_quantity > 0
     - ``discount_range``:        0 <= l_discount <= 1
     - ``returnflag_enum``:       l_returnflag within its enum
+
+    Scan budget (the 100 TB concern): the three scalar checks are ONE
+    conditional-sum pass over lineitem — a single 1-row agg whose three
+    counters are unpivoted with ``stack`` — not three separate scans
+    (the r4 shape this replaces). Total: 2 fact scans (fused scalars +
+    the FK anti-join, which needs its own join anyway) + the
+    dimension-side PK scan; partial aggregation makes each scan's
+    exchange a handful of longs.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -105,27 +113,21 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("v"))
         .select(F.lit("fk_lineitem_orders").alias("constraint_name"), "v")
     )
-    nonneg = li.agg(
-        F.lit("nonneg_quantity").alias("constraint_name"),
-        F.sum((~(F.col("l_quantity") > 0)).cast("bigint")).alias("v"),
-    )
-    drange = li.agg(
-        F.lit("discount_range").alias("constraint_name"),
+    scalar = li.agg(
+        F.sum((~(F.col("l_quantity") > 0)).cast("bigint")).alias("nonneg"),
         F.sum(
             (~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1))).cast(
                 "bigint"
             )
-        ).alias("v"),
+        ).alias("drange"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("bigint")
+        ).alias("renum"),
+    ).selectExpr(
+        "stack(3, 'nonneg_quantity', nonneg, 'discount_range', drange, "
+        "'returnflag_enum', renum) AS (constraint_name, v)"
     )
-    renum = li.agg(
-        F.lit("returnflag_enum").alias("constraint_name"),
-        F.sum((~F.col("l_returnflag").isin("A", "N", "R")).cast("bigint")).alias(
-            "v"
-        ),
-    )
-    checks = reduce(
-        DataFrame.unionByName, [pk_dups, fk_orphans, nonneg, drange, renum]
-    )
+    checks = reduce(DataFrame.unionByName, [pk_dups, fk_orphans, scalar])
     return checks.select(
         "constraint_name",
         F.col("v").alias("n_violations"),

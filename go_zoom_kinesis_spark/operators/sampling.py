@@ -83,7 +83,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis–Spirakis shape):
     each document draws a reproducible uniform from the md5 of its id
     and competes on priority u/weight — lower priority wins, so heavier
-    (longer) documents are proportionally more likely to be kept. The
+    (longer) documents are monotonically more likely to be kept. The
     fixed-size per-language sample is the exact-k companion to the
     rate-based strata sampler above.
 
@@ -91,7 +91,10 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     form floor(u·10⁹ / w) — still strictly monotone in weight for a
     fixed draw, but every value either engine compares is a 64-bit
     integer (no `pow`, whose last-ulp differences across libm
-    implementations could flip a selection).
+    implementations could flip a selection). NOTE the linearization is
+    NOT distribution-equivalent to true ES sampling: inclusion
+    probability is weight-biased but not proportional to weight — the
+    trade accepted for cross-engine bit-exactness.
 
     Scale: one window shuffle on ``lang``; at 100 TB the same rank
     runs after a per-partition top-k pre-filter (TakeOrdered shape) so

@@ -497,11 +497,14 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is the wrong tool here — this near-isotropic spectrum
     has no eigengap for it to exploit).
 
-    No SQL oracle: a dense symmetric eigensolve is not SQL-expressible;
-    `tests/test_timeseries_search.py` pins the result against a direct
-    numpy eigendecomposition of the raw embeddings instead (the driver
-    runs the rows-only check). Deterministic because the Gram is
-    integer-exact and the solve is one driver-side LAPACK call."""
+    Library-surface only (NOT in the driver ``QUERIES`` registry): a
+    dense symmetric eigensolve is not SQL-expressible, so there is no
+    DuckDB oracle to pair it with — the distributed part of the
+    computation (the Gram) IS registered and hash-checked as
+    ``embedding_gram_int8``, and this eigensolve layer is pinned
+    against a direct numpy eigendecomposition of the raw embeddings in
+    `tests/test_timeseries_search.py`. Deterministic because the Gram
+    is integer-exact and the solve is one driver-side LAPACK call."""
     import numpy as np
 
     gram_rows = embedding_gram_int8(spark, sf_dir).collect()
@@ -525,7 +528,10 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "embedding_gram_int8": embedding_gram_int8,
-    "embedding_pca_top": embedding_pca_top,
+    # embedding_pca_top is deliberately NOT registered: its eigensolve
+    # layer has no SQL-expressible oracle, so it lives on the library +
+    # pytest surface only (the distributed Gram it builds on IS
+    # registered and exactly hash-checked above).
     "similarity_topk": similarity_topk,
     "kmeans_update_step": kmeans_update_step,
     "similarity_lsh_buckets": similarity_lsh_buckets,

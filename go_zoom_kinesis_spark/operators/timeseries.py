@@ -507,9 +507,13 @@ def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one window shuffle on ``event_type`` computes k, S_k, n and
     T in a single pass; the arg-max is a second tiny window over the
-    same partitioning (no new exchange). |D| ≤ n·T fits int64 up to
-    ~10⁹ rows per series at these magnitudes; beyond that the same
-    statistic runs on decimal(38,0) partials.
+    same partitioning (no new exchange). D grows like n²·avg_cents, so
+    int64 would overflow near ~2×10⁸ rows per series at these
+    magnitudes — and Spark wraps silently where DuckDB raises — so d_k
+    is computed on decimal(38,0) UNCONDITIONALLY (exact to 10³⁸;
+    selection and tie-breaks happen on the exact decimal) and only the
+    reported ``max_abs_d`` is cast to double on output, the same
+    engine-neutral canonicalization every decimal column here uses.
     """
     ev = _events(spark, sf_dir)
     base = ev.select(
@@ -530,7 +534,8 @@ def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_cents", F.sum("cents").over(wp))
         .withColumn(
             "d_k",
-            F.col("n_events") * F.col("s_k") - F.col("k") * F.col("total_cents"),
+            F.col("n_events").cast("decimal(38,0)") * F.col("s_k")
+            - F.col("k").cast("decimal(38,0)") * F.col("total_cents"),
         )
     )
     sel = Window.partitionBy("event_type").orderBy(
@@ -546,7 +551,7 @@ def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("shift_k"),
             F.col("ts").alias("shift_ts"),
             F.col("s_k").alias("pre_sum_cents"),
-            F.abs(F.col("d_k")).alias("max_abs_d"),
+            F.abs(F.col("d_k")).cast("double").alias("max_abs_d"),
         )
     )
 
@@ -676,7 +681,8 @@ ORACLE = {
             WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
         ),
         d AS (
-            SELECT *, n_events * s_k - k * total_cents AS d_k
+            SELECT *, CAST(n_events AS DECIMAL(38,0)) * s_k
+                      - CAST(k AS DECIMAL(38,0)) * total_cents AS d_k
             FROM scored
         ),
         ranked AS (
@@ -689,7 +695,7 @@ ORACLE = {
         )
         SELECT event_type, n_events, total_cents,
                k AS shift_k, ts AS shift_ts,
-               s_k AS pre_sum_cents, abs(d_k) AS max_abs_d
+               s_k AS pre_sum_cents, CAST(abs(d_k) AS DOUBLE) AS max_abs_d
         FROM ranked WHERE rn = 1
     """,
     "trending_momentum": """

@@ -135,6 +135,27 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert_state",
     "robust_outliers_mad",
     "incremental_agg_merge",
+    # round-5 pin (VERDICT r4 task 2): the r3 curation/quality cohort
+    # plus the r4b/4c additions slipped the driver window twice because
+    # new modules registered earlier in module order. Pinning them here
+    # makes tier-1 ordering immune to any future registration order —
+    # they hold the head of the window until driver-green.
+    "countmin_heavy_hitters",
+    "profile_columns",
+    "validate_constraints",
+    "chi_square_lang_source",
+    "distribution_drift",
+    "curriculum_quantile_bins",
+    "tokenizer_vocab_coverage",
+    "split_leakage_audit",
+    "ngram_lm_score",
+    "embedding_quantize_error",
+    "trending_momentum",
+    "status_dwell_time",
+    "erasure_impact_audit",
+    "hybrid_search_rrf",
+    "quality_model_filter",
+    "winsorize_values",
 )
 
 

@@ -136,6 +136,12 @@ class ProcessorConfig:
     shard_col: str = "shard_id"
     seq_col: str = "sequence_number"
     ts_col: str = "ts"
+    # True-Latest support (src/processor.rs:825-837: Latest never
+    # reprocesses history): when set, Latest with no caller-provided
+    # source_snapshot batch-reads this path at run_stream start to pin
+    # the stream head, instead of degrading to TrimHorizon.
+    source_path: str | None = None
+    source_format: str = "parquet"
 
 
 # The user transform: DataFrame (+ attempt column) → DataFrame with an
@@ -167,6 +173,14 @@ class StreamProcessor:
         self.dlq_sink = dlq_sink
         self._sleep = sleep
         self._position_bounds: dict[str, str] | None = None
+        # Latest auto-snapshot head: pinned ONCE per processor (the
+        # reference pins the stream head at subscriber start, not per
+        # iterator renewal) so a restart of the streaming query on the
+        # same processor keeps the original cut — without this, a
+        # re-resolve after new arrivals would re-read the source and
+        # silently skip records that arrived after start.
+        self._latest_head_resolved = False
+        self._latest_head: str | None = None
         # graceful-shutdown signal (P6): interrupts checkpoint-save
         # retry sleeps exactly like the reference's shutdown receiver
         # (src/retry/mod.rs:95-108)
@@ -183,15 +197,40 @@ class StreamProcessor:
         if isinstance(pos, TrimHorizon):
             return F.lit(True)
         if isinstance(pos, Latest):
+            if source_snapshot is None and cfg.source_path is not None:
+                # Auto-snapshot: batch-read the stream's source path to
+                # pin the head — the max existing sequence — so only
+                # records arriving after processor start are processed
+                # (true Latest, src/processor.rs:825-837). One max()
+                # aggregate over the pruned seq column (footer-stat
+                # bounded, not a data read), memoized so restarts of
+                # the query on this processor keep the original cut.
+                if not self._latest_head_resolved:
+                    snap = self.spark.read.format(cfg.source_format).load(
+                        cfg.source_path
+                    )
+                    row = snap.select(
+                        F.max(
+                            F.lpad(
+                                F.col(cfg.seq_col).cast("string"), 128, "0"
+                            )
+                        ).alias("m")
+                    ).collect()[0]
+                    self._latest_head = row["m"]
+                    self._latest_head_resolved = True
+                if self._latest_head is None:
+                    return F.lit(True)
+                return pad > F.lit(self._latest_head)
             if source_snapshot is None:
-                # Without a snapshot there is no "max sequence at start":
-                # the filter degrades to TrimHorizon. Warn loudly — the
-                # reference's Latest never reprocesses history.
+                # Without a snapshot or a source_path there is no "max
+                # sequence at start": the filter degrades to
+                # TrimHorizon. Warn loudly — the reference's Latest
+                # never reprocesses history.
                 warnings.warn(
-                    "initial_position=Latest with no source_snapshot: "
-                    "cannot determine the stream head, falling back to "
-                    "TrimHorizon (full history). Pass source_snapshot to "
-                    "run_stream for true Latest semantics.",
+                    "initial_position=Latest with no source_snapshot or "
+                    "config.source_path: cannot determine the stream "
+                    "head, falling back to TrimHorizon (full history). "
+                    "Pass either for true Latest semantics.",
                     stacklevel=3,
                 )
                 return F.lit(True)

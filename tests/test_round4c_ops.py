@@ -10,7 +10,10 @@ import duckdb
 from pyspark.sql import functions as F
 
 from go_zoom_kinesis_spark.operators.dedup import bloom_novelty_filter
-from go_zoom_kinesis_spark.operators.layout import datafile_zonemap_audit
+from go_zoom_kinesis_spark.operators.layout import (
+    datafile_zonemap_audit,
+    datafile_zonemap_detail,
+)
 from go_zoom_kinesis_spark.operators.privacy import (
     ERASE_MOD,
     erasure_impact_audit,
@@ -125,8 +128,10 @@ def test_winsorize_bounds_and_conservation(spark, sf_dir):
 
 
 def test_zonemap_audit_one_row_per_file(spark, sf_dir, tmp_path):
-    """Multi-file behavior: a 4-file copy yields 4 rows whose counts and
-    spans union back to the whole table."""
+    """Multi-file behavior: a 4-file copy yields 4 detail rows whose
+    counts and spans union back to the whole table, and the registered
+    rollup audit reports identical stats for both layouts (the
+    layout-invariance its oracle relies on)."""
     src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dst = str(tmp_path / "li4")
     src.repartition(4, "l_orderkey").write.parquet(dst)
@@ -140,7 +145,18 @@ def test_zonemap_audit_one_row_per_file(spark, sf_dir, tmp_path):
     )
     assert len(per_file) == 4
     assert sum(r["n"] for r in per_file) == src.count()
-    # and the registered single-file query reports the canonical name
-    rows = datafile_zonemap_audit(spark, sf_dir).collect()
-    assert [r["file_name"] for r in rows] == ["lineitem.parquet"]
-    assert rows[0]["n_rows"] == src.count()
+    # detail layer: one row per physical file with the canonical name
+    detail = datafile_zonemap_detail(spark, sf_dir).collect()
+    assert [r["file_name"] for r in detail] == ["lineitem.parquet"]
+    assert detail[0]["n_rows"] == src.count()
+    # registered rollup: layout-invariant — single-file dir and the
+    # 4-file copy must produce the same audit row
+    one = datafile_zonemap_audit(spark, sf_dir).collect()[0]
+    # point the audit at the 4-file copy by staging it as lineitem
+    alt = str(tmp_path / "alt_sf")
+    import os, shutil
+    os.makedirs(alt, exist_ok=True)
+    shutil.copytree(dst, os.path.join(alt, "lineitem.parquet"))
+    four = datafile_zonemap_audit(spark, alt).collect()[0]
+    assert one == four
+    assert one["n_rows"] == src.count()

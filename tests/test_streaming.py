@@ -729,6 +729,63 @@ def test_latest_without_snapshot_warns(spark, tmp_path, records):
         proc._resolve_position_filter(None)
 
 
+def test_latest_auto_snapshot_true_latest(spark, tmp_path, records):
+    """True Latest with no caller snapshot (src/processor.rs:825-837:
+    Latest never reprocesses history): config.source_path lets the
+    processor pin the stream head itself. History written before start
+    must be skipped with NO degradation warning; records arriving after
+    start must be processed; the pinned head must survive a query
+    restart on the same processor."""
+    import warnings as _w
+
+    src_dir = str(tmp_path / "latest_src")
+    history = records.filter(F.col("sequence_number") < 500)
+    history.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    store = InMemoryCheckpointStore()
+    sunk: list = []
+    cfg = ProcessorConfig(
+        checkpoint_location=str(tmp_path / "latest_ckpt"),
+        initial_position=Latest(),
+        prefer_stored_checkpoint=False,
+        total_timeout=120.0,
+        backoff=ExponentialBackoff(0.001, 0.002, jitter_factor=0),
+        source_path=src_dir,
+    )
+    proc = StreamProcessor(
+        spark, classifier, store, cfg,
+        sink=lambda df, e: sunk.extend(df.collect()), sleep=lambda s: None,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any TrimHorizon degradation = fail
+        q = proc.run_stream(stream)
+        assert proc.await_with_timeout(q)
+    assert sunk == []  # history precedes the pinned head
+
+    # post-start arrivals: restart the query on the same processor
+    # (same offset log); the memoized head keeps the original cut
+    records.filter(F.col("sequence_number") >= 500).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        q2 = proc.run_stream(stream2)
+        assert proc.await_with_timeout(q2)
+    got = sorted(r["sequence_number"] for r in sunk)
+    expected = sorted(
+        r["sequence_number"]
+        for r in records.filter(
+            (F.col("sequence_number") >= 500)
+            & (F.col("event_type") != "error")
+        ).collect()
+    )
+    assert got == expected
+
+
 # --- iterator-expiry recovery P5 (↔ test_suite.rs:102-256) --------------
 
 

@@ -106,6 +106,17 @@ HEADLINE_R4 = [
     "winsorize_values",
 ]
 
+HEADLINE_R5 = [
+    "quantile_sketch_audit",
+    "snapshot_diff_cdc",
+    "triangle_count_nations",
+    "hard_negative_mining",
+    "minibatch_pack_plan",
+    "window_distribution_ranks",
+    "ts_autocorr_lag1",
+    "k_anonymity_audit",
+]
+
 
 def main() -> None:
     from go_zoom_kinesis_spark import registry
@@ -120,7 +131,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     total_baseline_set = 0.0
-    for name in HEADLINE + HEADLINE_R4:
+    for name in HEADLINE + HEADLINE_R4 + HEADLINE_R5:
         fn = queries.get(name)
         if fn is None:
             timings[name] = -1.0

@@ -41,6 +41,7 @@ def _modules():
         streaming_analogs,
         text,
         timeseries,
+        training,
         udf_surface,
     )
 
@@ -67,6 +68,7 @@ def _modules():
         search,
         curation,
         quality,
+        training,
     ]
 
 

@@ -263,3 +263,53 @@ def test_minhash_overlap_sketch_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "minhash_user_overlap")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_snapshot_diff_single_outer_join(spark, sf_dir):
+    """The CDC diff is ONE co-partitioned full-outer join (sort-merge
+    or shuffled-hash — both key-partitioned) plus the rollup; both
+    scans pruned to key + compared columns."""
+    plan = _plan(spark, sf_dir, "snapshot_diff_cdc")
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "o_orderdate" not in schema and "o_orderpriority" not in schema
+
+
+def test_triangle_count_edges_broadcast(spark, sf_dir):
+    """Corpus-scale work is the single revenue aggregate; the two
+    wedge-closing self-joins run on the tiny edge relation as
+    broadcasts — never a shuffle of the fact table per wedge."""
+    plan = _plan(spark, sf_dir, "triangle_count_nations")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 2 dims + 2 wedge joins
+
+
+def test_hard_negative_anchors_broadcast(spark, sf_dir):
+    """Anchor set broadcasts; candidate side stays a single scan (the
+    label predicate must not trigger a shuffle before scoring)."""
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one window shuffle for the per-anchor top-k
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minibatch_single_stratum_shuffle(spark, sf_dir):
+    """One window shuffle keyed on lang; batch rollup reuses the same
+    partitioning (no second exchange on (lang, batch_idx))."""
+    plan = _plan(spark, sf_dir, "minibatch_pack_plan")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_sketch_one_corpus_aggregate(spark, sf_dir):
+    """The per-value count table is the only corpus-scale aggregate;
+    it must partial-aggregate map-side and be cached (InMemory) so the
+    est/exact branches do not rescan events."""
+    plan = _plan(spark, sf_dir, "quantile_sketch_audit")
+    assert "partial_count" in plan or "partial_" in plan
+    # every branch must read the cached per-value table, not re-scan
+    # events (InMemoryRelation plan text embeds its defining FileScan,
+    # so counting scan strings over-counts; the load-bearing fact is
+    # that the consumers are InMemoryTableScans)
+    assert plan.count("InMemoryTableScan") >= 3

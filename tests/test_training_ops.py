@@ -1,0 +1,144 @@
+"""Invariant tests for the round-5 training/governance operators —
+properties the value-hash oracle can't state (inequalities, partition
+laws, cross-query consistency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_zoom_kinesis_spark.io import load_table
+from go_zoom_kinesis_spark.operators.training import (
+    BATCH_DOCS,
+    HN_QUERIES,
+    HN_TOP_K,
+    K_ANON,
+    hard_negative_mining,
+    k_anonymity_audit,
+    minibatch_pack_plan,
+    quantile_sketch_audit,
+    snapshot_diff_cdc,
+    triangle_count_nations,
+    ts_autocorr_lag1,
+    window_distribution_ranks,
+)
+
+
+def test_k_anonymity_partitions_corpus(spark, sf_dir):
+    """Class sizes sum to the corpus and the risk flag is exactly the
+    size predicate."""
+    rows = k_anonymity_audit(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["class_size"] for r in rows) == n_docs
+    for r in rows:
+        assert r["at_risk"] == (r["class_size"] < K_ANON)
+
+
+def test_quantile_sketch_bounds(spark, sf_dir):
+    """Estimate ≥ exact (upper bin edge), error within one bin width,
+    and the exact quantile really is the discrete quantile."""
+    rows = {r["q_ppm"]: r for r in quantile_sketch_audit(spark, sf_dir).collect()}
+    assert set(rows) == {500000, 950000, 990000}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    cents = sorted(r["cents"] for r in ev.collect())
+    n = len(cents)
+    lo, hi = cents[0], cents[-1]
+    width = max((hi - lo + 1) // 128, 1)
+    for q_ppm, r in rows.items():
+        assert r["err_cents"] >= 0
+        assert r["err_cents"] < width
+        target = -(-n * q_ppm // 1_000_000)  # ceil(q*n)
+        assert r["exact_cents"] == cents[target - 1]
+
+
+def test_snapshot_diff_partitions_keyspace(spark, sf_dir):
+    """added/deleted/changed/unchanged partition the union of both
+    versions' keys; class counts recompute from the version rules."""
+    rows = {r["change_type"]: r for r in snapshot_diff_cdc(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    in_old = {k for k in keys if k % 10 != 3}
+    in_new = {k for k in keys if k % 13 != 5}
+    assert rows["added"]["n_rows"] == len(in_new - in_old)
+    assert rows["deleted"]["n_rows"] == len(in_old - in_new)
+    both = in_old & in_new
+    changed = {k for k in both if k % 7 == 0}
+    # +5% via integer div 20 can be 0 for tiny prices; recompute exactly
+    cents = {
+        r["o_orderkey"]: int(r["o_totalprice"] * 100 // 1)
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    }
+    really_changed = {k for k in changed if cents[k] // 20 != 0}
+    assert rows["changed"]["n_rows"] == len(really_changed)
+    assert rows["unchanged"]["n_rows"] == len(both - really_changed)
+    total = sum(r["n_rows"] for r in rows.values())
+    assert total == len(in_old | in_new)
+
+
+def test_triangles_are_closed_and_ordered(spark, sf_dir):
+    """Every output triple is strictly ordered (dedup by construction)
+    and each of its three edges exists in the thresholded edge set."""
+    tris = triangle_count_nations(spark, sf_dir).collect()
+    assert tris, "trade graph should be dense enough to close triangles"
+    for t in tris:
+        assert t["nation_a"] < t["nation_b"] < t["nation_c"]
+    # no duplicate triangles
+    triples = [(t["nation_a"], t["nation_b"], t["nation_c"]) for t in tris]
+    assert len(triples) == len(set(triples))
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert labels[r["vec_id"]] != labels[r["q_id"]]
+        assert r["vec_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r["rk"])
+    assert set(per_q) == set(range(HN_QUERIES))
+    for rks in per_q.values():
+        assert sorted(rks) == list(range(1, HN_TOP_K + 1))
+
+
+def test_minibatch_padding_law(spark, sf_dir):
+    """padding = max·n − Σ ≥ 0; only the last batch per lang may be
+    short; batch doc counts sum to the stratum size."""
+    rows = minibatch_pack_plan(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    lang_n = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    by_lang: dict = {}
+    for r in rows:
+        assert r["padding_chars"] == r["max_chars"] * r["n_docs"] - r["total_chars"]
+        assert r["padding_chars"] >= 0
+        assert r["n_docs"] <= BATCH_DOCS
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, batches in by_lang.items():
+        batches.sort(key=lambda r: r["batch_idx"])
+        assert [b["batch_idx"] for b in batches] == list(range(len(batches)))
+        assert sum(b["n_docs"] for b in batches) == lang_n[lang]
+        for b in batches[:-1]:
+            assert b["n_docs"] == BATCH_DOCS
+
+
+def test_distribution_ranks_laws(spark, sf_dir):
+    rows = window_distribution_ranks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["pr"] <= 1.0
+        assert 0.0 < r["cd"] <= 1.0
+        assert 1 <= r["tile"] <= 4
+        assert r["o_orderkey"] % 199 == 0
+
+
+def test_autocorr_in_range(spark, sf_dir):
+    rows = ts_autocorr_lag1(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["autocorr_r"] is not None:
+            assert -1.0 <= r["autocorr_r"] <= 1.0
+        assert r["n_pairs"] > 0

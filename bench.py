@@ -115,6 +115,8 @@ HEADLINE_R5 = [
     "window_distribution_ranks",
     "ts_autocorr_lag1",
     "k_anonymity_audit",
+    "multimodal_arrow_hist",
+    "decontaminate_semantic",
 ]
 
 

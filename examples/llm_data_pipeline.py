@@ -10,7 +10,11 @@ registry operators (each individually oracle-verified):
                              every verified ≥0.5-Jaccard pair)
       → decontamination     (decontaminate_ngram: drop train docs
                              sharing a 5-gram with the eval slice)
+      → k-anonymity gate    (k_anonymity_audit shape over the
+                             survivors: refuse to ship risky classes)
       → sequence packing    (pack budget offsets per language stream)
+      → batch manifest      (minibatch_pack_plan shape: padding-waste
+                             accounting the trainer reads)
       → partitioned shard write (parquet, partitionBy(lang))
 
     python examples/llm_data_pipeline.py [sf_dir] [out_dir]
@@ -89,6 +93,24 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     )
     funnel["decontaminated"] = kept.count()
 
+    # 4b. k-anonymity release gate over the SURVIVORS (the registry's
+    #     k_anonymity_audit shape applied post-filter): quasi-id
+    #     classes smaller than K are dropped rather than shipped —
+    #     curation filters concentrate rare (lang, source) combos, so
+    #     the gate must run after them, not on the raw corpus.
+    #     K=2 (drop singleton classes) keeps the toy corpus
+    #     demonstrative; production gates use K ≥ 10 (the registry
+    #     operator's constant).
+    K_ANON = 2
+    safe_classes = (
+        kept.groupBy("lang", "source")
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") >= K_ANON)
+        .select("lang", "source")
+    )
+    kept = kept.join(F.broadcast(safe_classes), ["lang", "source"], "left_semi")
+    funnel["k_anonymous"] = kept.count()
+
     # 5. pack offsets over the SURVIVING stream (same contract as the
     #    registry's pack_sequences, applied post-filter)
     w = (
@@ -104,6 +126,17 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         .withColumn("pack_id", F.expr(f"off_excl div {PACK_BUDGET}"))
     )
 
+    # 5b. batch manifest with padding-waste accounting (the registry's
+    #     minibatch_pack_plan shape over the surviving stream): the
+    #     trainer reads this to budget fixed-shape tensor batches.
+    manifest = packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tok"),
+        F.max("n_tok").alias("max_tok"),
+        (F.max("n_tok") * F.count("*") - F.sum("n_tok")).alias("padding_tok"),
+    )
+    funnel["batches"] = manifest.count()
+
     # 6. shard write — partitioned by language for downstream loaders
     (
         packed.select(
@@ -112,6 +145,9 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         .write.mode("overwrite")
         .partitionBy("lang")
         .parquet(out_dir)
+    )
+    manifest.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_manifest")
     )
     funnel["written"] = spark.read.parquet(out_dir).count()
     return funnel

@@ -111,6 +111,89 @@ def multimodal_features_pipeline(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
+def multimodal_arrow_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte statistics computed with ``mapInArrow`` — the
+    Arrow-NATIVE Python execution surface (completing the trio beside
+    ``mapInPandas`` above and the pandas_udf sites in udf_surface.py):
+    batches arrive as ``pyarrow.RecordBatch``, the binary column's
+    values are read straight from its offsets + data buffers with
+    numpy (no pandas conversion, no per-row Python), and per-row sums
+    come from one cumulative-sum subtraction over the flat buffer —
+    the zero-copy path a media pipeline uses when even the
+    Arrow→pandas hop is too expensive.
+
+    Emits per doc: byte count, byte-value sum, and high-bit count
+    (≥0x80 — 0 for the ASCII corpus, the claim the oracle restates
+    from codepoints; same ASCII-pinned equivalence as
+    ``multimodal_features``, guarded by
+    tests/test_multimodal_skew.py::test_documents_text_is_pure_ascii_all_sfs).
+
+    Scale: embarrassingly parallel single scan, no shuffle; the
+    rollup below is a broadcast-free keyed aggregate on modality."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = with_payload(docs).select(
+        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("modality", pa.string()),
+            pa.field("n_bytes", pa.int64()),
+            pa.field("byte_sum", pa.int64()),
+            pa.field("n_high", pa.int64()),
+        ]
+    )
+
+    def byte_stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index("payload"))
+            # normalize offset-sliced batches to a fresh array so the
+            # buffer math below starts at offset 0
+            arr = pa.concat_arrays([col]).slice(0, len(col))
+            if arr.offset != 0 or isinstance(arr, pa.LargeBinaryArray):
+                arr = pa.array(arr.to_pylist(), type=pa.binary())
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                : len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(
+                arr.buffers()[2] or b"", dtype=np.uint8
+            ).astype(np.int64)
+            # prefix sums make per-row reductions a subtraction — and
+            # empty payloads naturally yield 0 (reduceat would not)
+            cs = np.concatenate([[0], np.cumsum(data)])
+            hs = np.concatenate([[0], np.cumsum(data >= 128)])
+            yield pa.record_batch(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    batch.column(batch.schema.get_field_index("modality")),
+                    pa.array(offs[1:] - offs[:-1], type=pa.int64()),
+                    pa.array(cs[offs[1:]] - cs[offs[:-1]], type=pa.int64()),
+                    pa.array(hs[offs[1:]] - hs[offs[:-1]], type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    per_doc = src.mapInArrow(
+        byte_stats,
+        schema="doc_id bigint, modality string, n_bytes bigint, "
+        "byte_sum bigint, n_high bigint",
+    )
+    return per_doc.groupBy("modality").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("byte_sum").alias("total_byte_sum"),
+        F.sum("n_high").alias("total_high"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 # --- driver-checkable queries ------------------------------------------
 
 
@@ -245,9 +328,33 @@ QUERIES = {
     "multimodal_modality_stats": multimodal_modality_stats,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_arrow_hist": multimodal_arrow_hist,
 }
 
 ORACLE = {
+    # byte stats restated from codepoints — exact because the corpus is
+    # ASCII-pinned (see multimodal_features' identical guard)
+    "multimodal_arrow_hist": """
+        WITH per_doc AS (
+            SELECT doc_id,
+                   CASE octet_length(encode(text)) % 3
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(coalesce(list_sum(list_transform(split(text, ''),
+                        c -> ascii(c))), 0) AS BIGINT) AS byte_sum,
+                   CAST(coalesce(list_sum(list_transform(split(text, ''),
+                        c -> CASE WHEN ascii(c) >= 128 THEN 1 ELSE 0 END)),
+                        0) AS BIGINT) AS n_high
+            FROM documents
+        )
+        SELECT modality, count(*) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(byte_sum) AS BIGINT) AS total_byte_sum,
+               CAST(sum(n_high) AS BIGINT) AS total_high,
+               min(doc_id) AS min_doc_id
+        FROM per_doc GROUP BY 1
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,

@@ -235,8 +235,55 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_TAU = 0.4  # cosine threshold for semantic contamination
+SEM_EVAL_MOD = 97  # vec_id % 97 == 0 is the held-out eval slice
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space companion to
+    ``decontaminate_ngram``: n-gram scans miss paraphrased benchmark
+    leakage, so pipelines ALSO flag training vectors whose cosine to
+    any held-out eval vector reaches a threshold. Per label: training
+    count, contaminated count (max eval-cosine ≥ 0.4), and the worst
+    offender's score.
+
+    Plan: the eval slice is tiny by construction and broadcasts; each
+    training vector reduces over it map-side (per-train max folds
+    partially before the label rollup), so the corpus-scale side is
+    ONE scan with no train-side shuffle of raw vectors — the same
+    broadcast shape as the n-gram variant, with the LSH/IVF bucket
+    join from ``similarity.py`` as the swap-in when the eval slice
+    outgrows a broadcast.
+
+    Same sequential-fold cosine as every embedding op (bit-identical
+    to the DuckDB oracle's list_reduce)."""
+    from .similarity import _emb, _dot, _with_norm
+
+    emb = _with_norm(_emb(spark, sf_dir))
+    ev = emb.filter(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
+        F.col("emb").alias("e_emb"), F.col("norm").alias("e_norm")
+    )
+    tr = emb.filter(F.col("vec_id") % SEM_EVAL_MOD != 0)
+    per_train = (
+        tr.join(F.broadcast(ev))
+        .withColumn(
+            "c", _dot(F.col("emb"), F.col("e_emb")) / (F.col("norm") * F.col("e_norm"))
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("c").alias("max_cos"))
+    )
+    return per_train.groupBy("label").agg(
+        F.count("*").alias("n_train"),
+        F.sum((F.col("max_cos") >= SEM_TAU).cast("bigint")).alias(
+            "n_contaminated"
+        ),
+        F.round(F.max("max_cos"), 6).alias("worst_cos"),
+    )
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
+    "decontaminate_semantic": decontaminate_semantic,
     "corpus_mix_sample": corpus_mix_sample,
     "corpus_temperature_mix": corpus_temperature_mix,
     "decontaminate_ngram": decontaminate_ngram,
@@ -355,4 +402,36 @@ ORACLE["corpus_temperature_mix"] = f"""
                AS BIGINT) AS chars_kept
     FROM documents
     GROUP BY lang
+"""
+
+ORACLE["decontaminate_semantic"] = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               label
+        FROM embeddings
+    ),
+    en AS (
+        SELECT vec_id, emb, label,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, 64), i -> emb[i] * emb[i])),
+                    (acc, v) -> acc + v)) AS norm
+        FROM e
+    ),
+    ev AS (SELECT emb AS e_emb, norm AS e_norm FROM en
+           WHERE vec_id % {SEM_EVAL_MOD} = 0),
+    tr AS (SELECT * FROM en WHERE vec_id % {SEM_EVAL_MOD} <> 0),
+    per_train AS (
+        SELECT tr.vec_id, tr.label,
+               max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, 64),
+                                  i -> tr.emb[i] * ev.e_emb[i])),
+                   (acc, v) -> acc + v) / (tr.norm * ev.e_norm)) AS max_cos
+        FROM tr, ev
+        GROUP BY 1, 2
+    )
+    SELECT label, count(*) AS n_train,
+           CAST(sum(CASE WHEN max_cos >= {SEM_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(max(max_cos), 6) AS worst_cos
+    FROM per_train GROUP BY 1
 """

@@ -14,12 +14,20 @@ from examples.llm_data_pipeline import run
 def test_pipeline_example_end_to_end(spark, sf_dir, tmp_path):
     out = str(tmp_path / "shards")
     funnel = run(spark, sf_dir, out)
-    stages = ["raw", "quality", "exact_dedup", "near_dedup", "decontaminated"]
+    stages = [
+        "raw",
+        "quality",
+        "exact_dedup",
+        "near_dedup",
+        "decontaminated",
+        "k_anonymous",
+    ]
     counts = [funnel[s] for s in stages]
     assert counts == sorted(counts, reverse=True)
     assert funnel["quality"] < funnel["raw"]  # the median cut bites
-    assert funnel["written"] == funnel["decontaminated"]
+    assert funnel["written"] == funnel["k_anonymous"]
     assert funnel["written"] > 0
+    assert 0 < funnel["batches"] <= funnel["written"]
     shards = [d for d in os.listdir(out) if d.startswith("lang=")]
     assert shards, "expected partitionBy(lang) shard directories"
     back = spark.read.parquet(out)

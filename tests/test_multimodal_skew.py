@@ -102,3 +102,49 @@ def test_documents_text_is_pure_ascii_all_sfs():
             f"{max_cp}) — the multimodal byte-level oracles are invalid; "
             "rewrite them byte-based before the driver round"
         )
+
+
+def test_arrow_hist_matches_engine_side_byte_math(spark, sf_dir):
+    """mapInArrow buffer arithmetic must equal the same stats computed
+    engine-side (octet_length + in-row ascii fold), including empty
+    payloads (prefix-sum subtraction, not reduceat)."""
+    from go_zoom_kinesis_spark.operators.multimodal import (
+        multimodal_arrow_hist,
+        with_payload,
+    )
+    from go_zoom_kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wp = with_payload(docs).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        F.aggregate(
+            F.transform(
+                F.split(F.col("payload").cast("string"), ""),
+                lambda c: F.when(c != "", F.ascii(c)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("byte_sum"),
+    )
+    expected = {
+        r["modality"]: (r["n"], r["tb"], r["ts"])
+        for r in wp.groupBy("modality")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("tb"),
+            F.sum("byte_sum").alias("ts"),
+        )
+        .collect()
+    }
+    got = {
+        r["modality"]: (r["n_docs"], r["total_bytes"], r["total_byte_sum"])
+        for r in multimodal_arrow_hist(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # ASCII corpus: the high-bit counter must be identically zero
+    assert all(
+        r["total_high"] == 0
+        for r in multimodal_arrow_hist(spark, sf_dir).collect()
+    )

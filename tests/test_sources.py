@@ -109,3 +109,31 @@ def test_fan_out_narrow(spark, sf_dir):
     # already wide ⇒ identity (no repartition node added)
     again = fan_out_narrow(wide)
     assert again is wide
+
+
+def test_schema_evolution_merge_read(spark, tmp_path, events):
+    """Schema evolution across parquet generations — a 100 TB table
+    accumulates files written by different pipeline versions. A
+    mergeSchema read must union the schemas (new columns null-filled
+    for old files) and per-file pruning/pushdown must keep working."""
+    base = str(tmp_path / "evolving")
+    v1 = events.select("event_id", "event_type", "value")
+    v1.write.parquet(base + "/gen=1")
+    v2 = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit("v2").alias("pipeline_version"),  # column added later
+    )
+    v2.write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {
+        "event_id", "event_type", "value", "pipeline_version", "gen",
+    }
+    assert merged.count() == v1.count() + v2.count()
+    # old generation reads the evolved column as null
+    olds = merged.filter(F.col("gen") == 1)
+    assert olds.filter(F.col("pipeline_version").isNull()).count() == olds.count()
+    news = merged.filter(F.col("gen") == 2)
+    assert news.filter(F.col("pipeline_version") == "v2").count() == news.count()

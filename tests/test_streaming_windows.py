@@ -298,3 +298,33 @@ def test_stream_stream_inner_unchanged_by_outer_param(spark, sf_dir):
     )
     assert out.filter(F.col("click_id").isNull()).count() == 0
     assert out.count() > 0
+
+
+def test_tumbling_stream_rocksdb_state_store(
+    spark, tmp_path, events_batch, events_stream
+):
+    """Production state-store posture: the same windowed aggregation
+    must produce identical results under the RocksDB state store —
+    the provider a real deployment uses so streaming state (windows,
+    dedup sets, join buffers) spills to local SSD instead of being
+    bounded by executor heap. Results must match both the batch
+    answer and the default (HDFS-backed in-memory) provider's."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, rocksdb)
+    try:
+        name = _run_complete(
+            tumbling_metrics(events_stream), tmp_path, "tumbling_rocks_t"
+        )
+        got = spark.sql(f"SELECT * FROM {name}")
+        batch = tumbling_metrics(events_batch, streaming=False)
+        assert _rows(spark, got) == _rows(spark, batch)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)

@@ -58,6 +58,7 @@ BYTE_LEVEL_QUERIES = (
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_phash_clusters",
+    "multimodal_arrow_hist",
 )
 
 

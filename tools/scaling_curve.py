@@ -48,7 +48,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from bench import HEADLINE, HEADLINE_R4
+    from bench import HEADLINE, HEADLINE_R4, HEADLINE_R5
     from go_zoom_kinesis_spark import registry
     from go_zoom_kinesis_spark.session import get_spark
 
@@ -56,7 +56,7 @@ def main() -> None:
     spark.range(1).count()
     queries = registry.all_queries()
     names = (
-        args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4)
+        args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4 + HEADLINE_R5)
     )
 
     rows = []

@@ -117,6 +117,8 @@ HEADLINE_R5 = [
     "k_anonymity_audit",
     "multimodal_arrow_hist",
     "decontaminate_semantic",
+    "pit_join_user_status",
+    "pit_feature_matrix",
 ]
 
 

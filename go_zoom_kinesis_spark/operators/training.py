@@ -378,6 +378,120 @@ def minibatch_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- point-in-time correctness ------------------------------------------
+
+PIT_FACT_MOD = 17  # event_id % 17 == 0 are the label/fact events
+PIT_CUTOFFS = ("2024-01-10", "2024-01-20", "2024-02-01")
+
+
+def pit_join_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store primitive that prevents
+    label leakage: each fact event is enriched with the user status
+    that was valid AT its event time (never a later one). Facts are
+    the deterministic event_id % 17 slice; the dimension is the user's
+    status-change stream (the same change rows ``scd2_user_status``
+    compacts into intervals).
+
+    Plan (the 100 TB shape): NOT a range join — dimension changes and
+    facts are UNIONED and a single per-user window carries the last
+    non-null status forward (LOCF), so the whole operator is ONE
+    shuffle on user_id with no interval-containment join at all; the
+    classic union-then-carry as-of algorithm. Boundary convention: a
+    status change at exactly the fact's timestamp applies (change rows
+    sort before fact rows on ties), matching SCD-2 ``valid_from ≤ ts``
+    containment.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            (F.col("prev_type").isNull())
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(None).cast("string").alias("event_type"),
+            F.col("event_type").alias("status"),
+            F.lit(0).alias("pri"),
+            F.col("event_id").alias("order_id"),
+        )
+    )
+    facts = ev.filter(F.col("event_id") % PIT_FACT_MOD == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(1).alias("pri"),
+        F.col("event_id").alias("order_id"),
+    )
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "pri", "order_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = changes.unionByName(facts).withColumn(
+        "pit_status", F.last("status", ignorenulls=True).over(wl)
+    )
+    return carried.filter(F.col("pri") == 1).select(
+        "event_id", "user_id", "ts", "event_type", "pit_status"
+    )
+
+
+def pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-cutoff training-snapshot generation: per user and
+    training cutoff date, the features a model trained at that cutoff
+    may legally see — event count, spend cents, and latest status
+    strictly BEFORE the cutoff. Three snapshots in ONE pass: every
+    as-of aggregate is a conditional expression inside a single
+    per-user hash aggregate (no per-cutoff rescan, no events×cutoffs
+    blowup), then the 3 snapshot columns unpivot with ``stack``.
+
+    The as-of status is ``max_by`` over a zero-padded (ts, event_id)
+    string key — total order, engine-portable (both engines resolve
+    max_by on the identical key). Scale: one shuffle keyed on user_id,
+    output = 3·|users| rows."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        key.alias("ord_key"),
+    )
+    aggs = []
+    for i, cut in enumerate(PIT_CUTOFFS):
+        before = F.col("ts") < F.lit(cut).cast("timestamp")
+        aggs += [
+            F.sum(before.cast("bigint")).alias(f"n_{i}"),
+            F.coalesce(
+                F.sum(F.when(before, F.col("cents"))), F.lit(0)
+            ).alias(f"spend_{i}"),
+            F.max_by(
+                F.when(before, F.col("event_type")),
+                F.when(before, F.col("ord_key")),
+            ).alias(f"status_{i}"),
+        ]
+    per_user = base.groupBy("user_id").agg(*aggs)
+    stack_expr = "stack(%d, %s) AS (cutoff_date, n_events, spend_cents, last_status)" % (
+        len(PIT_CUTOFFS),
+        ", ".join(
+            f"'{cut}', n_{i}, spend_{i}, status_{i}"
+            for i, cut in enumerate(PIT_CUTOFFS)
+        ),
+    )
+    return per_user.selectExpr("user_id", stack_expr)
+
+
 # --- relational/window surface ------------------------------------------
 
 
@@ -482,6 +596,8 @@ QUERIES = {
     "minibatch_pack_plan": minibatch_pack_plan,
     "window_distribution_ranks": window_distribution_ranks,
     "ts_autocorr_lag1": ts_autocorr_lag1,
+    "pit_join_user_status": pit_join_user_status,
+    "pit_feature_matrix": pit_feature_matrix,
 }
 
 
@@ -633,6 +749,69 @@ ORACLE = {
         JOIN edges e3 ON e1.na = e3.na AND e2.nb = e3.nb
     """,
     "hard_negative_mining": _hn_oracle(),
+    "pit_join_user_status": f"""
+        WITH ev AS (
+            SELECT event_id, user_id, ts, event_type FROM events
+        ),
+        changes AS (
+            SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts,
+                   CAST(NULL AS VARCHAR) AS event_type,
+                   event_type AS status, 0 AS pri, event_id AS order_id
+            FROM (
+                SELECT *, lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS prev_type
+                FROM ev
+            )
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        facts AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(NULL AS VARCHAR) AS status, 1 AS pri,
+                   event_id AS order_id
+            FROM ev WHERE event_id % {PIT_FACT_MOD} = 0
+        ),
+        u AS (SELECT * FROM changes UNION ALL SELECT * FROM facts),
+        carried AS (
+            SELECT *, last_value(status IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, pri, order_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS pit_status
+            FROM u
+        )
+        SELECT event_id, user_id, ts, event_type, pit_status
+        FROM carried WHERE pri = 1
+    """,
+    "pit_feature_matrix": f"""
+        WITH base AS (
+            SELECT user_id, ts, event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord_key
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN ts < TIMESTAMP '{cut}' "
+                       f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{i}, "
+                       f"CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{cut}' "
+                       f"THEN cents END), 0) AS BIGINT) AS spend_{i}, "
+                       f"max_by(CASE WHEN ts < TIMESTAMP '{cut}' "
+                       f"THEN event_type END, "
+                       f"CASE WHEN ts < TIMESTAMP '{cut}' "
+                       f"THEN ord_key END) AS status_{i}"
+                       for i, cut in enumerate(PIT_CUTOFFS)
+                   )}
+            FROM base GROUP BY user_id
+        )
+        {" UNION ALL ".join(
+            f"SELECT user_id, '{cut}' AS cutoff_date, n_{i} AS n_events, "
+            f"spend_{i} AS spend_cents, status_{i} AS last_status "
+            f"FROM per_user"
+            for i, cut in enumerate(PIT_CUTOFFS)
+        )}
+    """,
     "minibatch_pack_plan": f"""
         WITH assigned AS (
             SELECT lang, doc_id, n_chars,

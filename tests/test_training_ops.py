@@ -142,3 +142,59 @@ def test_autocorr_in_range(spark, sf_dir):
         if r["autocorr_r"] is not None:
             assert -1.0 <= r["autocorr_r"] <= 1.0
         assert r["n_pairs"] > 0
+
+
+def test_pit_join_never_leaks_future_status(spark, sf_dir):
+    """The leakage property PIT joins exist for: every fact's
+    pit_status equals the status of the LATEST change event at-or-
+    before the fact's (ts, boundary) — recomputed independently in
+    Python — and never reflects a later change."""
+    from go_zoom_kinesis_spark.operators.training import (
+        PIT_FACT_MOD,
+        pit_join_user_status,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    rows = sorted(
+        ev.collect(), key=lambda r: (r["user_id"], r["ts"], r["event_id"])
+    )
+    # python reference: replay each user's stream, tracking status
+    expect: dict = {}
+    cur: dict = {}
+    prev_type: dict = {}
+    for r in rows:
+        u = r["user_id"]
+        if prev_type.get(u) != r["event_type"]:
+            cur[u] = r["event_type"]  # change applies at its own ts
+        prev_type[u] = r["event_type"]
+        if r["event_id"] % PIT_FACT_MOD == 0:
+            expect[r["event_id"]] = cur.get(u)
+    got = {
+        r["event_id"]: r["pit_status"]
+        for r in pit_join_user_status(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_pit_feature_matrix_monotone_across_cutoffs(spark, sf_dir):
+    """As-of aggregates may only grow with later cutoffs, and the
+    earliest-cutoff row of a user with no prior events is all-empty."""
+    from go_zoom_kinesis_spark.operators.training import (
+        PIT_CUTOFFS,
+        pit_feature_matrix,
+    )
+
+    rows = pit_feature_matrix(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], {})[r["cutoff_date"]] = r
+    for u, cuts in by_user.items():
+        assert set(cuts) == set(PIT_CUTOFFS)
+        seq = [cuts[c] for c in PIT_CUTOFFS]
+        for a, b in zip(seq, seq[1:]):
+            assert a["n_events"] <= b["n_events"]
+            assert a["spend_cents"] <= b["spend_cents"] or b["n_events"] == a["n_events"]
+        for r in seq:
+            assert (r["n_events"] == 0) == (r["last_status"] is None)

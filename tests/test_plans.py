@@ -313,3 +313,52 @@ def test_quantile_sketch_one_corpus_aggregate(spark, sf_dir):
     # so counting scan strings over-counts; the load-bearing fact is
     # that the consumers are InMemoryTableScans)
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_aqe_skew_join_fires_at_runtime(spark, tmp_path):
+    """Runtime evidence for the SCALE.md claim that AQE's skew-join
+    handles moderate hot keys without manual salting: build a join
+    where one key owns ~90% of the left side, execute it, and assert
+    the FINAL adaptive plan actually split the skewed partition
+    (isSkew=true markers in the sort-merge join node)."""
+    left = spark.range(0, 400_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7 ELSE id END AS k", "id AS payload"
+    )
+    right = spark.range(0, 50_000).selectExpr("id AS k", "id * 2 AS r")
+    conf = spark.conf
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", None
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", None
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", None
+        ),
+    }
+    try:
+        # thresholds low enough that the test-sized hot key qualifies
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution so AQE finalizes
+        # it (count() would plan and run a different query)
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for key, val in old.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)

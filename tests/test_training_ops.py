@@ -198,3 +198,76 @@ def test_pit_feature_matrix_monotone_across_cutoffs(spark, sf_dir):
             assert a["spend_cents"] <= b["spend_cents"] or b["n_events"] == a["n_events"]
         for r in seq:
             assert (r["n_events"] == 0) == (r["last_status"] is None)
+
+
+def test_pit_join_adversarial_tie_storm(spark, tmp_path):
+    """Boundary-convention torture test: a synthetic stream where most
+    events share timestamps (many changes and facts on the same tick,
+    single hot user plus sparse users) — the Python replay referee must
+    agree with the Spark plan on every fact. This is the distribution
+    where a wrong tie-break (change-after-fact, or event_id ordering
+    across the pri boundary) shows up immediately."""
+    import random
+
+    from go_zoom_kinesis_spark.operators.training import (
+        PIT_FACT_MOD,
+        pit_join_user_status,
+    )
+
+    rng = random.Random(73)
+    rows = []
+    for eid in range(1, 1200):
+        user = 1 if rng.random() < 0.7 else rng.randint(2, 5)
+        # only 8 distinct ticks → massive tie density
+        tick = rng.randint(0, 7)
+        etype = rng.choice(["a", "b", "c"])
+        rows.append((eid, user, tick, etype))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, tick int, event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("tick") * 3600).alias(
+            "ts"
+        ),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sfdir = str(tmp_path / "adv_sf")
+    df.write.parquet(f"{sfdir}/events.parquet")
+
+    # python referee: replay per user ordered by (ts, event_id); a
+    # change applies at its own (ts, id); facts read the status as of
+    # their position with changes-first on ties (pri ordering)
+    recs = sorted(rows, key=lambda r: (r[1], r[2], r[0]))
+    expect, cur, prev = {}, {}, {}
+    # first pass: the change set (type differs from previous event)
+    changes = set()
+    for eid, u, tick, et in recs:
+        if prev.get(u) != et:
+            changes.add(eid)
+        prev[u] = et
+    # second pass: changes at a tick apply before any fact at that tick
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, u, tick, et in recs:
+        by_user[u].append((eid, tick, et))
+    for u, evs in by_user.items():
+        by_tick = defaultdict(list)
+        for eid, tick, et in evs:
+            by_tick[tick].append((eid, et))
+        status = None
+        for tick in sorted(by_tick):
+            for eid, et in sorted(by_tick[tick]):
+                if eid in changes:
+                    status = et
+            for eid, et in sorted(by_tick[tick]):
+                if eid % PIT_FACT_MOD == 0:
+                    expect[eid] = status
+    got = {
+        r["event_id"]: r["pit_status"]
+        for r in pit_join_user_status(spark, sfdir).collect()
+    }
+    assert got == expect

@@ -365,12 +365,22 @@ def string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Apache DataSketches HLL): build
     per-(brand, size) sub-sketches, merge them with ``hll_union_agg``
-    into per-brand sketches, and assert the merged estimate equals the
-    directly-built one and lands within 2% of exact. This is THE 100 TB
+    into per-brand sketches, and assert BOTH the merged and the
+    directly-built estimates land within 5% of exact. This is THE 100 TB
     distinct-count pattern — daily partition sketches union into
     monthly rollups without rescanning history. Sketch bytes are
     implementation-specific, so (as with ``approx_distinct_parts``)
-    the oracle checks the emitted claims, not the sketch."""
+    the oracle checks the emitted claims, not the sketch.
+
+    Claims (each one a property of the ALGORITHM, robust at any scale
+    factor): default HLL lgConfigK=12 has ~1.6% relative standard
+    error, so the accuracy bound is 5% ≈ 3σ — a 2% claim is only ~1.2σ
+    and flips on individual groups (observed at sf0.1). And the merged
+    and direct estimates are NOT asserted identical: sketch union can
+    take different sparse→dense mode transitions than a direct build
+    and land on a slightly different (still in-bound) estimate — also
+    observed at sf0.1 — so each is bounded against exact
+    independently."""
     part = _t(spark, sf_dir, "part")
     sub = part.groupBy("p_brand", "p_size").agg(
         F.expr("hll_sketch_agg(p_partkey)").alias("sk"),
@@ -387,16 +397,18 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_partkey").alias("n_exact"),
     )
     j = merged.join(direct, "p_brand")
-    within = (
-        F.abs(F.col("est_merged").cast("double") - F.col("n_exact").cast("double"))
-        / F.col("n_exact").cast("double")
-        <= 0.02
-    )
+    def within(col):
+        return (
+            F.abs(F.col(col).cast("double") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        )
+
     return j.select(
         "p_brand",
         "n_exact",
-        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
-        within.alias("merged_within_2pct"),
+        within("est_direct").alias("direct_within_5pct"),
+        within("est_merged").alias("merged_within_5pct"),
         (F.col("exact_by_sub") == F.col("n_exact")).alias("subkeys_partition"),
     )
 
@@ -684,8 +696,8 @@ ORACLE = {
     "hll_sketch_rollup": """
         SELECT p_brand,
                count(DISTINCT p_partkey) AS n_exact,
-               TRUE AS merge_consistent,
-               TRUE AS merged_within_2pct,
+               TRUE AS direct_within_5pct,
+               TRUE AS merged_within_5pct,
                TRUE AS subkeys_partition
         FROM part GROUP BY p_brand
     """,

@@ -119,6 +119,8 @@ HEADLINE_R5 = [
     "decontaminate_semantic",
     "pit_join_user_status",
     "pit_feature_matrix",
+    "filter_overlap_matrix",
+    "epoch_shuffle_plan",
 ]
 
 

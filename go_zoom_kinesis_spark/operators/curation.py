@@ -319,7 +319,66 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHORT_CHARS = 200  # f_short: documents under this many chars
+DUP_FRAC_DEN = 4  # f_dup: duplicate tokens ≥ 1/4 of tokens
+REP_FRAC_DEN = 5  # f_rep: top token ≥ 1/5 of tokens
+
+
+def filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade Venn audit: which curation filters kill which
+    documents, JOINTLY. Every doc gets a 3-bit mask over integer-exact
+    filters — too-short (n_chars < 200), duplicate-heavy (dup tokens ≥
+    25%), repetition-heavy (top token ≥ 20%) — and the output is the
+    8-cell contingency table with doc counts and char mass. This is
+    how a curation team finds REDUNDANT filters (a cell where two
+    filters always co-fire means one can be dropped) and measures
+    marginal kill rates before re-ordering an expensive cascade.
+
+    All three predicates are integer comparisons (k·count ≥ n forms —
+    no fraction ever materializes), so the mask is bit-exact on both
+    engines. One scan, in-row HOF token counts (same bounded
+    O(tokens·distinct) argument as ``text_repetition_stats``), one
+    8-row aggregate. Token-less docs: content filters are false (only
+    f_short can fire).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = H.tokens_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
+                )
+            ),
+            F.lit(0),
+        ).alias("top_cnt"),
+    )
+    f_short = F.col("n_chars") < SHORT_CHARS
+    f_dup = (F.col("n_tok") > 0) & (
+        DUP_FRAC_DEN * (F.col("n_tok") - F.col("n_distinct")) >= F.col("n_tok")
+    )
+    f_rep = (F.col("n_tok") > 0) & (
+        REP_FRAC_DEN * F.col("top_cnt") >= F.col("n_tok")
+    )
+    flagged = base.select(
+        "n_chars",
+        f_short.alias("f_short"),
+        f_dup.alias("f_dup"),
+        f_rep.alias("f_rep"),
+    )
+    return flagged.groupBy("f_short", "f_dup", "f_rep").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
 QUERIES = {
+    "filter_overlap_matrix": filter_overlap_matrix,
     "quality_model_filter": quality_model_filter,
     "curriculum_quantile_bins": curriculum_quantile_bins,
     "tokenizer_vocab_coverage": tokenizer_vocab_coverage,
@@ -499,3 +558,26 @@ ORACLE = {
         FROM scaled
     """,
 }
+
+ORACLE["filter_overlap_matrix"] = f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               {_TOKS} AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tok,
+               len(list_distinct(toks)) AS n_distinct,
+               coalesce(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))), 0) AS top_cnt
+        FROM base
+    )
+    SELECT n_chars < {SHORT_CHARS} AS f_short,
+           n_tok > 0 AND {DUP_FRAC_DEN} * (n_tok - n_distinct) >= n_tok
+               AS f_dup,
+           n_tok > 0 AND {REP_FRAC_DEN} * top_cnt >= n_tok AS f_rep,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM sig GROUP BY 1, 2, 3
+"""

@@ -257,8 +257,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketch estimates are implementation-specific, so the checkable claim
     is emitted instead of the raw estimate: the exact count plus a
-    boolean asserting the HLL estimate landed within 2% of it (rsd is
-    configured at 0.01, so 2% is a comfortable bound). The oracle
+    boolean asserting the HLL estimate landed within 3% of it (rsd is
+    configured at 0.01, so 3% = 3σ — a bound on the ALGORITHM; the 2%
+    bound used through round 4 was only 2σ and would flip on ~5% of
+    groups, the same statistical bug fixed in hll_sketch_rollup). The
+    oracle
     computes the exact count and literal TRUE — a hash match proves the
     sketch ran and was accurate, which is the operator's contract."""
     li = _t(spark, sf_dir, "lineitem")
@@ -269,8 +272,8 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(approx.cast("double") - exact.cast("double"))
             / exact.cast("double")
-            <= 0.02
-        ).alias("approx_within_2pct"),
+            <= 0.03
+        ).alias("approx_within_3pct"),
         F.count("*").alias("n_rows"),
     )
 
@@ -538,7 +541,7 @@ ORACLE = {
     "approx_distinct_parts": """
         SELECT l_returnflag,
                count(DISTINCT l_partkey) AS n_parts_exact,
-               TRUE AS approx_within_2pct,
+               TRUE AS approx_within_3pct,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,

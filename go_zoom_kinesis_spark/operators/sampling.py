@@ -122,7 +122,61 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+N_EPOCHS = 3  # training epochs to plan shuffle orders for
+EPOCH_HEAD = 3  # verification sample: first docs per (epoch, lang)
+
+
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch shuffle orders — the data-loader
+    guarantee a multi-epoch training run needs: every epoch visits the
+    corpus in a DIFFERENT order, yet each order is a pure function of
+    (doc_id, epoch), so any worker on any engine can recompute its
+    slice without coordination or a stored permutation. The order key
+    is the md5 bucket of ``doc_id:epoch``; the query emits the first
+    EPOCH_HEAD documents per (epoch, lang) as the verification sample
+    plus each stratum's size — enough for a trainer to assert "epoch 2
+    starts where the plan says" before burning GPU time.
+
+    One window shuffle keyed on (epoch, lang); the epoch fan-out is an
+    in-row explode of a 3-element sequence (N_EPOCHS x data is the
+    honest cost of planning N epochs at once — plan one epoch at a
+    time at 100 TB and it is a single pass each).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ep = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("epoch"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("epoch", "lang").orderBy("bucket", "doc_id")
+    ranked = ep.withColumn("bucket", bucket).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    wn = Window.partitionBy("epoch", "lang")
+    return (
+        ranked.withColumn("stratum_size", F.count("*").over(wn))
+        .filter(F.col("rn") <= EPOCH_HEAD)
+        .select("epoch", "lang", "rn", "doc_id", "bucket", "stratum_size")
+    )
+
+
 QUERIES = {
+    "epoch_shuffle_plan": epoch_shuffle_plan,
     "sample_hash_events": sample_hash_events,
     "sample_stratified_documents": sample_stratified_documents,
     "sample_weighted_priority": sample_weighted_priority,
@@ -170,3 +224,26 @@ ORACLE = {
         FROM ranked WHERE rk <= {WEIGHTED_K}
     """,
 }
+
+ORACLE["epoch_shuffle_plan"] = f"""
+    WITH ep AS (
+        SELECT doc_id, lang, unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch
+        FROM documents
+    ),
+    ranked AS (
+        SELECT epoch, lang, doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket,
+               row_number() OVER (
+                   PARTITION BY epoch, lang
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT),
+                       doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY epoch, lang) AS stratum_size
+        FROM ep
+    )
+    SELECT epoch, lang, rn, doc_id, bucket,
+           CAST(stratum_size AS BIGINT) AS stratum_size
+    FROM ranked WHERE rn <= {EPOCH_HEAD}
+"""

@@ -271,3 +271,50 @@ def test_pit_join_adversarial_tie_storm(spark, tmp_path):
         for r in pit_join_user_status(spark, sfdir).collect()
     }
     assert got == expect
+
+
+def test_filter_overlap_partitions_corpus(spark, sf_dir):
+    """The 8-cell Venn partitions the corpus exactly; filter semantics
+    recompute from raw columns on a sample."""
+    from go_zoom_kinesis_spark.operators.curation import (
+        SHORT_CHARS,
+        filter_overlap_matrix,
+    )
+
+    rows = filter_overlap_matrix(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["total_chars"] for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    # f_short marginal recomputed independently
+    n_short = sum(r["n_docs"] for r in rows if r["f_short"])
+    assert n_short == docs.filter(F.col("n_chars") < SHORT_CHARS).count()
+
+
+def test_epoch_shuffle_orders_differ_and_are_deterministic(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.sampling import (
+        EPOCH_HEAD,
+        N_EPOCHS,
+        epoch_shuffle_plan,
+    )
+
+    rows = epoch_shuffle_plan(spark, sf_dir).collect()
+    heads: dict = {}
+    for r in rows:
+        assert 1 <= r["rn"] <= EPOCH_HEAD
+        heads.setdefault((r["epoch"], r["lang"]), []).append(
+            (r["rn"], r["doc_id"])
+        )
+    langs = {k[1] for k in heads}
+    assert {k[0] for k in heads} == set(range(N_EPOCHS))
+    # different epochs visit each language in a different head order
+    for lang in langs:
+        orders = [
+            tuple(d for _, d in sorted(heads[(e, lang)]))
+            for e in range(N_EPOCHS)
+        ]
+        assert len(set(orders)) > 1, f"epoch orders identical for {lang}"
+    # deterministic: a second run reproduces the plan exactly
+    again = epoch_shuffle_plan(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -268,7 +268,10 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(F.sum("rev").alias("rev_cents"))
     )
-    wmed = Window.orderBy("rev_cents")
+    # total order: revenue ties (possible in principle, though summed
+    # cents make them vanishingly rare) must not let the two engines
+    # cut different edge sets at the median
+    wmed = Window.orderBy("rev_cents", "na", "nb")
     wn = Window.partitionBy()
     ranked = flows.withColumn("rk", F.row_number().over(wmed)).withColumn(
         "n_edges", F.count("*").over(wn)
@@ -735,7 +738,7 @@ ORACLE = {
         ),
         ranked AS (
             SELECT na, nb,
-                   row_number() OVER (ORDER BY rev_cents) AS rk,
+                   row_number() OVER (ORDER BY rev_cents, na, nb) AS rk,
                    count(*) OVER () AS n_edges
             FROM flows
         ),

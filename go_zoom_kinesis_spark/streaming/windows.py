@@ -178,3 +178,45 @@ def enrich_with_dimension(
 
     d = dim if dim_cols is None else dim.select(on, *dim_cols)
     return stream.join(F.broadcast(d), on, "left")
+
+
+def pit_enrich_stream(
+    stream: DataFrame,
+    scd2_dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time stream enrichment — the streaming twin of the
+    batch ``operators/training.py::pit_join_user_status``: each
+    incoming event picks up the dimension attribute that was valid AT
+    its event time from a static SCD-2 interval table
+    (``valid_from ≤ ts`` and ``ts < valid_to`` with open current
+    intervals), never a later version. This is the leakage-free
+    feature lookup an online feature store serves; half-open intervals
+    make zero-length versions (several changes on one timestamp)
+    resolve to the LAST change, matching the batch operator's
+    tie-break exactly (pinned in tests/test_streaming_windows.py).
+
+    Plan: stream-static equi-join on the key with the interval
+    predicate as a residual — no streaming state at all (the SCD-2
+    side is static per micro-batch and broadcasts when it fits), so
+    unlike a stream-stream as-of join there is no watermark or buffer
+    to size. Dimension updates are picked up at the next trigger
+    because the static side is re-planned per micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    d = scd2_dim.select(
+        F.col(key).alias("__k"),
+        F.col("status").alias("pit_status"),
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (stream[key] == d["__k"])
+        & (stream[ts_col] >= d["valid_from"])
+        & (d["valid_to"].isNull() | (stream[ts_col] < d["valid_to"]))
+    )
+    return stream.join(F.broadcast(d), cond, "left").drop(
+        "__k", "valid_from", "valid_to"
+    )

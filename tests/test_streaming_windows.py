@@ -328,3 +328,44 @@ def test_tumbling_stream_rocksdb_state_store(
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, old)
+
+
+def test_pit_enrich_stream_equals_batch_pit_join(
+    spark, sf_dir, tmp_path, events_batch, events_stream
+):
+    """The streaming point-in-time enrichment must agree with the
+    batch PIT operator on every fact event — interval containment
+    against SCD-2 versions and union-then-LOCF are two routes to the
+    same as-of semantics, including the several-changes-on-one-
+    timestamp tie (zero-length intervals lose, last change wins)."""
+    from go_zoom_kinesis_spark.operators.timeseries import scd2_user_status
+    from go_zoom_kinesis_spark.operators.training import (
+        PIT_FACT_MOD,
+        pit_join_user_status,
+    )
+    from go_zoom_kinesis_spark.streaming.windows import pit_enrich_stream
+
+    dim = scd2_user_status(spark, sf_dir)
+    facts_stream = events_stream.filter(
+        F.col("event_id") % PIT_FACT_MOD == 0
+    ).select("event_id", "user_id", "ts", "event_type")
+    enriched = pit_enrich_stream(facts_stream, dim)
+    name = "pit_enrich_t"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["pit_status"]
+        for r in spark.sql(f"SELECT event_id, pit_status FROM {name}").collect()
+    }
+    expect = {
+        r["event_id"]: r["pit_status"]
+        for r in pit_join_user_status(spark, sf_dir).collect()
+    }
+    assert got == expect

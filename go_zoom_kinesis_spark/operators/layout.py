@@ -279,7 +279,9 @@ def datafile_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     zones = datafile_zonemap_detail(spark, sf_dir)
     return zones.agg(
-        F.sum("n_rows").alias("n_rows"),
+        # coalesce so an empty table rolls up to n_rows=0 like the
+        # oracle's count(*), not a NULL sum over zero detail rows
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
         F.min("min_orderkey").alias("min_orderkey"),
         F.max("max_orderkey").alias("max_orderkey"),
         F.min("min_shipdate").alias("min_shipdate"),

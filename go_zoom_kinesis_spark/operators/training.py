@@ -499,32 +499,82 @@ def pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-rank window functions over ``orders`` — the
-    percent_rank / cume_dist / ntile trio partitioned by order
-    priority on integer price cents, reported for a deterministic
-    key sample (ranks are computed over FULL partitions; only the
-    output rows are sampled, so the sample doesn't bias the ranks).
+    """Distribution-rank trio — percent_rank / cume_dist / ntile(4) —
+    over ``orders`` partitioned by order priority, reported for a
+    deterministic key sample (ranks are computed over FULL partitions;
+    only the output rows are sampled, so the sample doesn't bias the
+    ranks).
 
-    Both ranks are exact integer ratios evaluated in one
-    correctly-rounded double division — (rank−1)/(n−1) and
-    peers≤x / n — so the engines agree bitwise; ntile is pure
-    integers. One window shuffle on the priority key, sample filter
-    applied after ranking."""
+    NOT a `Window.partitionBy(priority)` plan: the priority key has
+    cardinality 5, so a native window would sort ~20% of the corpus in
+    a single task each — five multi-terabyte single-task sorts at
+    100 TB. Instead this is the two-phase distributed rank (same
+    prefix-sum shape as ``interval_concurrency_peak``):
+
+      1. bucket the order column into fixed-width value ranges
+         (order-preserving: ``price_cents div 2^16`` → ~900 buckets per
+         priority at TPC-H price domain, width tunable independently of
+         corpus size), and row_number WITHIN (priority, bucket) — each
+         sort is bounded by one value-range slice, ~4.5k parallel cells
+         instead of 5;
+      2. aggregate per-cell counts (tiny: priorities × buckets rows),
+         prefix-sum them into cumulative offsets + per-priority totals
+         on that bounded relation, and broadcast back.
+
+    Global rank = offset + within-bucket row_number. Because the full
+    order key (price_cents, o_orderkey) is unique, rank == row_number
+    and peers == 1, so percent_rank = (rn−1)/(n−1) and cume_dist =
+    rn/n exactly — each one correctly-rounded double division on
+    integer inputs, bitwise-equal to the native window / DuckDB.
+    ntile(4) is reconstructed from (rn, n) with the SQL-standard
+    first-(n mod 4)-tiles-get-the-extra-row rule, pure integer
+    arithmetic."""
     orders = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
-    w = Window.partitionBy("o_orderpriority").orderBy("price_cents", "o_orderkey")
     base = orders.select(
         "o_orderkey",
         "o_orderpriority",
         cents.alias("price_cents"),
+    ).withColumn("vb", F.expr("price_cents div 65536"))
+    w_in = Window.partitionBy("o_orderpriority", "vb").orderBy(
+        "price_cents", "o_orderkey"
+    )
+    inner = base.withColumn("rn_in", F.row_number().over(w_in))
+    counts = base.groupBy("o_orderpriority", "vb").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    offsets = counts.select(
+        "o_orderpriority",
+        "vb",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(w_tot).alias("n"),
     )
     ranked = (
-        base.withColumn("pr", F.round(F.percent_rank().over(w), 6))
-        .withColumn("cd", F.round(F.cume_dist().over(w), 6))
-        .withColumn("tile", F.ntile(4).over(w))
+        inner.join(F.broadcast(offsets), ["o_orderpriority", "vb"])
+        .filter(F.col("o_orderkey") % 199 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "price_cents",
+            (F.col("off") + F.col("rn_in")).alias("rn"),
+            "n",
+        )
     )
-    return ranked.filter(F.col("o_orderkey") % 199 == 0).select(
-        "o_orderkey", "o_orderpriority", "price_cents", "pr", "cd", "tile"
+    return ranked.selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "price_cents",
+        "round(CASE WHEN n > 1 THEN (rn - 1) / CAST(n - 1 AS DOUBLE)"
+        " ELSE 0.0 END, 6) AS pr",
+        "round(rn / CAST(n AS DOUBLE), 6) AS cd",
+        "CAST(CASE WHEN rn <= (n % 4) * ((n div 4) + 1)"
+        " THEN (rn - 1) div ((n div 4) + 1) + 1"
+        " ELSE (n % 4) + (rn - (n % 4) * ((n div 4) + 1) - 1) div (n div 4) + 1"
+        " END AS INT) AS tile",
     )
 
 

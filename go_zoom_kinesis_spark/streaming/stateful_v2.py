@@ -18,10 +18,13 @@ same batch fold, so the engine can swap surfaces without semantic
 drift.
 
 Environment gate: the transformWithState Python worker imports
-``google.protobuf`` (state-server wire protocol), which this container
-lacks — ``HAS_TWS_DEPS`` is False there and the equivalence test
-skips. ``applyInPandasWithState`` (stateful.py) remains the tested
-default; this module is the drop-in upgrade where protobuf exists.
+``google.protobuf`` (state-server wire protocol). Where no protobuf
+wheel exists, ``tests/conftest.py`` activates ``vendor/pbshim`` (a
+pure-Python protobuf runtime resolved from the base image, test
+scaffolding only) so the equivalence test RUNS rather than skips;
+``HAS_TWS_DEPS`` is False and the test skips only when neither a
+wheel nor the shim is available. Production deployments install
+``protobuf>=6.33`` — the shim never ships in the library path.
 """
 
 from __future__ import annotations

@@ -217,6 +217,8 @@ def pit_enrich_stream(
         & (stream[ts_col] >= d["valid_from"])
         & (d["valid_to"].isNull() | (stream[ts_col] < d["valid_to"]))
     )
+    # drop the dimension-side columns BY REFERENCE — a by-name drop
+    # would also strip a valid_from/valid_to the stream itself carries
     return stream.join(F.broadcast(d), cond, "left").drop(
-        "__k", "valid_from", "valid_to"
+        d["__k"], d["valid_from"], d["valid_to"]
     )

@@ -160,17 +160,27 @@ def test_pit_join_never_leaks_future_status(spark, sf_dir):
     rows = sorted(
         ev.collect(), key=lambda r: (r["user_id"], r["ts"], r["event_id"])
     )
-    # python reference: replay each user's stream, tracking status
+    # python reference: replay each user's stream, tracking status.
+    # Convention (same as the tie-storm referee and the operator's
+    # pri tie-break): ALL of a (user, ts) tick's changes apply before
+    # any of that tick's facts are evaluated, regardless of event_id
+    # interleaving within the tick.
+    import itertools
+
     expect: dict = {}
     cur: dict = {}
     prev_type: dict = {}
-    for r in rows:
-        u = r["user_id"]
-        if prev_type.get(u) != r["event_type"]:
-            cur[u] = r["event_type"]  # change applies at its own ts
-        prev_type[u] = r["event_type"]
-        if r["event_id"] % PIT_FACT_MOD == 0:
-            expect[r["event_id"]] = cur.get(u)
+    for (u, _ts), grp_it in itertools.groupby(
+        rows, key=lambda r: (r["user_id"], r["ts"])
+    ):
+        grp = list(grp_it)
+        for r in grp:  # apply the tick's changes first
+            if prev_type.get(u) != r["event_type"]:
+                cur[u] = r["event_type"]
+            prev_type[u] = r["event_type"]
+        for r in grp:  # then evaluate the tick's facts
+            if r["event_id"] % PIT_FACT_MOD == 0:
+                expect[r["event_id"]] = cur.get(u)
     got = {
         r["event_id"]: r["pit_status"]
         for r in pit_join_user_status(spark, sf_dir).collect()

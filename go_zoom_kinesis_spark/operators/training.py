@@ -34,6 +34,11 @@ K_ANON = 10  # minimum safe equivalence-class size
 
 N_QUANTILE_BINS = 128
 QUANTILES = ((1, 2), (19, 20), (99, 100))  # p50 / p95 / p99 as rationals
+# Above this many distinct values the exact-audit branch is disabled:
+# its per-value cumulative window is bounded by the value DOMAIN, and a
+# continuous/unbounded column would turn it into a full-cardinality
+# single-task sort. The sketch branch stays valid at any cardinality.
+QUANTILE_DOMAIN_LIMIT = 1_000_000
 
 BATCH_DOCS = 64  # documents per training mini-batch
 
@@ -85,11 +90,40 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count — cents here span ~10⁵ distinct values); both cumulative
     scans run over that bounded table. The sketch itself (128 longs)
     is what merges across shards/days in production; the exact side is
-    the audit you keep while the domain stays enumerable."""
+    the audit you keep while the domain stays enumerable — and
+    "enumerable" is now GUARDED, not assumed: ``quantile_sketch_over``
+    pre-checks ``approx_count_distinct`` and drops to sketch-only
+    output (exact/err columns null) above ``QUANTILE_DOMAIN_LIMIT``,
+    so an unbounded-domain column can never turn the audit into a
+    full-cardinality window."""
     ev = _t(spark, sf_dir, "events")
+    cents_df = ev.select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return quantile_sketch_over(spark, cents_df)
+
+
+def quantile_sketch_over(
+    spark: SparkSession,
+    cents_df: DataFrame,
+    domain_limit: int = QUANTILE_DOMAIN_LIMIT,
+) -> DataFrame:
+    """Guarded core of ``quantile_sketch_audit`` over a one-column
+    (``cents`` bigint) frame. The exact-audit branch builds a
+    per-distinct-value table and scans it with a global cumulative
+    window — bounded by the value DOMAIN, not the row count, which is
+    only safe while the domain is enumerable. The guard measures the
+    domain first (``approx_count_distinct``: one scan-light pass,
+    partial-aggregated, collected as an O(1) scalar) and above
+    ``domain_limit`` returns the sketch-only estimate instead, whose
+    plan touches no per-value relation at all."""
+    n_distinct = cents_df.agg(
+        F.approx_count_distinct("cents").alias("d")
+    ).collect()[0]["d"]
+    if n_distinct > domain_limit:
+        return _quantile_sketch_only(spark, cents_df)
     per_val = (
-        ev.select(F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
-        .groupBy("cents")
+        cents_df.groupBy("cents")
         .agg(F.count("*").alias("cnt"))
         .cache()  # the ONLY corpus-scale aggregate; stats + est + exact
         # all derive from it — caching the domain-bounded table keeps
@@ -150,6 +184,56 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_cents",
             "exact_cents",
             (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+        )
+    )
+
+
+def _quantile_sketch_only(spark: SparkSession, cents_df: DataFrame) -> DataFrame:
+    """High-cardinality fallback: bin rows directly into the 128-bucket
+    equi-width histogram (one corpus-scale hash-aggregate on the bin
+    id, map-side combined) — no per-value table, no window over
+    anything wider than the 128 bins. exact/err columns are NULL: at
+    this cardinality the exact audit is exactly the plan shape the
+    guard exists to refuse."""
+    stats = cents_df.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bins = (
+        cents_df.join(F.broadcast(stats))
+        .withColumn(
+            "width",
+            F.greatest(
+                F.expr(f"(hi - lo + 1) div {N_QUANTILE_BINS}"), F.lit(1)
+            ),
+        )
+        .withColumn("bin", F.expr("(cents - lo) div width"))
+        .groupBy("bin", "lo", "width", "n")
+        .agg(F.count("*").alias("bin_cnt"))
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bins_cum = bins.withColumn("bin_cum", F.sum("bin_cnt").over(wb))
+    qs = spark.createDataFrame(
+        [(num, den) for num, den in QUANTILES], "qnum bigint, qden bigint"
+    ).withColumn("q_ppm", F.expr("qnum * 1000000 div qden"))
+    target = F.expr("(n * qnum + qden - 1) div qden")
+    return (
+        bins_cum.join(F.broadcast(qs))
+        .filter(F.col("bin_cum") >= target)
+        .groupBy("q_ppm")
+        .agg(
+            F.min(
+                F.col("lo") + (F.col("bin") + 1) * F.col("width") - 1
+            ).alias("est_cents"),
+            F.first("n").alias("n_rows"),
+        )
+        .select(
+            "q_ppm",
+            "n_rows",
+            "est_cents",
+            F.lit(None).cast("bigint").alias("exact_cents"),
+            F.lit(None).cast("bigint").alias("err_cents"),
         )
     )
 

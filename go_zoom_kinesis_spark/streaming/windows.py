@@ -132,7 +132,13 @@ def click_view_attribution(
     attribution horizon, THEN emits it null-padded — so outer results
     trail the watermark rather than the data, and a stalled stream
     delays them (`tests/test_streaming_windows.py` pins the flush
-    against a staged watermark advance).
+    against a staged watermark advance). ``join_type="full_outer"``
+    completes the matrix (right_outer is the mirror): unmatched rows
+    from BOTH buffers null-pad on watermark expiry — both sides carry
+    a watermark and the interval condition bounds each buffer, which
+    is exactly what Spark requires to run outer stream-stream joins
+    with finite state; the full-outer flush of both null sides is
+    pinned batch==stream in the same test file.
     """
     v = views.select(
         F.col("user_id").alias("v_user"),

@@ -285,6 +285,79 @@ def test_stream_stream_left_outer_flushes_on_watermark(spark, tmp_path, events_b
     assert n_null > 0, "expected unmatched views to flush null-padded"
 
 
+def test_stream_stream_full_outer_flushes_both_sides(spark, tmp_path, events_batch):
+    """Full-outer stream-stream join — the last cell of the join
+    matrix: unmatched VIEWS null-pad on the click side AND unmatched
+    CLICKS null-pad on the view side, each emitted only after the
+    watermark passes its buffer horizon. Same staged two-file source
+    as the left-outer test (early data, then a far-future
+    watermark-pusher pair); after the flush the streamed result must
+    equal the batch full-outer join over the early data and contain
+    null rows on BOTH sides."""
+    from pyspark.sql import types as T
+
+    from go_zoom_kinesis_spark.streaming.windows import click_view_attribution
+
+    early = events_batch.filter(
+        F.col("event_type").isin("view", "click")
+    ).select("event_id", "ts", "user_id", "event_type")
+    src = str(tmp_path / "staged_src_fo")
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    far = events_batch.agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    ).collect()[0]["ts"]
+    pusher = spark.createDataFrame(
+        [(10_000_001, far, -1, "view"), (10_000_002, far, -1, "click")],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        ),
+    )
+    pusher.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    joined = click_view_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        join_type="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_fouter_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fouter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ss_fouter_t").filter(F.col("user_id") >= 0)
+
+    batch = click_view_attribution(
+        early.filter(F.col("event_type") == "view"),
+        early.filter(F.col("event_type") == "click"),
+        streaming=False,
+        join_type="full_outer",
+    )
+
+    def rows_n(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    assert rows_n(got) == rows_n(batch)
+    n_unmatched_views = got.filter(F.col("click_id").isNull()).count()
+    n_unmatched_clicks = got.filter(F.col("view_id").isNull()).count()
+    assert n_unmatched_views > 0, "expected null-padded unmatched views"
+    assert n_unmatched_clicks > 0, "expected null-padded unmatched clicks"
+
+
 def test_stream_stream_inner_unchanged_by_outer_param(spark, sf_dir):
     """Regression guard: the default join_type stays inner and emits
     no null-padded rows."""

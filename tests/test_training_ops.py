@@ -328,3 +328,43 @@ def test_epoch_shuffle_orders_differ_and_are_deterministic(spark, sf_dir):
     # deterministic: a second run reproduces the plan exactly
     again = epoch_shuffle_plan(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_quantile_sketch_domain_guard(spark):
+    """Above QUANTILE_DOMAIN_LIMIT distinct values the audit must drop
+    to sketch-only output (exact/err NULL) instead of building a
+    full-cardinality per-value window — and the sketch estimate must
+    still honor its bin-width error bound against the true quantile."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from go_zoom_kinesis_spark.operators.training import (
+        QUANTILES,
+        N_QUANTILE_BINS,
+        quantile_sketch_over,
+    )
+
+    n = 50_000
+    # all-distinct synthetic column (cardinality n >> the test limit)
+    cents_df = spark.range(n).select((F.col("id") * 7 + 3).alias("cents"))
+    rows = quantile_sketch_over(spark, cents_df, domain_limit=10_000).collect()
+    assert len(rows) == len(QUANTILES)
+    lo, hi = 3, (n - 1) * 7 + 3
+    width = max((hi - lo + 1) // N_QUANTILE_BINS, 1)
+    by_q = {r["q_ppm"]: r for r in rows}
+    for num, den in QUANTILES:
+        r = by_q[num * 1_000_000 // den]
+        assert r["exact_cents"] is None and r["err_cents"] is None
+        assert r["n_rows"] == n
+        # exact discrete quantile of the arithmetic progression
+        target = math.ceil(n * num / den)
+        true_q = (target - 1) * 7 + 3
+        assert 0 <= r["est_cents"] - true_q <= width
+    # under the limit the exact branch still runs and self-audits
+    small = quantile_sketch_over(
+        spark, cents_df, domain_limit=1_000_000
+    ).collect()
+    for r in small:
+        assert r["exact_cents"] is not None
+        assert 0 <= r["err_cents"] <= width

@@ -1,0 +1,421 @@
+"""Round-6 surface extensions — the SQL features a reference user
+reaches for next once the §2.2 matrix is green, each exercised through
+the engine's *SQL text* path where that is the surface being claimed:
+
+- ``lateral_topn_customers``: correlated LATERAL subquery with ORDER
+  BY + LIMIT (top-N-per-group written the SQL-standard way, not as a
+  window filter) — planner support pinned on both engines.
+- ``recursive_supplier_chain``: a genuine Spark-side ``WITH
+  RECURSIVE`` (Spark 4 recursion; until now recursion appeared only in
+  DuckDB oracles, e.g. ``dedup_canonical_chain``). Binary parent walk
+  ⇒ depth is O(log max_key): structurally terminating.
+- ``moments_mode_median``: deterministic mode / lower-median /
+  third-moment skewness from integer power sums — the heavy-stats
+  profiling cell (mode tie-break pinned, skewness via +,-,*,/,sqrt
+  only so both engines produce bit-identical doubles).
+- ``token_budget_plan``: global "fill a token budget in curriculum
+  order" cut — the SAME two-phase distributed prefix-sum as
+  ``window_distribution_ranks``, at the hardest partition cardinality
+  (ONE global ordering, no partition key at all).
+- ``cross_lingual_contamination``: shared word-3-gram shingles across
+  language pairs — the cross-lingual leakage audit of a multilingual
+  training corpus; posting lists are bounded by the language count
+  (≤ C(5,2) pairs per shingle), so the join cannot blow up.
+
+The reference (a Kinesis consumer, src/processor.rs) has none of this;
+all five are north-star §2.2/§6 scope. Shingle/token/hash primitives
+are the engine-portable pair from ``functions/hashes.py``, so values
+are bit-identical to the DuckDB oracle by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashes as H
+from ..io import load_table as _t
+
+TOPN_PER_NATION = 3
+TOKEN_BUDGET = 10_000
+MOMENT_TYPES_NOTE = "per-value table bounded by the cents DOMAIN"
+
+
+def lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation via a correlated
+    LATERAL subquery with ORDER BY + LIMIT — the SQL-standard
+    top-N-per-group formulation, pinned through ``spark.sql`` because
+    the *planner surface* (lateral correlation + per-group limit
+    pushdown) is what this query claims.
+
+    Scale: Catalyst rewrites the lateral into a ranked join — no
+    per-nation driver loop, no cartesian; the per-group LIMIT bounds
+    the join output at groups × N rows. Integer cents, tie-break on
+    custkey, so both engines agree exactly."""
+    for name in ("nation", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"gzk4_{name}")
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation, t.custkey, t.acct_cents
+        FROM gzk4_nation n,
+        LATERAL (
+            SELECT c_custkey AS custkey,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS acct_cents
+            FROM gzk4_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY acct_cents DESC, custkey
+            LIMIT {TOPN_PER_NATION}
+        ) t
+        """
+    )
+
+
+def recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ``WITH RECURSIVE``: walk every supplier key up its
+    binary parent chain (parent = key div 2) to the root and profile
+    the chain population per depth. The shape every hierarchy walk
+    (org chart, BOM, thread tree) reduces to; depth is bounded by
+    log2(max key), so the recursion provably terminates and the state
+    per iteration shrinks geometrically.
+
+    Scale: each recursive step is one self-union + filter over the
+    frontier — Spark executes it as iterative plan expansion with the
+    frontier shrinking by construction; no driver-side loop in user
+    code."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("gzk4_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(start_key, cur, depth) AS (
+            SELECT s_suppkey, s_suppkey, CAST(0 AS INT) FROM gzk4_supplier
+            UNION ALL
+            SELECT start_key, cur div 2, depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               min(start_key) AS min_start,
+               max(start_key) AS max_start,
+               CAST(sum(cur) AS BIGINT) AS sum_cur
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+def moments_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-stats profile per event type: deterministic mode (most
+    frequent cents value, ties to the SMALLEST value), lower median
+    (smallest value whose running count reaches ceil(n/2)) and
+    population skewness — the three cells a stats profiler adds over
+    ``profile_columns``' min/max/avg.
+
+    Determinism across engines: counts/medians are pure integers; the
+    power sums s1..s3 are exact decimal(38,0) (cents³ ≈ 10¹⁵ per row —
+    headroom to ~10²² rows); skewness is assembled from them with
+    +,-,*,/ and sqrt ONLY (all IEEE correctly-rounded, unlike pow),
+    so the final doubles are bit-identical before the 6-dp round.
+
+    Scale: one corpus-scale aggregate to the per-(type, cents) table —
+    bounded by the value DOMAIN like ``quantile_sketch_audit`` (and
+    the same guard applies if the domain were unbounded); mode/median
+    derive from that bounded table, moments from one direct agg."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    d38 = "decimal(38,0)"
+    c = F.col("cents").cast(d38)
+    moments = base.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c).alias("s3"),
+    )
+    vc = base.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w_mode = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("cents")
+    )
+    mode = (
+        vc.withColumn("rk", F.row_number().over(w_mode))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("cents").alias("mode_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        vc.withColumn("cum", F.sum("cnt").over(w_cum))
+        .join(moments.select("event_type", "n_events"), "event_type")
+        .filter(F.col("cum") * 2 >= F.col("n_events"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    out = moments.join(mode, "event_type").join(med, "event_type")
+    nd = F.col("n_events").cast("double")
+    x1 = F.col("s1").cast("double") / nd
+    x2 = F.col("s2").cast("double") / nd
+    x3 = F.col("s3").cast("double") / nd
+    m2 = x2 - x1 * x1
+    m3 = x3 - F.lit(3.0) * x1 * x2 + F.lit(2.0) * x1 * x1 * x1
+    return out.select(
+        "event_type",
+        "n_events",
+        "mode_cents",
+        "median_cents",
+        F.round(
+            F.when(m2 > 0.0, m3 / (m2 * F.sqrt(m2))), 6
+        ).alias("skew6"),
+    )
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a global token budget in curriculum order (longest
+    documents first, doc_id tie-break): how many documents fit under
+    ``TOKEN_BUDGET`` whitespace tokens and how many tokens they use —
+    the admission cut every fixed-budget training run computes.
+
+    The global running sum is the HARDEST case of the two-phase
+    distributed prefix-sum (``window_distribution_ranks``,
+    ``interval_concurrency_peak``): there is NO partition key at all,
+    so a naive ``Window.orderBy(...)`` would sort the entire corpus in
+    one task. Phase 1 ranks within (n_chars div 64) value buckets —
+    each sort bounded by one length slice; phase 2 prefix-sums the
+    per-bucket token totals (one tiny relation, buckets ordered
+    longest-first) and broadcasts the offsets; the final admission
+    fold is a single scalar aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(H.tokens_col(F.col("text"))).cast("bigint").alias("tok"),
+    ).withColumn("vb", F.expr("n_chars div 64"))
+    from pyspark.sql import Window
+
+    # within-bucket running sum, curriculum (longest-first) order
+    w_in = (
+        Window.partitionBy("vb")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = toks.withColumn("cum_in", F.sum("tok").over(w_in))
+    totals = toks.groupBy("vb").agg(F.sum("tok").alias("t"))
+    w_off = (
+        Window.orderBy(F.desc("vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over the BUCKET relation only — bounded by the length domain
+    offsets = totals.select(
+        "vb", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("off")
+    )
+    cum = inner.join(F.broadcast(offsets), "vb").withColumn(
+        "c", F.col("off") + F.col("cum_in")
+    )
+    fits = F.col("c") <= TOKEN_BUDGET
+    # coalesce the sums so an empty corpus reports zeros like the
+    # oracle's coalesced sums (same latent-empty-parity rule as
+    # datafile_zonemap_audit)
+    return cum.agg(
+        F.lit(TOKEN_BUDGET).cast("bigint").alias("budget_tokens"),
+        F.coalesce(F.sum(F.when(fits, 1).otherwise(0)), F.lit(0)).alias(
+            "n_included"
+        ),
+        F.coalesce(F.max(F.when(fits, F.col("c"))), F.lit(0)).alias(
+            "tokens_used"
+        ),
+        F.count("*").alias("n_docs_total"),
+        F.coalesce(F.sum("tok"), F.lit(0)).alias("tokens_total"),
+    )
+
+
+def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual leakage audit: for every language pair, how many
+    distinct word-3-gram shingles both languages contain, and the
+    overlap coefficient |A∩B| / min(|A|,|B|) — high overlap between a
+    training language and an eval language is contamination a
+    multilingual pipeline must catch (same threat class as
+    ``decontaminate_ngram``, measured corpus-wide per language).
+
+    Scale: the corpus collapses to the DISTINCT (lang, shingle-hash)
+    relation in one shuffle; the pair join fans out at most
+    C(langs, 2) rows per shingle (posting list bounded by the language
+    COUNT, not document frequency), and per-language totals broadcast.
+    No similarity join, no doc×doc pairs anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.transform(
+                    H.shingles_col(H.tokens_col(F.col("text"))),
+                    H.char_hash_col,
+                )
+            ).alias("shash"),
+        )
+        .distinct()
+    )
+    totals = sh.groupBy("lang").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("lang").alias("lang_a"), "shash")
+    b = sh.select(F.col("lang").alias("lang_b"), F.col("shash").alias("shash_b"))
+    pairs = (
+        a.join(b, (F.col("shash") == F.col("shash_b")) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(F.col("lang").alias("lang_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("lang").alias("lang_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap6"),
+        )
+    )
+
+
+QUERIES = {
+    "lateral_topn_customers": lateral_topn_customers,
+    "recursive_supplier_chain": recursive_supplier_chain,
+    "moments_mode_median": moments_mode_median,
+    "token_budget_plan": token_budget_plan,
+    "cross_lingual_contamination": cross_lingual_contamination,
+}
+
+_TOKENS = H.TOKENS_SQL.format(text="text")
+_SHINGLES = H.SHINGLES_SQL.format(toks="toks")
+_CHASH = H.CHAR_HASH_SQL.format(s="s")
+
+ORACLE = {
+    "lateral_topn_customers": f"""
+        SELECT n.n_name AS nation, t.custkey, t.acct_cents
+        FROM nation n,
+        LATERAL (
+            SELECT c_custkey AS custkey,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS acct_cents
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY acct_cents DESC, custkey
+            LIMIT {TOPN_PER_NATION}
+        ) t
+    """,
+    "recursive_supplier_chain": """
+        WITH RECURSIVE chain(start_key, cur, depth) AS (
+            SELECT s_suppkey, s_suppkey, CAST(0 AS INTEGER) FROM supplier
+            UNION ALL
+            SELECT start_key, cur // 2, depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               min(start_key) AS min_start,
+               max(start_key) AS max_start,
+               CAST(sum(cur) AS BIGINT) AS sum_cur
+        FROM chain GROUP BY depth
+    """,
+    "moments_mode_median": """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        moments AS (
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(cents AS DECIMAL(38,0))) AS s1,
+                   sum(CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS s2,
+                   sum(CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS s3
+            FROM base GROUP BY 1
+        ),
+        vc AS (
+            SELECT event_type, cents, count(*) AS cnt
+            FROM base GROUP BY 1, 2
+        ),
+        mode_t AS (
+            SELECT event_type, cents AS mode_cents FROM (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt DESC, cents) AS rk
+                FROM vc
+            ) WHERE rk = 1
+        ),
+        med AS (
+            SELECT event_type, min(cents) AS median_cents FROM (
+                SELECT v.event_type, v.cents,
+                       sum(v.cnt) OVER (PARTITION BY v.event_type
+                                        ORDER BY v.cents) AS cum,
+                       m.n_events
+                FROM vc v JOIN moments m USING (event_type)
+            ) WHERE cum * 2 >= n_events GROUP BY 1
+        )
+        SELECT m.event_type, m.n_events, mo.mode_cents, me.median_cents,
+               round(CASE WHEN (CAST(s2 AS DOUBLE) / n_events
+                                - (CAST(s1 AS DOUBLE) / n_events)
+                                  * (CAST(s1 AS DOUBLE) / n_events)) > 0
+                   THEN (CAST(s3 AS DOUBLE) / n_events
+                         - 3.0 * (CAST(s1 AS DOUBLE) / n_events)
+                               * (CAST(s2 AS DOUBLE) / n_events)
+                         + 2.0 * (CAST(s1 AS DOUBLE) / n_events)
+                               * (CAST(s1 AS DOUBLE) / n_events)
+                               * (CAST(s1 AS DOUBLE) / n_events))
+                        / ((CAST(s2 AS DOUBLE) / n_events
+                            - (CAST(s1 AS DOUBLE) / n_events)
+                              * (CAST(s1 AS DOUBLE) / n_events))
+                           * sqrt(CAST(s2 AS DOUBLE) / n_events
+                                  - (CAST(s1 AS DOUBLE) / n_events)
+                                    * (CAST(s1 AS DOUBLE) / n_events)))
+                   END, 6) AS skew6
+        FROM moments m
+        JOIN mode_t mo USING (event_type)
+        JOIN med me USING (event_type)
+    """,
+    "token_budget_plan": f"""
+        WITH toks AS (
+            SELECT doc_id, n_chars,
+                   CAST(len({_TOKENS}) AS BIGINT) AS tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT *, sum(tok) OVER (ORDER BY n_chars DESC, doc_id) AS c
+            FROM toks
+        )
+        SELECT CAST({TOKEN_BUDGET} AS BIGINT) AS budget_tokens,
+               CAST(coalesce(sum(CASE WHEN c <= {TOKEN_BUDGET} THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_included,
+               CAST(coalesce(max(CASE WHEN c <= {TOKEN_BUDGET} THEN c END), 0)
+                    AS BIGINT) AS tokens_used,
+               count(*) AS n_docs_total,
+               CAST(coalesce(sum(tok), 0) AS BIGINT) AS tokens_total
+        FROM cum
+    """,
+    "cross_lingual_contamination": f"""
+        WITH sh AS (
+            SELECT DISTINCT lang, unnest(hs) AS shash FROM (
+                SELECT lang, list_transform({_SHINGLES}, s -> {_CHASH}) AS hs
+                FROM (SELECT lang, {_TOKENS} AS toks FROM documents)
+            )
+        ),
+        totals AS (SELECT lang, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shash = b.shash AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT p.lang_a, p.lang_b, p.n_shared,
+               ta.n_sh AS n_a, tb.n_sh AS n_b,
+               round(CAST(p.n_shared AS DOUBLE)
+                     / CAST(least(ta.n_sh, tb.n_sh) AS DOUBLE), 6) AS overlap6
+        FROM pairs p
+        JOIN totals ta ON p.lang_a = ta.lang
+        JOIN totals tb ON p.lang_b = tb.lang
+    """,
+}

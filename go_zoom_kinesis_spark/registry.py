@@ -33,6 +33,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        relational4,
         sampling,
         search,
         similarity,
@@ -54,6 +55,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        relational4,
         dedup,
         sampling,
         similarity,

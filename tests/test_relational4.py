@@ -1,0 +1,131 @@
+"""Invariant tests for the round-6 surface extensions (relational4) —
+laws the value-hash oracle can't state, each recomputed by an
+independent Python referee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_zoom_kinesis_spark.io import load_table
+from go_zoom_kinesis_spark.operators.relational4 import (
+    TOKEN_BUDGET,
+    TOPN_PER_NATION,
+    cross_lingual_contamination,
+    lateral_topn_customers,
+    moments_mode_median,
+    recursive_supplier_chain,
+    token_budget_plan,
+)
+
+
+def test_lateral_topn_is_true_per_group_topn(spark, sf_dir):
+    rows = lateral_topn_customers(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").collect()
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    by_nation: dict = {}
+    for c in cust:
+        by_nation.setdefault(nation[c["c_nationkey"]], []).append(
+            (-int(c["c_acctbal"] * 100 // 1), c["c_custkey"])
+        )
+    expect = set()
+    for name, lst in by_nation.items():
+        for neg_cents, key in sorted(lst)[:TOPN_PER_NATION]:
+            expect.add((name, key, -neg_cents))
+    got = {(r["nation"], r["custkey"], r["acct_cents"]) for r in rows}
+    assert got == expect
+    # per-nation cardinality bound
+    from collections import Counter
+
+    per = Counter(r["nation"] for r in rows)
+    assert all(v <= TOPN_PER_NATION for v in per.values())
+
+
+def test_recursive_chain_population_law(spark, sf_dir):
+    """Total chain rows = Σ per supplier (bit_length(key) + 1), and the
+    depth-0 frontier is exactly the supplier table."""
+    rows = recursive_supplier_chain(spark, sf_dir).collect()
+    keys = [
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    ]
+    by_depth = {r["depth"]: r for r in rows}
+    assert by_depth[0]["n_nodes"] == len(keys)
+    expect_total = sum(int(k).bit_length() + 1 for k in keys)
+    assert sum(r["n_nodes"] for r in rows) == expect_total
+    # frontier shrinks monotonically with depth (binary halving)
+    depths = sorted(by_depth)
+    assert depths == list(range(len(depths)))
+    for a, b in zip(depths, depths[1:]):
+        assert by_depth[b]["n_nodes"] <= by_depth[a]["n_nodes"]
+
+
+def test_moments_mode_median_referee(spark, sf_dir):
+    import statistics
+    from collections import Counter
+
+    rows = {r["event_type"]: r for r in moments_mode_median(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            int(r["value"] * 100 // 1)
+        )
+    assert set(rows) == set(by_type)
+    for t, vals in by_type.items():
+        r = rows[t]
+        assert r["n_events"] == len(vals)
+        counts = Counter(vals)
+        best = max(counts.values())
+        assert counts[r["mode_cents"]] == best
+        assert r["mode_cents"] == min(v for v, c in counts.items() if c == best)
+        svals = sorted(vals)
+        assert r["median_cents"] == svals[(len(svals) + 1) // 2 - 1]
+        if r["skew6"] is not None:
+            mean = statistics.fmean(vals)
+            m2 = statistics.fmean([(v - mean) ** 2 for v in vals])
+            m3 = statistics.fmean([(v - mean) ** 3 for v in vals])
+            assert abs(r["skew6"] - m3 / m2**1.5) < 1e-3
+
+
+def test_token_budget_greedy_cut(spark, sf_dir):
+    row = token_budget_plan(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    ).collect()
+    toks = sorted(
+        (
+            (-d["n_chars"], d["doc_id"],
+             len([w for w in d["text"].lower().split(" ") if w]))
+            for d in docs
+        )
+    )
+    cum, n_inc, used = 0, 0, 0
+    for _, _, t in toks:
+        cum += t
+        if cum <= TOKEN_BUDGET:
+            n_inc, used = n_inc + 1, cum
+    assert row["n_included"] == n_inc
+    assert row["tokens_used"] == used
+    assert row["n_docs_total"] == len(docs)
+    assert row["tokens_total"] == sum(t for _, _, t in toks)
+    assert row["tokens_used"] <= TOKEN_BUDGET
+    # greedy cut: the next curriculum doc would not have fit
+    if n_inc < len(toks):
+        assert used + toks[n_inc][2] > TOKEN_BUDGET
+
+
+def test_cross_lingual_overlap_bounds(spark, sf_dir):
+    rows = cross_lingual_contamination(spark, sf_dir).collect()
+    langs = {
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    n = len(langs)
+    assert len(rows) <= n * (n - 1) // 2
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["overlap6"] <= 1.0

@@ -29,6 +29,15 @@ SF_DIRS = {
     "sf0.01": "/root/testdata/sf0.01",
     "sf0.1": "/root/testdata/sf0.1",
 }
+# optional third decade: a 10× amplification of sf0.1 produced by
+# tools/gen_scaled_data.py (disjoint key spaces, salted text, jittered
+# embeddings — see that module's docstring). Included automatically
+# when present; growth_10x_b then reports the 0.1→1 step.
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "sf1",
+)
 
 
 def _time_query(fn, spark, sf_dir: str) -> float:
@@ -59,16 +68,22 @@ def main() -> None:
         args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4 + HEADLINE_R5)
     )
 
+    sf_dirs = dict(SF_DIRS)
+    if os.path.isdir(SF1_DIR):
+        sf_dirs["sf1"] = SF1_DIR
+
     rows = []
     for name in names:
         fn = queries.get(name)
         if fn is None:
             continue
         row = {"query": name}
-        for label, d in SF_DIRS.items():
+        for label, d in sf_dirs.items():
             row[f"t_{label.replace('.', '')}"] = _time_query(fn, spark, d)
         t_small, t_big = row["t_sf001"], row["t_sf01"]
         row["growth_10x"] = round(t_big / t_small, 2) if t_small > 0 else None
+        if "t_sf1" in row and t_big > 0:
+            row["growth_10x_b"] = round(row["t_sf1"] / t_big, 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

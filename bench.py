@@ -123,6 +123,14 @@ HEADLINE_R5 = [
     "epoch_shuffle_plan",
 ]
 
+HEADLINE_R6 = [
+    "lateral_topn_customers",
+    "recursive_supplier_chain",
+    "moments_mode_median",
+    "token_budget_plan",
+    "cross_lingual_contamination",
+]
+
 
 def main() -> None:
     from go_zoom_kinesis_spark import registry
@@ -137,7 +145,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     total_baseline_set = 0.0
-    for name in HEADLINE + HEADLINE_R4 + HEADLINE_R5:
+    for name in HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
         fn = queries.get(name)
         if fn is None:
             timings[name] = -1.0

@@ -130,3 +130,69 @@ def test_scrub_projection_stream_equals_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("select * from scrub_stream_t").collect()
     )
     assert stream_out == batch_out
+
+
+def test_streaming_dedup_rocksdb_provider_parity(spark, tmp_path):
+    """The dedup stream's watermark-evicted hash state must behave
+    identically under the RocksDB state-store provider — the provider
+    a production ingest deployment runs so the dedup set spills to
+    local SSD instead of living in executor heap. Same staged
+    two-micro-batch scenario as the default-provider test; same
+    survivors, same cross-batch drop."""
+    import datetime as dt
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, rocksdb)
+    try:
+        src = str(tmp_path / "src_rdb")
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, t0, "alpha beta gamma"),
+                (2, t0, "delta epsilon zeta"),
+                (3, t0, "alpha beta gamma"),
+            ],
+        )
+        _write_batch(
+            spark,
+            src,
+            [
+                (4, t0 + dt.timedelta(minutes=5), "alpha beta gamma"),
+                (5, t0 + dt.timedelta(minutes=5), "eta theta iota"),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_stream_rdb_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_rdb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("select * from dedup_stream_rdb_t").collect()
+        texts = sorted(r["text"] for r in out)
+        assert texts == [
+            "alpha beta gamma",
+            "delta epsilon zeta",
+            "eta theta iota",
+        ]
+        assert all(r["doc_id"] != 4 for r in out)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)

@@ -57,7 +57,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from bench import HEADLINE, HEADLINE_R4, HEADLINE_R5
+    from bench import HEADLINE, HEADLINE_R4, HEADLINE_R5, HEADLINE_R6
     from go_zoom_kinesis_spark import registry
     from go_zoom_kinesis_spark.session import get_spark
 
@@ -65,7 +65,7 @@ def main() -> None:
     spark.range(1).count()
     queries = registry.all_queries()
     names = (
-        args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4 + HEADLINE_R5)
+        args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6)
     )
 
     sf_dirs = dict(SF_DIRS)

@@ -129,6 +129,8 @@ HEADLINE_R6 = [
     "moments_mode_median",
     "token_budget_plan",
     "cross_lingual_contamination",
+    "groupby_all_revenue",
+    "try_functions_audit",
 ]
 
 

@@ -129,3 +129,37 @@ def test_cross_lingual_overlap_bounds(spark, sf_dir):
         assert r["lang_a"] < r["lang_b"]
         assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
         assert 0.0 < r["overlap6"] <= 1.0
+
+
+def test_groupby_all_partitions_orders(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.relational4 import groupby_all_revenue
+
+    rows = groupby_all_revenue(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    # grouping keys inferred correctly: (priority, year) pairs unique
+    keys = [(r["priority"], r["order_year"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_try_functions_null_counts(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.relational4 import (
+        TRY_MUL_CONST,
+        try_functions_audit,
+    )
+
+    row = try_functions_audit(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_extendedprice"
+    ).collect()
+    lim = (2**63 - 1) // TRY_MUL_CONST
+    exp_parse = sum(1 for r in li if r["l_linenumber"] % 3 == 0)
+    exp_div = sum(1 for r in li if r["l_linenumber"] == 3)
+    exp_ovf = sum(
+        1 for r in li if int(r["l_extendedprice"] * 100 // 1) > lim
+    )
+    assert row["n_rows"] == len(li)
+    assert row["n_parse_fail"] == exp_parse
+    assert row["n_div_null"] == exp_div
+    assert row["n_overflow"] == exp_ovf
+    assert exp_parse > 0 and exp_div > 0, "salt must actually trigger"

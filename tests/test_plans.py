@@ -362,3 +362,44 @@ def test_aqe_skew_join_fires_at_runtime(spark, tmp_path):
                 conf.unset(key)
             else:
                 conf.set(key, val)
+
+
+def test_distribution_ranks_no_low_cardinality_window(spark, sf_dir):
+    """The round-6 rebuild contract: NO window partitioned on the bare
+    5-value priority key (that plan is five single-task terabyte sorts
+    at 100 TB). The only corpus-scale window must partition on
+    (priority, value-bucket); the offsets come back via broadcast."""
+    plan = _plan(spark, sf_dir, "window_distribution_ranks")
+    import re
+
+    # every window spec that mentions the priority key must also carry
+    # the vb bucket column in its partition spec
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "o_orderpriority" in spec.split(",")[0]:
+            args = [a.strip() for a in spec.split(",")]
+            # partition columns precede the ordering columns; the big
+            # window is (priority, vb), the offset window runs over the
+            # tiny counts relation and is allowed
+            if "vb" not in spec:
+                # must be the bounded counts relation (operates post-agg
+                # on count column), never over order rows
+                assert "price_cents" not in spec, (
+                    "full-partition window over raw order rows: " + spec
+                )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_no_global_sort_window(spark, sf_dir):
+    """The global running sum must come from per-bucket windows plus a
+    broadcast offset join — never one empty-partition window over the
+    full documents relation (single-task global sort)."""
+    plan = _plan(spark, sf_dir, "token_budget_plan")
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # any window whose frame walks document rows must be bucketed
+        if "tok" in spec or "n_chars" in spec:
+            assert "vb" in spec, "unbucketed global window: " + spec
+    assert "BroadcastHashJoin" in plan

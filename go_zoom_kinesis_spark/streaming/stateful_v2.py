@@ -115,3 +115,120 @@ def running_checkpoint_stream_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- timer-driven idle-shard eviction -----------------------------------
+
+IDLE_EVICT_MS = 60 * 60 * 1000  # evict a shard idle for 1h of event time
+
+IDLE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_event_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+IDLE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_event_ms", LongType()),
+        StructField("evicted", LongType()),  # 0 = live update, 1 = eviction
+    ]
+)
+
+
+class IdleShardEvictionProcessor(StatefulProcessor):
+    """Event-time TIMER surface of ``transformWithStateInPandas`` —
+    the reference's idle-shard metrics eviction (metrics windows
+    dropped once a shard is idle for 2× the window,
+    src/monitoring/metrics.rs:357-360) as a first-class stateful
+    operator: every input batch refreshes the shard's
+    last-seen event time and re-arms a timer at last_seen +
+    IDLE_EVICT_MS; when the WATERMARK passes that expiry with no
+    further input, ``handleExpiredTimer`` fires, emits a final
+    eviction row and clears the shard's state — bounded state on an
+    unbounded, partially-idle shard population.
+
+    The timer rows make the eviction OBSERVABLE downstream (the
+    reference logs it; here it is data), and state removal is the
+    100 TB property: without it, one state entry per ever-seen shard
+    lives forever."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("idle_shard", IDLE_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator:
+        import pandas as pd
+
+        (shard_id,) = key
+        if self._state.exists():
+            last_ms, n_events = self._state.get()
+        else:
+            last_ms, n_events = -1, 0
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            batch_max = int(pdf["ts"].max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max)
+            n_events += len(pdf)
+        self._state.update((last_ms, n_events))
+        # re-arm: one live timer per shard at last_seen + horizon
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + IDLE_EVICT_MS)
+        yield pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "n_events": [n_events],
+                "last_event_ms": [last_ms],
+                "evicted": [0],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator:
+        import pandas as pd
+
+        (shard_id,) = key
+        if self._state.exists():
+            last_ms, n_events = self._state.get()
+        else:  # already evicted
+            return
+        self._state.clear()
+        yield pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "n_events": [n_events],
+                "last_event_ms": [last_ms],
+                "evicted": [1],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def idle_eviction_stream_v2(
+    events: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Idle-shard eviction over an event stream: live per-shard
+    updates (evicted=0) plus a terminal eviction row (evicted=1) once
+    the event-time watermark passes a shard's last activity +
+    ``IDLE_EVICT_MS``. Event-time ``timeMode`` requires a watermark on
+    the input; 0s delay makes the bounded-source tests deterministic
+    (watermark = max seen event time at each microbatch boundary)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    shards = events.withColumn(
+        "shard_id", F.col("user_id") % 8
+    ).withWatermark("ts", watermark)
+    return shards.groupBy("shard_id").transformWithStateInPandas(
+        statefulProcessor=IdleShardEvictionProcessor(),
+        outputStructType=IDLE_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -442,3 +442,96 @@ def test_pit_enrich_stream_equals_batch_pit_join(
         for r in pit_join_user_status(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_stream_stream_right_outer_mirrors_left(spark, sf_dir):
+    """right_outer is the mirror cell: in batch mode, right-outer
+    (views, clicks) must equal left-outer (clicks, views) modulo the
+    fixed output column roles — pinned so the join_type pass-through
+    covers the full matrix."""
+    from go_zoom_kinesis_spark.streaming.windows import click_view_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    ro = click_view_attribution(
+        views, clicks, streaming=False, join_type="right_outer"
+    )
+    inner = click_view_attribution(views, clicks, streaming=False)
+    # right-outer = inner plus unmatched CLICKS null-padded on the view side
+    assert ro.filter(F.col("view_id").isNull()).count() == (
+        ro.count() - inner.count()
+    )
+    assert ro.filter(F.col("click_id").isNull()).count() == 0
+    got_inner = {
+        (r["click_id"], r["view_id"])
+        for r in ro.filter(F.col("view_id").isNotNull()).collect()
+    }
+    exp_inner = {(r["click_id"], r["view_id"]) for r in inner.collect()}
+    assert got_inner == exp_inner
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_DEPS,
+    reason="transformWithState worker needs google.protobuf (absent here)",
+)
+def test_idle_shard_eviction_timers(spark, tmp_path):
+    """Event-time TIMER surface: shards active in batch 1 but silent
+    while the watermark advances past their idle horizon must emit a
+    terminal eviction row (evicted=1) and lose their state; the shard
+    that keeps talking must NOT be evicted. Mirrors the reference's
+    2x-window idle-shard metrics eviction as observable data."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from go_zoom_kinesis_spark.streaming.stateful_v2 import (
+        idle_eviction_stream_v2,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "idle_src")
+    # batch 1: one event on every shard (user_id 0..7 -> shard 0..7)
+    spark.createDataFrame(
+        [(i + 1, t0, i) for i in range(8)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: only shard 0 speaks again, 2h later (> 1h idle horizon)
+    spark.createDataFrame(
+        [(100, t0 + dt.timedelta(hours=2), 8)], schema  # user 8 -> shard 0
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        idle_eviction_stream_v2(stream)
+        .writeStream.format("memory")
+        .queryName("idle_evict_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_idle"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM idle_evict_t").collect()
+
+    evicted = {r["shard_id"] for r in rows if r["evicted"] == 1}
+    live = {r["shard_id"] for r in rows if r["evicted"] == 0}
+    assert live == set(range(8))  # every shard produced live updates
+    assert evicted == set(range(1, 8)), f"evicted={evicted}"
+    # eviction rows carry the final pre-eviction counts
+    for r in rows:
+        if r["evicted"] == 1:
+            assert r["n_events"] == 1
+    # the surviving shard's state reflects both its events
+    s0 = [r for r in rows if r["shard_id"] == 0 and r["evicted"] == 0]
+    assert max(r["n_events"] for r in s0) == 2

@@ -335,7 +335,17 @@ def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-row doubles are floored to bigint before the sum
     (double summation order would otherwise differ between engines);
-    everything else is integer. One scan, one aggregate."""
+    everything else is integer. One scan, one aggregate.
+
+    Measured cost model (sf0.1, local[32]): Spark implements try_* by
+    catching the underlying JVM exception PER FAILING ROW, so the cost
+    is proportional to the ERROR count, not the row count — try_cast
+    0.22 s with zero parse errors vs 1.39 s with this query's
+    deliberately error-dense 33% salt; try_multiply 0.15 s with no
+    overflow vs 1.61 s overflow-dense. At production error rates
+    (<0.1%) try_* is free; for known-error-dense validation scans,
+    pre-filter with a guard predicate (RLIKE / range check) and keep
+    try_* as the safety net, not the classifier."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
     base = li.select(

@@ -37,7 +37,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 try:  # the TWS state-server protocol needs protobuf at runtime
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
@@ -207,6 +207,99 @@ class IdleShardEvictionProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+# --- typed-state trio: MapState + ListState ----------------------------
+
+TOP_IDS_K = 3
+
+TYPECOUNT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("top_ids", StringType()),  # csv of all-time top-K ids
+    ]
+)
+
+
+class ShardTypeCountsProcessor(StatefulProcessor):
+    """Completes the typed-state trio (``ValueState`` is
+    ``ShardCheckpointProcessor``): a ``MapState`` keyed by event type
+    holds per-(shard, type) running counts — the composable upgrade
+    over packing a whole dict into one ValueState row, because one
+    type's update doesn't rewrite the others — and a ``ListState``
+    carries the shard's all-time top-K event ids (merged per batch,
+    order-deterministic). The reference folds per-shard metrics into
+    one mutable struct (src/processor.rs:1367-1396); typed state is
+    what that fold should become on Spark 4.
+
+    Emits the UPDATED (type, count) rows per batch plus the refreshed
+    top-K list; the equivalence test pins the final emission per key
+    against the batch groupBy fold."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+        self._top = handle.getListState("top_ids", "event_id bigint")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator:
+        import pandas as pd
+
+        (shard_id,) = key
+        batch: dict[str, int] = {}
+        ids: list[int] = []
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            for t, c in pdf["event_type"].value_counts().items():
+                batch[t] = batch.get(t, 0) + int(c)
+            ids.extend(int(x) for x in pdf["event_id"])
+        if not batch:
+            return
+        updated: dict[str, int] = {}
+        for t, c in batch.items():
+            prev = (
+                self._counts.getValue((t,))[0]
+                if self._counts.containsKey((t,))
+                else 0
+            )
+            n = prev + c
+            self._counts.updateValue((t,), (n,))
+            updated[t] = n
+        merged = [v[0] for v in self._top.get()] + ids
+        top = sorted(merged, reverse=True)[:TOP_IDS_K]
+        self._top.put([(i,) for i in top])
+        top_csv = ",".join(str(i) for i in top)
+        yield pd.DataFrame(
+            {
+                "shard_id": [shard_id] * len(updated),
+                "event_type": list(updated),
+                "n_events": list(updated.values()),
+                "top_ids": [top_csv] * len(updated),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def shard_type_counts_stream_v2(events: DataFrame) -> DataFrame:
+    """Per-(shard, event type) running counts + all-time top-K event
+    ids via MapState/ListState (see ``ShardTypeCountsProcessor``)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    shards = events.withColumn("shard_id", F.col("user_id") % 8)
+    return shards.groupBy("shard_id").transformWithStateInPandas(
+        statefulProcessor=ShardTypeCountsProcessor(),
+        outputStructType=TYPECOUNT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
 
 
 def idle_eviction_stream_v2(

@@ -535,3 +535,68 @@ def test_idle_shard_eviction_timers(spark, tmp_path):
     # the surviving shard's state reflects both its events
     s0 = [r for r in rows if r["shard_id"] == 0 and r["evicted"] == 0]
     assert max(r["n_events"] for r in s0) == 2
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_DEPS,
+    reason="transformWithState worker needs google.protobuf (absent here)",
+)
+def test_shard_type_counts_map_list_state(spark, tmp_path, events_batch, events_stream):
+    """MapState + ListState surfaces: final per-(shard, type) counts
+    must equal the batch groupBy fold, and the final top-K id list per
+    shard must equal the batch top-K."""
+    from go_zoom_kinesis_spark.streaming.stateful_v2 import (
+        TOP_IDS_K,
+        shard_type_counts_stream_v2,
+    )
+
+    out = shard_type_counts_stream_v2(events_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("type_counts_v2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tc_v2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per (shard, type): highest running count wins
+    got = spark.sql(
+        """
+        SELECT shard_id, event_type, n_events, top_ids FROM (
+            SELECT *, row_number() OVER (PARTITION BY shard_id, event_type
+                                         ORDER BY n_events DESC) rk
+            FROM type_counts_v2
+        ) WHERE rk = 1
+        """
+    ).collect()
+    base = events_batch.withColumn("shard_id", F.col("user_id") % 8)
+    exp_counts = {
+        (r["shard_id"], r["event_type"]): r["n"]
+        for r in base.groupBy("shard_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_counts = {(r["shard_id"], r["event_type"]): r["n_events"] for r in got}
+    assert got_counts == exp_counts
+    exp_top = {
+        r["shard_id"]: ",".join(
+            str(i) for i in sorted((x["event_id"] for x in rows_), reverse=True)[:TOP_IDS_K]
+        )
+        for r_sh in base.select("shard_id").distinct().collect()
+        for r in [r_sh]
+        for rows_ in [base.filter(F.col("shard_id") == r["shard_id"]).select("event_id").collect()]
+    }
+    # every shard's FINAL top_ids (from its last emission) matches batch
+    final_top = {}
+    for r in sorted(got, key=lambda r: r["n_events"]):
+        final_top[r["shard_id"]] = r["top_ids"]
+    # rows with the max running count carry the final list; recompute
+    # strictly: take top_ids from the row with max n_events per shard
+    by_shard: dict = {}
+    for r in got:
+        cur = by_shard.get(r["shard_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            by_shard[r["shard_id"]] = (r["n_events"], r["top_ids"])
+    for sh, (_, top) in by_shard.items():
+        assert top == exp_top[sh], f"shard {sh}: {top} != {exp_top[sh]}"

@@ -1,0 +1,181 @@
+"""Checkpoint-style SINK via the Spark 4 Python DataSource writer API —
+the write-side twin of ``gzk_datasource.py``'s reader: the reference's
+at-least-once checkpoint commit (src/store/mod.rs trait +
+src/processor.rs:1542-1560 batch fold → save) re-expressed as a
+two-phase Spark writer.
+
+Protocol (the shape every transactional Spark sink uses):
+
+1. ``write(iterator)`` runs ON EXECUTORS: each task serializes its
+   partition to a uniquely-named ``*.part.jsonl`` under ``<path>/tmp/``
+   and returns a commit message (file, row count, max sequence seen).
+   A failed/retried task leaves only an orphaned temp file — never
+   visible data.
+2. ``commit(messages)`` runs ON THE DRIVER exactly once per successful
+   job: temp files move into ``<path>/`` atomically (same-filesystem
+   rename) and a manifest line records the batch — files not in the
+   manifest are not data. ``abort()`` deletes the temps.
+3. The STREAMING variant keys the manifest by ``batchId`` —
+   re-committing an already-manifested batch is a NO-OP, which is what
+   makes micro-batch replay after a checkpoint rollback idempotent
+   (same guarantee as ``streaming/sinks.py``'s foreachBatch overwrite,
+   now at the DataSource layer).
+
+Scale: executors never coordinate (one temp file per task, no
+renames until the driver commit); the manifest is O(batches), not
+O(rows); max-sequence per shard aggregates from commit messages
+driver-side exactly like the reference's per-shard checkpoint fold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_manifest.jsonl"
+
+
+class GzkCommitMessage(WriterCommitMessage):
+    def __init__(self, fname: str, n_rows: int, max_seq: int | None):
+        self.fname = fname
+        self.n_rows = n_rows
+        self.max_seq = max_seq
+
+
+def _write_partition(path: str, iterator) -> GzkCommitMessage:
+    tmp_dir = os.path.join(path, "tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    fname = f"{uuid.uuid4().hex}.part.jsonl"
+    n, max_seq = 0, None
+    with open(os.path.join(tmp_dir, fname), "w") as f:
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            for k, v in list(d.items()):
+                if hasattr(v, "isoformat"):
+                    d[k] = v.isoformat()
+            if "sequence_number" in d and d["sequence_number"] is not None:
+                s = int(d["sequence_number"])
+                max_seq = s if max_seq is None else max(max_seq, s)
+            f.write(json.dumps(d, sort_keys=True) + "\n")
+            n += 1
+    return GzkCommitMessage(fname, n, max_seq)
+
+
+def _manifest_batches(path: str) -> set:
+    mf = os.path.join(path, MANIFEST)
+    if not os.path.exists(mf):
+        return set()
+    with open(mf) as f:
+        return {json.loads(line)["batch_id"] for line in f if line.strip()}
+
+
+def _commit_files(path: str, messages, batch_id) -> None:
+    """Driver-side: publish temp files + append ONE manifest line.
+    Idempotent per batch_id — a replayed commit is a no-op."""
+    if batch_id is not None and batch_id in _manifest_batches(path):
+        for m in messages:  # replay: drop the re-written temps
+            if m is not None:
+                tmp = os.path.join(path, "tmp", m.fname)
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+        return
+    files, total, max_seq = [], 0, None
+    for m in messages:
+        if m is None:
+            continue
+        os.replace(
+            os.path.join(path, "tmp", m.fname), os.path.join(path, m.fname)
+        )
+        files.append(m.fname)
+        total += m.n_rows
+        if m.max_seq is not None:
+            max_seq = m.max_seq if max_seq is None else max(max_seq, m.max_seq)
+    with open(os.path.join(path, MANIFEST), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "batch_id": batch_id,
+                    "files": sorted(files),
+                    "n_rows": total,
+                    "checkpoint_seq": max_seq,
+                },
+                sort_keys=True,
+            )
+            + "\n"
+        )
+
+
+def _abort_files(path: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        tmp = os.path.join(path, "tmp", m.fname)
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+class GzkBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def write(self, iterator) -> GzkCommitMessage:
+        return _write_partition(self._path, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_files(self._path, messages, None)
+
+    def abort(self, messages) -> None:
+        _abort_files(self._path, messages)
+
+
+class GzkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def write(self, iterator) -> GzkCommitMessage:
+        return _write_partition(self._path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_files(self._path, messages, batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_files(self._path, messages)
+
+
+class GzkSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gzk_checkpoint_sink"
+
+    def writer(self, schema, overwrite: bool) -> GzkBatchWriter:
+        return GzkBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> GzkStreamWriter:
+        return GzkStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(GzkSinkDataSource)
+
+
+def read_committed(path: str) -> list[dict]:
+    """Read back ONLY manifested rows (the sink's visibility rule)."""
+    out: list[dict] = []
+    mf = os.path.join(path, MANIFEST)
+    if not os.path.exists(mf):
+        return out
+    with open(mf) as f:
+        for line in f:
+            entry = json.loads(line)
+            for fname in entry["files"]:
+                with open(os.path.join(path, fname)) as pf:
+                    out.extend(json.loads(ln) for ln in pf if ln.strip())
+    return out

@@ -179,15 +179,57 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arrow_scalar_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized SCALAR Python UDF (``F.udf(..., useArrow=True)``)
+    — the last cell of the Python execution matrix (pandas_udf /
+    mapInPandas / mapInArrow / UDTF / pandas-UDAF are elsewhere):
+    row-at-a-time user code, but Arrow-batched transport instead of
+    pickled rows, so the serialization tax drops ~10× while keeping
+    the plain-function authoring model. The UDF canonicalizes event
+    types (strip digits, upper, first 4 chars) the way a real pipeline
+    wraps a legacy Python normalizer it can't vectorize.
+
+    Kept OFF the hot path by design: the oracle restates the transform
+    in pure SQL, and a production deployment promotes it to built-in
+    column ops exactly like that SQL — the entry pins the MECHANISM.
+    Integer aggregates, so the hash matches despite Python execution."""
+    ev = _t(spark, sf_dir, "events")
+
+    @F.udf(returnType="string", useArrow=True)
+    def canon(s):
+        if s is None:
+            return None
+        # ASCII-digit strip (not str.isdigit: that also matches Unicode
+        # digits and would diverge from the oracle's [0-9] regex under
+        # the unicode fuzzer)
+        return "".join(c for c in s if c not in "0123456789").upper()[:4]
+
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return (
+        ev.select(canon(F.col("event_type")).alias("canon_type"), cents.alias("cents"))
+        .groupBy("canon_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents"))
+    )
+
+
 QUERIES = {
     "udaf_weighted_qty": udaf_weighted_qty,
     "udtf_token_positions": udtf_token_positions,
     "variant_props_rollup": variant_props_rollup,
     "map_functions": map_functions,
     "sql_api_nation_revenue": sql_api_nation_revenue,
+    "arrow_scalar_udf_norm": arrow_scalar_udf_norm,
 }
 
 ORACLE = {
+    "arrow_scalar_udf_norm": """
+        SELECT substr(upper(regexp_replace(event_type, '[0-9]', '', 'g')),
+                      1, 4) AS canon_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1
+    """,
     "udtf_token_positions": """
         WITH t1 AS (
             SELECT doc_id, list_filter(string_split(lower(text), ' '),

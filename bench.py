@@ -131,6 +131,9 @@ HEADLINE_R6 = [
     "cross_lingual_contamination",
     "groupby_all_revenue",
     "try_functions_audit",
+    "arrow_scalar_udf_norm",
+    "matryoshka_truncation_audit",
+    "coreset_kcenter_step",
 ]
 
 

@@ -526,8 +526,117 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIM = 16  # Matryoshka truncation prefix length
+KC_CENTERS = 8  # current coreset: vec_id < 8
+KC_FRONTIER = 5  # report the top-5 farthest candidates
+
+
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: how much of the full-dimension
+    top-K neighborhood survives when cosine runs on only the FIRST
+    ``MRL_DIM`` dimensions — the measurement that decides whether a
+    deployment can serve truncated (4× cheaper) embeddings, assuming
+    MRL-style training packed meaning into the prefix. Reports
+    recall@K of truncated-vs-full per query.
+
+    Plan: ONE broadcast-join candidate scan computes both cosines
+    (full fold and ``slice(emb, 1, 16)`` fold) per pair; two windowed
+    top-Ks over the same relation; the overlap join is top-K×top-K per
+    query — bounded. Same scale posture as ``similarity_topk``; the
+    truncated path exists to CUT the fold cost at serving time."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    t = F.slice(F.col("emb"), 1, MRL_DIM)
+    both = emb.withColumn("temb", t).withColumn(
+        "tnorm", F.sqrt(_dot(F.col("temb"), F.col("temb")))
+    )
+    q = both.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("temb").alias("q_temb"),
+        F.col("tnorm").alias("q_tnorm"),
+    ).filter(F.col("q_id") < N_QUERIES)
+    pairs = (
+        both.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "c_full",
+            _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")),
+        )
+        .withColumn(
+            "c_trunc",
+            _dot(F.col("q_temb"), F.col("temb"))
+            / (F.col("q_tnorm") * F.col("tnorm")),
+        )
+    )
+    w_full = Window.partitionBy("q_id").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    w_tr = Window.partitionBy("q_id").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
+    top_full = (
+        pairs.withColumn("rk", F.row_number().over(w_full))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    top_tr = (
+        pairs.withColumn("rk", F.row_number().over(w_tr))
+        .filter(F.col("rk") <= TOP_K)
+        .select(F.col("q_id").alias("tq_id"), F.col("vec_id").alias("tvec_id"))
+    )
+    hits = top_full.join(
+        top_tr,
+        (F.col("q_id") == F.col("tq_id")) & (F.col("vec_id") == F.col("tvec_id")),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.sum(F.when(F.col("tvec_id").isNotNull(), 1).otherwise(0)).alias(
+            "n_overlap"
+        ),
+        F.round(
+            F.sum(F.when(F.col("tvec_id").isNotNull(), 1).otherwise(0))
+            / F.lit(float(TOP_K)),
+            6,
+        ).alias("recall6"),
+    )
+
+
+def coreset_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One greedy k-center (farthest-point) selection step — the
+    diversity-sampling primitive (coreset construction, facility
+    location): given the current ``KC_CENTERS`` coreset, rank every
+    remaining vector by its distance to the NEAREST center (cosine
+    distance 1 − cos) and report the ``KC_FRONTIER`` farthest — the
+    next points a diversity-maximizing curator would admit.
+
+    Plan: broadcast the center slice (8 rows), one corpus scan fans
+    out ×8, per-vector min fold, then a GLOBAL top-5 via orderBy+limit
+    — Spark plans that as TakeOrderedAndProject (per-partition top-5 +
+    driver merge of 5-row heaps), NOT a global sort; ordering is on
+    full-precision distance with vec_id tie-break, output rounded."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    cent = emb.filter(F.col("vec_id") < KC_CENTERS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cand = emb.filter(F.col("vec_id") >= KC_CENTERS)
+    d = F.lit(1.0) - _dot(F.col("emb"), F.col("c_emb")) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    per = (
+        cand.join(F.broadcast(cent))
+        .withColumn("dist", d)
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("min_dist"))
+    )
+    return (
+        per.orderBy(F.desc("min_dist"), F.asc("vec_id"))
+        .limit(KC_FRONTIER)
+        .select("vec_id", F.round("min_dist", 6).alias("min_dist6"))
+    )
+
+
 QUERIES = {
     "embedding_gram_int8": embedding_gram_int8,
+    "matryoshka_truncation_audit": matryoshka_truncation_audit,
+    "coreset_kcenter_step": coreset_kcenter_step,
     # embedding_pca_top is deliberately NOT registered: its eigensolve
     # layer has no SQL-expressible oracle, so it lives on the library +
     # pytest surface only (the distributed Gram it builds on IS
@@ -548,6 +657,11 @@ _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])), "
+    "(acc, v) -> acc + v)"
+)
+_TDOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 16), i -> {a}[i] * {b}[i])), "
     "(acc, v) -> acc + v)"
 )
 _NORM = f"sqrt({_DOT.format(a='{a}', b='{a}')})"
@@ -571,6 +685,55 @@ _EMB_CTE = f"""
 """
 
 ORACLE = {
+    "matryoshka_truncation_audit": f"""
+        {_EMB_CTE},
+        et AS (
+            SELECT vec_id, emb, norm, emb[1:16] AS temb,
+                   sqrt({_TDOT.format(a='emb[1:16]', b='emb[1:16]')}) AS tnorm
+            FROM en
+        ),
+        pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   {_DOT.format(a='q.emb', b='c.emb')} / (q.norm * c.norm)
+                       AS c_full,
+                   {_TDOT.format(a='q.temb', b='c.temb')} / (q.tnorm * c.tnorm)
+                       AS c_trunc
+            FROM et q JOIN et c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ),
+        top_full AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY c_full DESC, vec_id) AS rk
+                FROM pairs) WHERE rk <= {TOP_K}
+        ),
+        top_tr AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY c_trunc DESC, vec_id) AS rk
+                FROM pairs) WHERE rk <= {TOP_K}
+        )
+        SELECT f.q_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap,
+               round(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / {float(TOP_K)}, 6) AS recall6
+        FROM top_full f
+        LEFT JOIN top_tr t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        GROUP BY f.q_id
+    """,
+    "coreset_kcenter_step": f"""
+        {_EMB_CTE}
+        SELECT vec_id, round(min_dist, 6) AS min_dist6 FROM (
+            SELECT v.vec_id,
+                   min(1.0 - {_DOT.format(a='v.emb', b='c.emb')}
+                             / (v.norm * c.norm)) AS min_dist
+            FROM en v JOIN en c
+              ON v.vec_id >= {KC_CENTERS} AND c.vec_id < {KC_CENTERS}
+            GROUP BY v.vec_id
+        )
+        ORDER BY min_dist DESC, vec_id LIMIT {KC_FRONTIER}
+    """,
     "similarity_topk": f"""
         {_EMB_CTE}
         SELECT q_id, vec_id, round(c, 6) AS cos_sim, rk FROM (

@@ -163,3 +163,54 @@ def test_try_functions_null_counts(spark, sf_dir):
     assert row["n_div_null"] == exp_div
     assert row["n_overflow"] == exp_ovf
     assert exp_parse > 0 and exp_div > 0, "salt must actually trigger"
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        matryoshka_truncation_audit,
+    )
+
+    rows = matryoshka_truncation_audit(spark, sf_dir).collect()
+    assert {r["q_id"] for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert abs(r["recall6"] - r["n_overlap"] / TOP_K) < 1e-9
+
+
+def test_kcenter_frontier_referee(spark, sf_dir):
+    import numpy as np
+
+    from go_zoom_kinesis_spark.io import load_table
+    from go_zoom_kinesis_spark.operators.similarity import (
+        KC_CENTERS,
+        KC_FRONTIER,
+        coreset_kcenter_step,
+    )
+
+    rows = coreset_kcenter_step(spark, sf_dir).collect()
+    assert len(rows) == KC_FRONTIER
+    dists = [r["min_dist6"] for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {k: v for k, v in emb.items() if k < KC_CENTERS}
+    best = []
+    for vid, v in emb.items():
+        if vid < KC_CENTERS:
+            continue
+        nv = np.sqrt((v * v).sum())
+        d = min(
+            1.0 - float((v * c).sum()) / (nv * np.sqrt((c * c).sum()))
+            for c in cents.values()
+        )
+        best.append((-d, vid))
+    best.sort()
+    exp = [(vid, -nd) for nd, vid in best[:KC_FRONTIER]]
+    got = [(r["vec_id"], r["min_dist6"]) for r in rows]
+    for (gv, gd), (ev, ed) in zip(got, exp):
+        assert gv == ev
+        assert abs(gd - ed) < 1e-5

@@ -134,6 +134,9 @@ HEADLINE_R6 = [
     "arrow_scalar_udf_norm",
     "matryoshka_truncation_audit",
     "coreset_kcenter_step",
+    "collocation_pmi_top",
+    "duplicate_span_audit",
+    "vocab_growth_heaps",
 ]
 
 

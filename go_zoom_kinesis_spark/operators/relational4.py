@@ -371,6 +371,219 @@ def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_COLLOC_COUNT = 5
+TOP_COLLOCATIONS = 20
+
+
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI — the corpus-health mining step
+    that surfaces boilerplate phrases ("click here", license headers)
+    a curation pipeline should strip before training.
+
+    PMI is reported as its *linear-space* lift
+    ``p(w1 w2) / (p(w1) p(w2))`` — the exact monotone transform of
+    PMI — because ``ln()`` is not correctly rounded cross-engine
+    (house rule, see ``ngram_lm_score``). Every lift is a fixed
+    sequence of correctly-rounded double divisions of exact counts,
+    so ordering and values are bit-identical to the oracle.
+
+    Scale: bigram and unigram counts are two map-side-combinable
+    shuffles; the candidate relation is cut to ``c_bg ≥
+    {MIN_COLLOC_COUNT}`` *before* the vocab joins; corpus totals
+    broadcast as 1-row scalars; the final top-k is TakeOrdered (per-
+    partition heaps), never a global sort."""
+    toks = _t(spark, sf_dir, "documents").select(
+        H.tokens_col(F.col("text")).alias("toks")
+    )
+    bg = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    uni = toks.select(F.explode("toks").alias("token"))
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    # referenced twice (w1 and w2 joins); cached so the corpus is
+    # tokenized once, not twice — the relation is vocab-bounded
+    cu = uni.groupBy("token").agg(F.count("*").alias("c")).cache()
+    # corpus totals come from array SIZES in one scan — no explode, no
+    # shuffle, and no recompute of the count relations (Spark reuses
+    # no un-cached subplan, so folding cb/cu here would re-scan)
+    tot = toks.agg(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("n_bg"),
+        F.sum(F.size("toks")).alias("n_uni"),
+    )
+    w = F.split(F.col("bigram"), " ")
+    cand = (
+        cb.filter(F.col("c_bg") >= MIN_COLLOC_COUNT)
+        .withColumn("w1", w.getItem(0))
+        .withColumn("w2", w.getItem(1))
+        .join(
+            cu.select(F.col("token").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            cu.select(F.col("token").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (
+        F.col("c_bg").cast("double") / F.col("n_bg").cast("double")
+    ) / (
+        (F.col("c1").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("c2").cast("double") / F.col("n_uni").cast("double"))
+    )
+    return (
+        cand.select(
+            "bigram",
+            "c_bg",
+            "c1",
+            "c2",
+            F.round(lift, 6).alias("lift6"),
+            lift.alias("_l"),
+        )
+        .orderBy(F.desc("_l"), F.asc("bigram"))
+        .limit(TOP_COLLOCATIONS)
+        .drop("_l")
+    )
+
+
+SPAN_N = 8  # exact-substring window length, in tokens
+
+
+def duplicate_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (the Spark shape of Lee et
+    al.'s "Deduplicating Training Data" suffix scan): hash every
+    {SPAN_N}-token window, count how many *distinct documents* each
+    span appears in, and report the document-frequency histogram —
+    ``dup_df = 1`` is unique text; the ``dup_df ≥ 2`` tail is the
+    copy-paste mass an exact-substring deduper would cut.
+
+    Span hashes are a Horner fold of per-token char hashes ((…(h_i·31
+    + h_{{i+1}})·31…) mod P) — each token's chars are hashed ONCE into
+    a materialized array column (Spark does no CSE inside HOF lambdas;
+    see ``cross_lingual_contamination``), then every window is 7
+    multiply-adds, not a string re-hash.
+
+    Scale: in-row ``array_distinct`` dedups a doc's own repeats before
+    the explode, so the shuffled relation is ≤ one row per (doc,
+    distinct span); both aggregations are uniform-key hash shuffles
+    with map-side combine; output is bounded by the distinct
+    document-frequency values. No joins at all."""
+    pre = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias(
+            "th"
+        ),
+    )
+    spans = F.array_distinct(
+        F.when(
+            F.size("th") >= SPAN_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size("th") - (SPAN_N - 1)),
+                lambda i: F.aggregate(
+                    F.slice(F.col("th"), i + 1, SPAN_N - 1),
+                    F.element_at(F.col("th"), i),
+                    lambda acc, x: (acc * 31 + x) % H.P,
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    per_span = (
+        pre.select(F.explode(spans).alias("shash"))
+        .groupBy("shash")
+        .agg(F.count("*").alias("dup_df"))
+    )
+    return (
+        per_span.groupBy("dup_df")
+        .agg(F.count("*").alias("n_spans"))
+        .orderBy("dup_df")
+    )
+
+
+HEAPS_STEPS = 4  # quartile checkpoints over the doc_id range
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: distinct-vocabulary size at
+    doc-id quartile checkpoints of the corpus — the curve a data team
+    plots to decide whether more crawl still buys new vocabulary.
+    Sub-linear growth (V ∝ N^β, β<1) is healthy; near-linear growth
+    flags a corpus still full of novel junk tokens.
+
+    Log-free by design: each token's FIRST document (min doc_id) is
+    computed once, and "vocabulary at checkpoint t" is just a
+    conditional count of first-occurrences ≤ t — exact integers, no
+    cumulative-distinct window, no ln(). Token volume per checkpoint
+    folds the same way from per-doc token counts.
+
+    Scale: one vocab-bounded ``groupBy(token).min(doc_id)`` shuffle +
+    one scan of per-doc lengths; all {HEAPS_STEPS} checkpoints come
+    out of the SAME single-pass conditional aggregates (no per-
+    checkpoint rescan); the two 1-row results broadcast-join."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", H.tokens_col(F.col("text")).alias("toks")
+    )
+    mx = toks.agg(F.max("doc_id").alias("mx"))
+    dl = toks.select("doc_id", F.size("toks").alias("n")).crossJoin(
+        F.broadcast(mx)
+    )
+    fo = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+    )
+
+    def thr(k: int):
+        return F.floor(F.col("mx") * k / HEAPS_STEPS)
+
+    doc_side = dl.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") <= thr(k), 1)), F.lit(0)
+            ).alias(f"d{k}")
+            for k in range(1, HEAPS_STEPS + 1)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") <= thr(k), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"t{k}")
+            for k in range(1, HEAPS_STEPS + 1)
+        ],
+    )
+    vocab_side = fo.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("first_doc") <= thr(k), 1)), F.lit(0)
+            ).alias(f"v{k}")
+            for k in range(1, HEAPS_STEPS + 1)
+        ]
+    )
+    wide = doc_side.crossJoin(F.broadcast(vocab_side))
+    stack_args = ", ".join(
+        f"{k * 100 // HEAPS_STEPS}, d{k}, t{k}, v{k}"
+        for k in range(1, HEAPS_STEPS + 1)
+    )
+    return wide.selectExpr(
+        f"stack({HEAPS_STEPS}, {stack_args}) AS "
+        "(checkpoint_pct, n_docs, n_tokens_cum, vocab_cum)"
+    )
+
+
 QUERIES = {
     "lateral_topn_customers": lateral_topn_customers,
     "recursive_supplier_chain": recursive_supplier_chain,
@@ -379,6 +592,9 @@ QUERIES = {
     "cross_lingual_contamination": cross_lingual_contamination,
     "groupby_all_revenue": groupby_all_revenue,
     "try_functions_audit": try_functions_audit,
+    "collocation_pmi_top": collocation_pmi_top,
+    "duplicate_span_audit": duplicate_span_audit,
+    "vocab_growth_heaps": vocab_growth_heaps,
 }
 
 _TOKENS = H.TOKENS_SQL.format(text="text")
@@ -558,5 +774,80 @@ ORACLE = {
         FROM pairs p
         JOIN totals ta ON p.lang_a = ta.lang
         JOIN totals tb ON p.lang_b = tb.lang
+    """,
+    "collocation_pmi_top": f"""
+        WITH tk AS (SELECT {_TOKENS} AS toks FROM documents),
+        bg AS (
+            SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(1, len(toks) - 1),
+                    i -> concat(toks[i], ' ', toks[i+1]))
+                ELSE CAST([] AS VARCHAR[]) END) AS bigram
+            FROM tk
+        ),
+        uni AS (SELECT unnest(toks) AS token FROM tk),
+        cb AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+        cu AS (SELECT token, count(*) AS c FROM uni GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM bg) AS n_bg,
+                       (SELECT count(*) FROM uni) AS n_uni),
+        cand AS (
+            SELECT b.bigram, b.c_bg, u1.c AS c1, u2.c AS c2,
+                   (CAST(b.c_bg AS DOUBLE) / CAST(t.n_bg AS DOUBLE))
+                   / ((CAST(u1.c AS DOUBLE) / CAST(t.n_uni AS DOUBLE))
+                      * (CAST(u2.c AS DOUBLE) / CAST(t.n_uni AS DOUBLE)))
+                       AS lift
+            FROM cb b
+            JOIN cu u1 ON string_split(b.bigram, ' ')[1] = u1.token
+            JOIN cu u2 ON string_split(b.bigram, ' ')[2] = u2.token
+            CROSS JOIN tot t
+            WHERE b.c_bg >= {MIN_COLLOC_COUNT}
+        )
+        SELECT bigram, c_bg, c1, c2, round(lift, 6) AS lift6
+        FROM cand
+        ORDER BY lift DESC, bigram
+        LIMIT {TOP_COLLOCATIONS}
+    """,
+    "duplicate_span_audit": f"""
+        WITH pre AS (
+            SELECT doc_id,
+                   list_transform({_TOKENS}, s -> {_CHASH}) AS th
+            FROM documents
+        ),
+        sp AS (
+            SELECT unnest(list_distinct(CASE WHEN len(th) >= {SPAN_N} THEN
+                list_transform(generate_series(1, len(th) - {SPAN_N - 1}),
+                    i -> list_reduce(th[i:i+{SPAN_N - 1}],
+                                     (acc, x) -> (acc * 31 + x)
+                                                 % 2147483647))
+                ELSE CAST([] AS BIGINT[]) END)) AS shash
+            FROM pre
+        ),
+        dfc AS (SELECT shash, count(*) AS dup_df FROM sp GROUP BY 1)
+        SELECT dup_df, count(*) AS n_spans FROM dfc GROUP BY 1
+    """,
+    "vocab_growth_heaps": f"""
+        WITH tk AS (
+            SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ),
+        mx AS (SELECT max(doc_id) AS mx FROM tk),
+        fo AS (
+            SELECT token, min(doc_id) AS first_doc FROM (
+                SELECT doc_id, unnest(toks) AS token FROM tk
+            ) GROUP BY 1
+        ),
+        ck AS (
+            SELECT k, CAST(floor(mx.mx * k / {HEAPS_STEPS}.0) AS BIGINT)
+                       AS t
+            FROM generate_series(1, {HEAPS_STEPS}) AS g(k), mx
+        )
+        SELECT CAST(k * 100 // {HEAPS_STEPS} AS INT) AS checkpoint_pct,
+               CAST((SELECT coalesce(sum(CASE WHEN doc_id <= t THEN 1 END),
+                                     0) FROM tk) AS BIGINT) AS n_docs,
+               CAST((SELECT coalesce(sum(CASE WHEN doc_id <= t
+                                     THEN len(toks) END), 0) FROM tk)
+                    AS BIGINT) AS n_tokens_cum,
+               CAST((SELECT coalesce(sum(CASE WHEN first_doc <= t
+                                     THEN 1 END), 0) FROM fo)
+                    AS BIGINT) AS vocab_cum
+        FROM ck
     """,
 }

@@ -214,3 +214,114 @@ def test_kcenter_frontier_referee(spark, sf_dir):
     for (gv, gd), (ev, ed) in zip(got, exp):
         assert gv == ev
         assert abs(gd - ed) < 1e-5
+
+
+def _py_tokens(text):
+    return [w for w in text.lower().split(" ") if w]
+
+
+def test_collocation_pmi_referee(spark, sf_dir):
+    from collections import Counter
+
+    from go_zoom_kinesis_spark.operators.relational4 import (
+        MIN_COLLOC_COUNT,
+        TOP_COLLOCATIONS,
+        collocation_pmi_top,
+    )
+
+    rows = collocation_pmi_top(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        t = _py_tokens(d["text"])
+        uni.update(t)
+        bi.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    n_uni, n_bg = sum(uni.values()), sum(bi.values())
+    cand = []
+    for bg, c in bi.items():
+        if c < MIN_COLLOC_COUNT:
+            continue
+        w1, w2 = bg.split(" ")
+        lift = (c / n_bg) / ((uni[w1] / n_uni) * (uni[w2] / n_uni))
+        cand.append((-lift, bg, c, uni[w1], uni[w2]))
+    cand.sort()
+    exp = cand[:TOP_COLLOCATIONS]
+    assert len(rows) == min(TOP_COLLOCATIONS, len(exp))
+    for r, (neg_lift, bg, c, c1, c2) in zip(rows, exp):
+        assert r["bigram"] == bg
+        assert (r["c_bg"], r["c1"], r["c2"]) == (c, c1, c2)
+        assert abs(r["lift6"] - (-neg_lift)) < 1e-5
+    # a collocation is over-represented vs independence only if lift>1;
+    # the TOP of the list must be (boilerplate phrases repeat)
+    assert rows[0]["lift6"] > 1.0
+
+
+def _py_char_hash(s, p=2_147_483_647):
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % p
+    return h
+
+
+def test_duplicate_span_histogram_referee(spark, sf_dir):
+    from collections import Counter
+
+    from go_zoom_kinesis_spark.operators.relational4 import (
+        SPAN_N,
+        duplicate_span_audit,
+    )
+
+    rows = duplicate_span_audit(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    p = 2_147_483_647
+    df = Counter()
+    for d in docs:
+        th = [_py_char_hash(t) for t in _py_tokens(d["text"])]
+        spans = set()
+        for i in range(len(th) - SPAN_N + 1):
+            h = th[i]
+            for x in th[i + 1 : i + SPAN_N]:
+                h = (h * 31 + x) % p
+            spans.add(h)
+        df.update(spans)
+    hist = Counter(df.values())
+    got = {r["dup_df"]: r["n_spans"] for r in rows}
+    assert got == dict(hist)
+    # conservation: Σ df·n_spans = total distinct (doc, span) pairs
+    assert sum(k * v for k, v in got.items()) == sum(df.values())
+
+
+def test_vocab_growth_heaps_referee(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.relational4 import (
+        HEAPS_STEPS,
+        vocab_growth_heaps,
+    )
+
+    rows = sorted(
+        vocab_growth_heaps(spark, sf_dir).collect(),
+        key=lambda r: r["checkpoint_pct"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    mx = max(d["doc_id"] for d in docs)
+    assert len(rows) == HEAPS_STEPS
+    prev = (0, 0, 0)
+    for k, r in zip(range(1, HEAPS_STEPS + 1), rows):
+        t = mx * k // HEAPS_STEPS
+        sel = [d for d in docs if d["doc_id"] <= t]
+        toks = [_py_tokens(d["text"]) for d in sel]
+        exp = (
+            len(sel),
+            sum(len(ts) for ts in toks),
+            len({w for ts in toks for w in ts}),
+        )
+        got = (r["n_docs"], r["n_tokens_cum"], r["vocab_cum"])
+        assert got == exp
+        # growth curves are monotone non-decreasing
+        assert all(g >= pv for g, pv in zip(got, prev))
+        prev = got
+    # the 100% checkpoint covers the whole corpus
+    assert rows[-1]["n_docs"] == len(docs)

@@ -137,6 +137,9 @@ HEADLINE_R6 = [
     "collocation_pmi_top",
     "duplicate_span_audit",
     "vocab_growth_heaps",
+    "nullsafe_join_audit",
+    "transpose_priority_profile",
+    "param_sql_identifier_topn",
 ]
 
 

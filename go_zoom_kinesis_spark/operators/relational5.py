@@ -1,0 +1,213 @@
+"""Dialect & API surface extensions (round 6b) — the remaining
+engine-surface cells a reference user migrating real SQL/DataFrame
+code would hit:
+
+- ``nullsafe_join_audit``: NULL-safe equality join semantics
+  (``eqNullSafe`` / SQL ``<=>`` vs ``IS NOT DISTINCT FROM``) — the
+  join-key cell where ``=`` silently drops rows and ``<=>`` doesn't.
+- ``transpose_priority_profile``: Spark 4's ``DataFrame.transpose``
+  (measure rows ↔ key columns) — the profile-matrix flip every
+  metrics dashboard performs.
+- ``param_sql_identifier_topn``: parameterized SQL (named ``args``)
+  with an ``IDENTIFIER(:t)`` table binding — injection-safe templated
+  SQL, the API replacement for f-string table names.
+
+North-star §2.2 scope (the reference is a Kinesis consumer with no
+SQL dialect surface — /root/reference/src/processor.rs). Values stay
+in exact-count space; pair products go through decimal(38,0) before
+the final double cast (same overflow discipline as ``ts_cusum_shift``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table as _t
+
+NULLSAFE_SENTINEL = "click"  # event_type folded to NULL for the audit
+TOPN_NATIONS = 7
+
+
+def nullsafe_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe join semantics audit: fold one event_type to NULL,
+    then self-join the per-key count relation under ``=`` and under
+    ``eqNullSafe`` (SQL ``<=>`` / ``IS NOT DISTINCT FROM``) and report
+    both pair cardinalities — their difference is exactly (NULL-key
+    rows)², the mass a plain equi-join silently drops.
+
+    Scale: the join runs on the per-key COUNT relation (bounded by
+    event-type cardinality), never on the fact table; pair products
+    accumulate in decimal(38,0) — at 100 TB a per-key count squared
+    overflows int64 — and only the final sums cast to double."""
+    kc = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.nullif(F.col("event_type"), F.lit(NULLSAFE_SENTINEL)).alias(
+                "k"
+            )
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    a, b = kc.alias("a"), kc.alias("b")
+    prod = (F.col("a.c") * F.col("b.c")).alias("p")
+    eq = (
+        a.join(b, F.col("a.k") == F.col("b.k"))
+        .select(prod)
+        .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("double").alias("e"))
+    )
+    ns = (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(prod)
+        .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("double").alias("s"))
+    )
+    nn = kc.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n"),
+        F.count("*").alias("n_keys"),
+    )
+    return (
+        eq.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("e").alias("pairs_eq"),
+            F.col("s").alias("pairs_nullsafe"),
+            F.col("n").alias("n_null_rows"),
+            "n_keys",
+        )
+    )
+
+
+def transpose_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` surface: per-priority order metrics
+    (count, integer-cent revenue, distinct customers) flipped so each
+    measure becomes a ROW and each priority a COLUMN — the Spark-4 API
+    for the profile-matrix flip (until 4.0 this required a manual
+    unpivot + pivot round-trip).
+
+    The transposed relation is (measures × priorities) — bounded by
+    the priority DOMAIN (5 in TPC-H), so the flip is a driver-side
+    reshape of an already-aggregated tiny relation, never of the fact
+    table."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return base.transpose()
+
+
+def param_sql_identifier_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL surface: named ``args`` binding for values
+    AND an ``IDENTIFIER(:t)`` binding for the table name — the
+    injection-safe replacement for f-string SQL templating. Top-N
+    nations by open-order revenue, with the status filter, the table
+    names and N all bound as parameters."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gzk5_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("gzk5_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("gzk5_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_orders,
+               sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM IDENTIFIER(:orders) o
+        JOIN IDENTIFIER(:customer) c ON o.o_custkey = c.c_custkey
+        JOIN IDENTIFIER(:nation) n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = :status
+        GROUP BY n.n_name
+        ORDER BY cents DESC, nation
+        LIMIT :n
+        """,
+        args={
+            "orders": "gzk5_orders",
+            "customer": "gzk5_customer",
+            "nation": "gzk5_nation",
+            "status": "O",
+            "n": TOPN_NATIONS,
+        },
+    )
+
+
+QUERIES = {
+    "nullsafe_join_audit": nullsafe_join_audit,
+    "transpose_priority_profile": transpose_priority_profile,
+    "param_sql_identifier_topn": param_sql_identifier_topn,
+}
+
+ORACLE = {
+    "nullsafe_join_audit": f"""
+        WITH kc AS (
+            SELECT nullif(event_type, '{NULLSAFE_SENTINEL}') AS k,
+                   CAST(count(*) AS DECIMAL(38,0)) AS c
+            FROM events GROUP BY 1
+        ),
+        eq AS (
+            SELECT CAST(coalesce(sum(a.c * b.c), 0) AS DOUBLE) AS e
+            FROM kc a JOIN kc b ON a.k = b.k
+        ),
+        ns AS (
+            SELECT CAST(coalesce(sum(a.c * b.c), 0) AS DOUBLE) AS s
+            FROM kc a JOIN kc b ON a.k IS NOT DISTINCT FROM b.k
+        ),
+        nn AS (
+            SELECT CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0)
+                        AS BIGINT) AS n,
+                   count(*) AS n_keys
+            FROM kc
+        )
+        SELECT e AS pairs_eq, s AS pairs_nullsafe, n AS n_null_rows,
+               n_keys
+        FROM eq, ns, nn
+    """,
+    "transpose_priority_profile": """
+        WITH base AS (
+            SELECT o_orderpriority AS p,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers
+            FROM orders GROUP BY 1
+        )
+        SELECT m.key,
+               max(CASE WHEN p = '1-URGENT' THEN v END) AS "1-URGENT",
+               max(CASE WHEN p = '2-HIGH' THEN v END) AS "2-HIGH",
+               max(CASE WHEN p = '3-MEDIUM' THEN v END) AS "3-MEDIUM",
+               max(CASE WHEN p = '4-NOT SPECIFIED' THEN v END)
+                   AS "4-NOT SPECIFIED",
+               max(CASE WHEN p = '5-LOW' THEN v END) AS "5-LOW"
+        FROM (
+            SELECT p, 'n_orders' AS key, n_orders AS v FROM base
+            UNION ALL
+            SELECT p, 'total_cents', total_cents FROM base
+            UNION ALL
+            SELECT p, 'n_customers', n_customers FROM base
+        ) m
+        GROUP BY m.key
+    """,
+    "param_sql_identifier_topn": f"""
+        SELECT n.n_name AS nation,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY n.n_name
+        ORDER BY cents DESC, nation
+        LIMIT {TOPN_NATIONS}
+    """,
+}

@@ -34,6 +34,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        relational5,
         sampling,
         search,
         similarity,
@@ -56,6 +57,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        relational5,
         dedup,
         sampling,
         similarity,

@@ -1,0 +1,85 @@
+"""Referee tests for the dialect & API surface trio (relational5)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from go_zoom_kinesis_spark.io import load_table
+from go_zoom_kinesis_spark.operators.relational5 import (
+    NULLSAFE_SENTINEL,
+    TOPN_NATIONS,
+    nullsafe_join_audit,
+    param_sql_identifier_topn,
+    transpose_priority_profile,
+)
+
+
+def test_nullsafe_join_law(spark, sf_dir):
+    """<=> keeps exactly the NULL×NULL pair mass that = drops:
+    pairs_nullsafe − pairs_eq = (NULL-key rows)²."""
+    row = nullsafe_join_audit(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type").collect()
+    counts = Counter(
+        None if r["event_type"] == NULLSAFE_SENTINEL else r["event_type"]
+        for r in ev
+    )
+    pairs_eq = sum(c * c for k, c in counts.items() if k is not None)
+    pairs_ns = sum(c * c for c in counts.values())
+    n_null = counts.get(None, 0)
+    assert row["pairs_eq"] == float(pairs_eq)
+    assert row["pairs_nullsafe"] == float(pairs_ns)
+    assert row["n_null_rows"] == n_null
+    assert row["n_keys"] == len(counts)
+    assert row["pairs_nullsafe"] - row["pairs_eq"] == float(n_null * n_null)
+
+
+def test_transpose_matrix_referee(spark, sf_dir):
+    rows = {r["key"]: r for r in transpose_priority_profile(spark, sf_dir).collect()}
+    assert set(rows) == {"n_orders", "total_cents", "n_customers"}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_custkey"
+    ).collect()
+    by_p: dict = {}
+    for o in orders:
+        by_p.setdefault(o["o_orderpriority"], []).append(o)
+    for p, lst in by_p.items():
+        assert rows["n_orders"][p] == len(lst)
+        assert rows["total_cents"][p] == sum(
+            int(o["o_totalprice"] * 100 // 1) for o in lst
+        )
+        assert rows["n_customers"][p] == len({o["o_custkey"] for o in lst})
+    # every priority present in the data is a column of the flip
+    cols = set(rows["n_orders"].asDict()) - {"key"}
+    assert cols == set(by_p)
+
+
+def test_param_sql_binding_equals_composed_query(spark, sf_dir):
+    """The parameterized/IDENTIFIER form returns exactly what the
+    directly-composed DataFrame query returns."""
+    got = [
+        (r["nation"], r["n_orders"], r["cents"])
+        for r in param_sql_identifier_topn(spark, sf_dir).collect()
+    ]
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ref = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy(F.desc("cents"), F.asc("nation"))
+        .limit(TOPN_NATIONS)
+        .collect()
+    )
+    exp = [(r["nation"], r["n_orders"], r["cents"]) for r in ref]
+    assert got == exp
+    assert len(got) <= TOPN_NATIONS

@@ -140,6 +140,7 @@ HEADLINE_R6 = [
     "nullsafe_join_audit",
     "transpose_priority_profile",
     "param_sql_identifier_topn",
+    "export_shard_plan",
 ]
 
 

@@ -140,10 +140,77 @@ def param_sql_identifier_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHARD_TOKENS = 2_000  # tokens per export shard
+DOC_BUCKET = 1_024  # doc_id div width for the two-phase prefix sum
+
+
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining export sharding: assign every document (in stable
+    doc_id order) to the shard containing its first token — the
+    "tokenize and shard" step that turns a curated corpus into
+    fixed-size training files. Reports per-shard doc counts, token
+    mass and doc-id ranges, so an export coordinator can hand shards
+    to writers.
+
+    The global running token offset is the two-phase distributed
+    prefix-sum (``token_budget_plan`` / ``interval_concurrency_peak``
+    pattern): phase 1 cumsums within (doc_id div {DOC_BUCKET}) value
+    buckets — each sort bounded by one bucket; phase 2 prefix-sums the
+    per-bucket totals on the tiny bucket relation and broadcasts the
+    offsets. Shard ids derive by integer ``div`` (no double division —
+    offsets exceed 2^53 at 100 TB), so the assignment is exact at any
+    scale. No global sort anywhere; output is bounded by the shard
+    count."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+            )
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    b = docs.withColumn("vb", F.expr(f"doc_id div {DOC_BUCKET}"))
+    w_in = (
+        Window.partitionBy("vb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = b.withColumn("cum_in", F.sum("tok").over(w_in))
+    totals = b.groupBy("vb").agg(F.sum("tok").alias("t"))
+    w_off = Window.orderBy("vb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bucket relation only — bounded by the doc_id domain / width
+    offsets = totals.select(
+        "vb", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("off")
+    )
+    assigned = (
+        inner.join(F.broadcast(offsets), "vb")
+        .withColumn(
+            "start_off", F.col("off") + F.col("cum_in") - F.col("tok")
+        )
+        .withColumn("shard_id", F.expr(f"start_off div {SHARD_TOKENS}"))
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 QUERIES = {
     "nullsafe_join_audit": nullsafe_join_audit,
     "transpose_priority_profile": transpose_priority_profile,
     "param_sql_identifier_topn": param_sql_identifier_topn,
+    "export_shard_plan": export_shard_plan,
 }
 
 ORACLE = {
@@ -209,5 +276,26 @@ ORACLE = {
         GROUP BY n.n_name
         ORDER BY cents DESC, nation
         LIMIT {TOPN_NATIONS}
+    """,
+    "export_shard_plan": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(split(lower(text), ' '),
+                                        x -> x <> '')) AS BIGINT) AS tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, tok,
+                   coalesce(sum(tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_off
+            FROM toks
+        )
+        SELECT CAST(start_off // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM cum GROUP BY 1
     """,
 }

@@ -403,3 +403,17 @@ def test_token_budget_no_global_sort_window(spark, sf_dir):
         if "tok" in spec or "n_chars" in spec:
             assert "vb" in spec, "unbucketed global window: " + spec
     assert "BroadcastHashJoin" in plan
+
+
+def test_export_shard_plan_no_global_sort_window(spark, sf_dir):
+    """Shard assignment's running offset must be the two-phase form:
+    every window over document rows partitions by the doc_id bucket;
+    the offsets come back via a broadcast join."""
+    plan = _plan(spark, sf_dir, "export_shard_plan")
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "tok" in spec or "doc_id" in spec:
+            assert "vb" in spec, "unbucketed global window: " + spec
+    assert "BroadcastHashJoin" in plan

@@ -83,3 +83,40 @@ def test_param_sql_binding_equals_composed_query(spark, sf_dir):
     exp = [(r["nation"], r["n_orders"], r["cents"]) for r in ref]
     assert got == exp
     assert len(got) <= TOPN_NATIONS
+
+
+def test_export_shard_plan_referee(spark, sf_dir):
+    """Sequential referee: cumulative token offsets in doc_id order;
+    a doc belongs to the shard containing its first token."""
+    from go_zoom_kinesis_spark.operators.relational5 import (
+        SHARD_TOKENS,
+        export_shard_plan,
+    )
+
+    rows = {r["shard_id"]: r for r in export_shard_plan(spark, sf_dir).collect()}
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    exp: dict = {}
+    off = 0
+    for d in docs:
+        tok = len([w for w in d["text"].lower().split(" ") if w])
+        sid = off // SHARD_TOKENS
+        e = exp.setdefault(sid, [0, 0, d["doc_id"], d["doc_id"]])
+        e[0] += 1
+        e[1] += tok
+        e[3] = d["doc_id"]
+        off += tok
+    assert set(rows) == set(exp)
+    for sid, (n, t, fd, ld) in exp.items():
+        r = rows[sid]
+        assert (r["n_docs"], r["tokens"], r["first_doc"], r["last_doc"]) == (
+            n, t, fd, ld,
+        )
+    # conservation: shard token masses partition the corpus
+    assert sum(r["tokens"] for r in rows.values()) == off
+    # every shard's doc-id range is disjoint and ordered by shard id
+    sids = sorted(rows)
+    for a, b in zip(sids, sids[1:]):
+        assert rows[a]["last_doc"] < rows[b]["first_doc"]

@@ -141,6 +141,7 @@ HEADLINE_R6 = [
     "transpose_priority_profile",
     "param_sql_identifier_topn",
     "export_shard_plan",
+    "pq_codebook_audit",
 ]
 
 

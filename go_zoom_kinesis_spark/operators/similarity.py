@@ -633,8 +633,87 @@ def coreset_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # product-quantization subspaces
+PQ_K = 16  # centroids per subspace (codebook = vec_id < PQ_K)
+PQ_FP = 1_000_000_000  # fixed-point scale for order-free SSE sums
+
+
+def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook audit — the compression step an
+    ANN index (IVF-PQ) runs over every embedding: split each vector
+    into {PQ_M} subvectors, assign each to its nearest of {PQ_K}
+    codebook centroids (squared L2, centroid-id tie-break), and report
+    per-(subspace, centroid) assignment counts and reconstruction
+    error. Balanced counts and low MSE mean the codebook fits the
+    corpus; empty cells mean wasted codes.
+
+    The codebook is the deterministic seed used across this module's
+    clustering ops: the PQ_K lowest vec_ids. Cross-row SSE uses the
+    house fixed-point form (floor(d²·{PQ_FP}) summed as bigint —
+    exact, order-free; a double sum would hash differently per
+    partition order); the final MSE is one correctly-rounded division
+    chain. Subspace width is ``dim div {PQ_M}`` so the operator is
+    dimension-agnostic (trailing remainder dims excluded, both
+    engines).
+
+    Scale: vectors × (broadcast {PQ_M}·{PQ_K} codebook rows) — the
+    same bounded-fanout shape as ``similarity_ivf_topk``; argmin via
+    struct-min aggregation (no window over the corpus); output bounded
+    by {PQ_M}·{PQ_K} cells."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        F.floor(F.size("emb") / PQ_M).cast("int").alias("subd"),
+    )
+    vecs = base.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("sub"),
+        "emb",
+        "subd",
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice(
+            F.col("emb"), F.col("sub") * F.col("subd") + 1, F.col("subd")
+        ).alias("sv"),
+    )
+    cents = vecs.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        vecs.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", F.struct(d2.alias("d2"), "cid").alias("s"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("s").alias("m"))
+        .select("sub", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+    return (
+        best.groupBy("sub", "cid")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(F.floor(F.col("d2") * PQ_FP).cast("bigint"))
+            .cast("bigint")
+            .alias("sse_fp"),
+        )
+        .withColumn(
+            "mse6",
+            F.round(
+                (F.col("sse_fp").cast("double") / F.lit(float(PQ_FP)))
+                / F.col("n_assigned"),
+                6,
+            ),
+        )
+    )
+
+
 QUERIES = {
     "embedding_gram_int8": embedding_gram_int8,
+    "pq_codebook_audit": pq_codebook_audit,
     "matryoshka_truncation_audit": matryoshka_truncation_audit,
     "coreset_kcenter_step": coreset_kcenter_step,
     # embedding_pca_top is deliberately NOT registered: its eigensolve
@@ -946,4 +1025,46 @@ ORACLE["embedding_gram_int8"] = """
     FROM qv, dims d1, dims d2
     WHERE d2.i >= d1.i
     GROUP BY d1.i, d2.i
+"""
+
+ORACLE["pq_codebook_audit"] = f"""
+    WITH base AS (
+        SELECT vec_id, {_EMB_D} AS emb,
+               CAST(len(embedding) // {PQ_M} AS INT) AS subd
+        FROM embeddings
+    ),
+    vecs AS (
+        SELECT vec_id, CAST(m.sub AS INT) AS sub,
+               emb[(m.sub * subd + 1):(m.sub * subd + subd)] AS sv
+        FROM base, (SELECT unnest(range({PQ_M})) AS sub) m
+    ),
+    cents AS (
+        SELECT sub, vec_id AS cid, sv AS cv FROM vecs
+        WHERE vec_id < {PQ_K}
+    ),
+    pairs AS (
+        SELECT v.vec_id, v.sub, c.cid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(v.sv)),
+                       i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))),
+                   (acc, x) -> acc + x) AS d2
+        FROM vecs v JOIN cents c ON v.sub = c.sub
+    ),
+    best AS (
+        SELECT sub, cid, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, cid) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    cells AS (
+        SELECT sub, cid, count(*) AS n_assigned,
+               CAST(sum(CAST(floor(d2 * {PQ_FP}) AS BIGINT)) AS BIGINT)
+                   AS sse_fp
+        FROM best GROUP BY 1, 2
+    )
+    SELECT sub, cid, n_assigned, sse_fp,
+           round((CAST(sse_fp AS DOUBLE) / {PQ_FP}.0) / n_assigned, 6)
+               AS mse6
+    FROM cells
 """

@@ -120,3 +120,45 @@ def test_export_shard_plan_referee(spark, sf_dir):
     sids = sorted(rows)
     for a, b in zip(sids, sids[1:]):
         assert rows[a]["last_doc"] < rows[b]["first_doc"]
+
+
+def test_pq_codebook_referee(spark, sf_dir):
+    """numpy referee: nearest-centroid assignment per subspace with
+    (d2, cid) tie-break; counts and fixed-point SSE match exactly."""
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.similarity import (
+        PQ_FP,
+        PQ_K,
+        PQ_M,
+        pq_codebook_audit,
+    )
+
+    rows = {(r["sub"], r["cid"]): r for r in pq_codebook_audit(spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    subd = len(next(iter(emb.values()))) // PQ_M
+    exp: dict = {}
+    for vid, v in emb.items():
+        for m in range(PQ_M):
+            sv = v[m * subd : (m + 1) * subd]
+            best = min(
+                (float(((sv - emb[c][m * subd : (m + 1) * subd]) ** 2).sum()), c)
+                for c in range(PQ_K)
+                if c in emb
+            )
+            e = exp.setdefault((m, best[1]), [0, 0])
+            e[0] += 1
+            e[1] += int(best[0] * PQ_FP // 1)
+    assert set(rows) == set(exp)
+    for k, (n, sse) in exp.items():
+        r = rows[k]
+        assert r["n_assigned"] == n
+        # numpy's sum order differs from the sequential fold; the
+        # fixed-point value can differ by 1 ulp-floor per row
+        assert abs(r["sse_fp"] - sse) <= n
+        assert abs(r["mse6"] - (r["sse_fp"] / PQ_FP) / n) < 1e-6
+    # every vector lands in exactly one cell per subspace
+    assert sum(r["n_assigned"] for r in rows.values()) == PQ_M * len(emb)

@@ -142,6 +142,8 @@ HEADLINE_R6 = [
     "param_sql_identifier_topn",
     "export_shard_plan",
     "pq_codebook_audit",
+    "assoc_rules_events",
+    "bootstrap_ci_chars",
 ]
 
 

@@ -206,11 +206,166 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASSOC_MIN_USERS = 5  # minimum pair support
+
+
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over user event baskets (market-basket
+    analytics): for every event-type pair, the co-occurrence support,
+    both conditional confidences and the lift — flags behaviors that
+    travel together (lift > 1) vs independent ones.
+
+    Scale: baskets collapse to the DISTINCT (user, type) relation in
+    one shuffle; the self-join fans out at most C(T,2) rows per user
+    (bounded by the type DOMAIN, not event volume); type supports and
+    the user total broadcast back. Ratios are correctly-rounded double
+    division chains of exact counts — identical cross-engine."""
+    b = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n_users = b.agg(F.countDistinct("user_id").alias("n_users"))
+    sup = b.groupBy("event_type").agg(F.count("*").alias("n"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.event_type") < F.col("r.event_type")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("type_a"),
+            F.col("r.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_USERS)
+    )
+    sa = sup.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sup.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+            "conf_ab6"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+            "conf_ba6"
+        ),
+        F.round(
+            (F.col("n_ab").cast("double") * F.col("n_users"))
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("lift6"),
+    )
+
+
+BOOT_B = 32  # bootstrap replicas
+
+
+def bootstrap_ci_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval on a corpus metric (mean document
+    length) via coordination-free hash resampling: replica ``b`` draws
+    each document with weight Binomial(2, 1/2) from two md5 bits of
+    ``doc_id:b`` — mean 1, so each replica is a same-size resample —
+    and the CI is read off the order statistics of the {BOOT_B}
+    replica means (2nd smallest / 2nd largest ≈ 5%/95% at B=32).
+
+    Determinism: replica means are one exact-integer division each;
+    the CI is pure selection (no cross-replica double sums); the point
+    estimate is the exact full-corpus division. The only window runs
+    over the {BOOT_B}-row replica relation.
+
+    Scale: one explode-by-{BOOT_B} pass over (doc_id, n_chars) — a
+    2-column projection, not the text — then a {BOOT_B}-group
+    aggregate. Weights are pure hash functions: any executor computes
+    any replica without coordination (same property as
+    ``epoch_shuffle_plan``)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rep = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = (F.col("bucket") % 2) + (F.floor(F.col("bucket") / 2) % 2)
+    means = (
+        rep.withColumn("w", w.cast("bigint"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("s"),
+        )
+        .withColumn(
+            "mean6",
+            F.when(
+                F.col("n_eff") > 0,
+                F.round(F.col("s").cast("double") / F.col("n_eff"), 6),
+            ),
+        )
+    )
+    ordw = Window.orderBy(
+        F.col("mean6").asc_nulls_last(), F.col("b").asc()
+    )  # over the BOOT_B-row replica relation only
+    ranked = means.withColumn("rk", F.row_number().over(ordw))
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.col("mean6").alias("ci_lo6")
+    )
+    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(
+        F.col("mean6").alias("ci_hi6")
+    )
+    point = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ),
+        ).alias("point_mean6"),
+        F.lit(BOOT_B).cast("int").alias("n_replicas"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_docs", "point_mean6", "ci_lo6", "ci_hi6", "n_replicas"
+        )
+    )
+
+
 QUERIES = {
     "nullsafe_join_audit": nullsafe_join_audit,
     "transpose_priority_profile": transpose_priority_profile,
     "param_sql_identifier_topn": param_sql_identifier_topn,
     "export_shard_plan": export_shard_plan,
+    "assoc_rules_events": assoc_rules_events,
+    "bootstrap_ci_chars": bootstrap_ci_chars,
 }
 
 ORACLE = {
@@ -299,3 +454,66 @@ ORACLE = {
         FROM cum GROUP BY 1
     """,
 }
+
+
+ORACLE["assoc_rules_events"] = f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT count(DISTINCT user_id) AS n_users FROM b),
+    sup AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+    pairs AS (
+        SELECT l.event_type AS type_a, r.event_type AS type_b,
+               count(*) AS n_ab
+        FROM b l JOIN b r ON l.user_id = r.user_id
+                         AND l.event_type < r.event_type
+        GROUP BY 1, 2
+        HAVING count(*) >= {ASSOC_MIN_USERS}
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           sa.n AS n_a, sb.n AS n_b,
+           round(CAST(p.n_ab AS DOUBLE) / sa.n, 6) AS conf_ab6,
+           round(CAST(p.n_ab AS DOUBLE) / sb.n, 6) AS conf_ba6,
+           round((CAST(p.n_ab AS DOUBLE) * nu.n_users)
+                 / (CAST(sa.n AS DOUBLE) * sb.n), 6) AS lift6
+    FROM pairs p
+    JOIN sup sa ON p.type_a = sa.event_type
+    JOIN sup sb ON p.type_b = sb.event_type
+    CROSS JOIN nu
+"""
+
+ORACLE["bootstrap_ci_chars"] = f"""
+    WITH rep AS (
+        SELECT d.doc_id, d.n_chars, g.b,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                    || CAST(g.b AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        FROM documents d, (SELECT unnest(range({BOOT_B})) AS b) g
+    ),
+    means AS (
+        SELECT b,
+               CAST(sum(bucket % 2 + (bucket // 2) % 2) AS BIGINT)
+                   AS n_eff,
+               CAST(sum((bucket % 2 + (bucket // 2) % 2) * n_chars)
+                    AS BIGINT) AS s
+        FROM rep GROUP BY 1
+    ),
+    ranked AS (
+        SELECT b,
+               CASE WHEN n_eff > 0
+                    THEN round(CAST(s AS DOUBLE) / n_eff, 6) END AS mean6,
+               row_number() OVER (ORDER BY (CASE WHEN n_eff > 0
+                    THEN round(CAST(s AS DOUBLE) / n_eff, 6) END)
+                    ASC NULLS LAST, b ASC) AS rk
+        FROM means
+    ),
+    lo AS (SELECT mean6 AS ci_lo6 FROM ranked WHERE rk = 2),
+    hi AS (SELECT mean6 AS ci_hi6 FROM ranked WHERE rk = {BOOT_B - 1}),
+    point AS (
+        SELECT count(*) AS n_docs,
+               CASE WHEN count(*) > 0 THEN
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+               END AS point_mean6,
+               CAST({BOOT_B} AS INT) AS n_replicas
+        FROM documents
+    )
+    SELECT n_docs, point_mean6, ci_lo6, ci_hi6, n_replicas
+    FROM point CROSS JOIN lo CROSS JOIN hi
+"""

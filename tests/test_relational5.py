@@ -162,3 +162,76 @@ def test_pq_codebook_referee(spark, sf_dir):
         assert abs(r["mse6"] - (r["sse_fp"] / PQ_FP) / n) < 1e-6
     # every vector lands in exactly one cell per subspace
     assert sum(r["n_assigned"] for r in rows.values()) == PQ_M * len(emb)
+
+
+def test_assoc_rules_referee(spark, sf_dir):
+    from itertools import combinations
+
+    from go_zoom_kinesis_spark.operators.relational5 import (
+        ASSOC_MIN_USERS,
+        assoc_rules_events,
+    )
+
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in assoc_rules_events(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    baskets: dict = {}
+    for r in ev:
+        baskets.setdefault(r["user_id"], set()).add(r["event_type"])
+    n_users = len(baskets)
+    sup: Counter = Counter()
+    pair: Counter = Counter()
+    for types in baskets.values():
+        sup.update(types)
+        pair.update(combinations(sorted(types), 2))
+    exp = {p: c for p, c in pair.items() if c >= ASSOC_MIN_USERS}
+    assert set(rows) == set(exp)
+    for (a, b), c in exp.items():
+        r = rows[(a, b)]
+        assert (r["n_ab"], r["n_a"], r["n_b"]) == (c, sup[a], sup[b])
+        assert abs(r["conf_ab6"] - c / sup[a]) < 1e-6
+        assert abs(r["conf_ba6"] - c / sup[b]) < 1e-6
+        assert abs(r["lift6"] - (c * n_users) / (sup[a] * sup[b])) < 1e-6
+        # support bounds: a pair can't co-occur more than either side
+        assert c <= min(sup[a], sup[b]) <= n_users
+
+
+def test_bootstrap_ci_referee(spark, sf_dir):
+    import hashlib
+
+    from go_zoom_kinesis_spark.operators.relational5 import (
+        BOOT_B,
+        bootstrap_ci_chars,
+    )
+
+    row = bootstrap_ci_chars(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    means = []
+    for b in range(BOOT_B):
+        n_eff = s = 0
+        for d in docs:
+            h = int(
+                hashlib.md5(f"{d['doc_id']}:{b}".encode()).hexdigest()[:4],
+                16,
+            )
+            w = (h % 2) + ((h // 2) % 2)
+            n_eff += w
+            s += w * d["n_chars"]
+        means.append(round(s / n_eff, 6) if n_eff else None)
+    ordered = sorted(m for m in means if m is not None)
+    assert row["n_docs"] == len(docs)
+    assert row["n_replicas"] == BOOT_B
+    assert abs(
+        row["point_mean6"] - sum(d["n_chars"] for d in docs) / len(docs)
+    ) < 1e-5
+    assert row["ci_lo6"] == ordered[1]
+    assert row["ci_hi6"] == ordered[BOOT_B - 2]
+    # the CI brackets the point estimate and is properly ordered
+    assert row["ci_lo6"] <= row["ci_hi6"]
+    assert row["ci_lo6"] <= row["point_mean6"] <= row["ci_hi6"]

@@ -144,6 +144,11 @@ HEADLINE_R6 = [
     "pq_codebook_audit",
     "assoc_rules_events",
     "bootstrap_ci_chars",
+    "target_encoding_loo",
+    "gini_doclen_concentration",
+    "zipf_slope_fit",
+    "diversity_index_audit",
+    "filter_agreement_kappa",
 ]
 
 

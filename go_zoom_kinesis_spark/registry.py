@@ -40,6 +40,7 @@ def _modules():
         similarity,
         simjoin,
         skew,
+        stats,
         streaming_analogs,
         text,
         timeseries,
@@ -73,6 +74,7 @@ def _modules():
         curation,
         quality,
         training,
+        stats,
     ]
 
 

@@ -1,0 +1,141 @@
+"""Independent referees for the corpus-statistics module
+(``operators/stats.py``): each operator is recomputed sequentially in
+plain Python (pandas/Counter/math) from the raw parquet — no SQL
+engine on the referee side — and the distributed result must agree.
+Engine-vs-engine agreement is separately covered by the oracle sweep
+(``tests/test_oracle_parity.py`` picks up the ORACLE dict).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from go_zoom_kinesis_spark.operators.stats import (
+    _LEN_THRESHOLD,
+    diversity_index_audit,
+    filter_agreement_kappa,
+    gini_doclen_concentration,
+    target_encoding_loo,
+    zipf_slope_fit,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_target_encoding_loo_matches_pandas(spark, sf_dir, docs_pd):
+    got = {
+        r["doc_id"]: r["loo_mean_chars"]
+        for r in target_encoding_loo(spark, sf_dir).collect()
+    }
+    grp = docs_pd.groupby("source")["n_chars"].agg(["sum", "count"])
+    for row in docs_pd.itertuples():
+        s, c = grp.loc[row.source, "sum"], grp.loc[row.source, "count"]
+        want = (s - row.n_chars) / (c - 1) if c > 1 else None
+        if want is None:
+            assert got[row.doc_id] is None
+        else:
+            assert got[row.doc_id] == pytest.approx(want, rel=1e-12)
+    assert len(got) == len(docs_pd)
+
+
+def _gini(values: list[int]) -> float:
+    xs = sorted(values)
+    n = len(xs)
+    total = sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    return num / (n * total)
+
+
+def test_gini_matches_sequential_definition(spark, sf_dir, docs_pd):
+    got = {
+        r["lang"]: r for r in gini_doclen_concentration(spark, sf_dir).collect()
+    }
+    for lang, sub in docs_pd.groupby("lang"):
+        vals = sub["n_chars"].tolist()
+        row = got[lang]
+        assert row["n_docs"] == len(vals)
+        assert row["total_chars"] == sum(vals)
+        assert row["gini"] == pytest.approx(_gini(vals), rel=1e-12)
+        assert 0.0 <= row["gini"] < 1.0
+
+
+def test_zipf_fit_matches_numpy_least_squares(spark, sf_dir, docs_pd):
+    import numpy as np
+
+    counts = Counter(
+        t
+        for text in docs_pd["text"]
+        for t in text.lower().split(" ")
+        if t
+    )
+    coc = Counter(counts.values())
+    # rank(f) = number of tokens with frequency >= f
+    xs, ys = [], []
+    cum = 0
+    for f in sorted(coc, reverse=True):
+        cum += coc[f]
+        xs.append(math.log(cum))
+        ys.append(math.log(f))
+    slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+    row = zipf_slope_fit(spark, sf_dir).collect()[0]
+    assert row["n_points"] == len(xs)
+    assert row["zipf_slope"] == pytest.approx(slope, rel=1e-9)
+    assert row["zipf_intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+    assert 0.0 <= row["fit_r2"] <= 1.0
+
+
+def test_diversity_indices_match_definitions(spark, sf_dir, docs_pd):
+    got = {
+        r["lang"]: r for r in diversity_index_audit(spark, sf_dir).collect()
+    }
+    for lang, sub in docs_pd.groupby("lang"):
+        cnts = Counter(sub["source"]).values()
+        n = sum(cnts)
+        row = got[lang]
+        assert row["n_docs"] == n
+        assert row["n_sources"] == len(cnts)
+        simpson = sum(c * (c - 1) for c in cnts) / (n * (n - 1))
+        shannon = -sum((c / n) * math.log(c / n) for c in cnts)
+        assert row["simpson"] == pytest.approx(simpson, rel=1e-12)
+        assert row["shannon"] == pytest.approx(shannon, rel=1e-9)
+
+
+def test_kappa_matches_sequential_contingency(spark, sf_dir, docs_pd):
+    got = {
+        r["lang"]: r for r in filter_agreement_kappa(spark, sf_dir).collect()
+    }
+    for lang, sub in docs_pd.groupby("lang"):
+        n11 = n10 = n01 = n00 = 0
+        for row in sub.itertuples():
+            a = row.n_chars >= _LEN_THRESHOLD
+            toks = row.text.lower().split(" ")
+            b = len(set(toks)) * 2 >= len(toks)
+            if a and b:
+                n11 += 1
+            elif a:
+                n10 += 1
+            elif b:
+                n01 += 1
+            else:
+                n00 += 1
+        n = n11 + n10 + n01 + n00
+        r = got[lang]
+        assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+        assert r["po"] == pytest.approx(po, rel=1e-12)
+        assert r["pe"] == pytest.approx(pe, rel=1e-12)
+        if pe != 1:
+            kappa = (po - pe) / (1 - pe)
+            assert r["kappa"] == pytest.approx(kappa, rel=1e-9)
+        # kappa bounded: [-1, 1]
+        if r["kappa"] is not None:
+            assert -1.0 <= r["kappa"] <= 1.0

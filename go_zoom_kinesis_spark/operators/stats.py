@@ -137,11 +137,15 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
+    # ln()/regr outputs are rounded to 4dp on BOTH engines: ln is not
+    # correctly rounded cross-engine (house rule from collocation_pmi),
+    # and 4dp boundaries are 100x sparser than the driver's 6dp hash.
     return pts.agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.regr_slope(F.col("y"), F.col("x")).alias("zipf_slope"),
-        F.regr_intercept(F.col("y"), F.col("x")).alias("zipf_intercept"),
-        F.regr_r2(F.col("y"), F.col("x")).alias("fit_r2"),
+        F.round(F.regr_slope(F.col("y"), F.col("x")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.col("y"), F.col("x")), 4)
+        .alias("zipf_intercept"),
+        F.round(F.regr_r2(F.col("y"), F.col("x")), 4).alias("fit_r2"),
     )
 
 
@@ -172,9 +176,11 @@ def diversity_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("simpson_num").cast("double")
             / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double"),
         ).alias("simpson"),
-        (
+        # ln-derived → 4dp on both engines (cross-engine ln house rule)
+        F.round(
             F.log(F.col("n_docs").cast("double"))
-            - F.col("clogc") / F.col("n_docs")
+            - F.col("clogc") / F.col("n_docs"),
+            4,
         ).alias("shannon"),
     )
 
@@ -293,9 +299,9 @@ ORACLE = {
             FROM coc
         )
         SELECT count(*) AS n_points,
-               regr_slope(y, x) AS zipf_slope,
-               regr_intercept(y, x) AS zipf_intercept,
-               regr_r2(y, x) AS fit_r2
+               round(regr_slope(y, x), 4) AS zipf_slope,
+               round(regr_intercept(y, x), 4) AS zipf_intercept,
+               round(regr_r2(y, x), 4) AS fit_r2
         FROM pts
     """,
     "diversity_index_audit": """
@@ -310,8 +316,9 @@ ORACLE = {
                     THEN CAST(sum(c * (c - 1)) AS DOUBLE)
                          / CAST(sum(c) * (sum(c) - 1) AS DOUBLE)
                END AS simpson,
-               ln(CAST(sum(c) AS DOUBLE))
-               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / sum(c), 4)
                AS shannon
         FROM c GROUP BY lang
     """,

@@ -86,8 +86,9 @@ def test_zipf_fit_matches_numpy_least_squares(spark, sf_dir, docs_pd):
     slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
     row = zipf_slope_fit(spark, sf_dir).collect()[0]
     assert row["n_points"] == len(xs)
-    assert row["zipf_slope"] == pytest.approx(slope, rel=1e-9)
-    assert row["zipf_intercept"] == pytest.approx(intercept, rel=1e-9)
+    # operator rounds ln-derived outputs to 4dp (cross-engine ln rule)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=5.1e-5)
+    assert row["zipf_intercept"] == pytest.approx(intercept, abs=5.1e-5)
     assert row["zipf_slope"] < 0  # frequency falls with rank
     assert 0.0 <= row["fit_r2"] <= 1.0
 
@@ -105,7 +106,8 @@ def test_diversity_indices_match_definitions(spark, sf_dir, docs_pd):
         simpson = sum(c * (c - 1) for c in cnts) / (n * (n - 1))
         shannon = -sum((c / n) * math.log(c / n) for c in cnts)
         assert row["simpson"] == pytest.approx(simpson, rel=1e-12)
-        assert row["shannon"] == pytest.approx(shannon, rel=1e-9)
+        # operator rounds shannon to 4dp (cross-engine ln rule)
+        assert row["shannon"] == pytest.approx(shannon, abs=5.1e-5)
 
 
 def test_kappa_matches_sequential_contingency(spark, sf_dir, docs_pd):

@@ -149,6 +149,9 @@ HEADLINE_R6 = [
     "zipf_slope_fit",
     "diversity_index_audit",
     "filter_agreement_kappa",
+    "l_diversity_audit",
+    "stratified_split_exact",
+    "quantile_normalize_lengths",
 ]
 
 

@@ -138,10 +138,45 @@ def erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_MIN = 3  # k-anonymity floor for the release audit
+L_MIN = 2  # l-diversity floor (distinct sensitive values per group)
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit, the companion to k-anonymity: for
+    each quasi-identifier group (lang × 100-char length bucket),
+    report group size k, the number of DISTINCT sensitive values
+    (``source``) l, and an at-risk flag (k < 3 or l < 2 — a group
+    whose members all share one source leaks it even when k holds).
+
+    One groupBy over bounded quasi-identifier space; the distinct
+    count is per-group exact (source domain is small by construction;
+    a wide sensitive domain would swap in approx_count_distinct with
+    the same plan shape). Map-side combine, zero joins — 100 TB safe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", F.expr("n_chars div 100").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("k_size"),
+        F.countDistinct("source").alias("l_sources"),
+    )
+    return g.select(
+        "lang",
+        "len_bucket",
+        "k_size",
+        "l_sources",
+        (
+            (F.col("k_size") < K_MIN) | (F.col("l_sources") < L_MIN)
+        ).cast("bigint").alias("at_risk"),
+    )
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "pii_summary": pii_summary,
     "erasure_impact_audit": erasure_impact_audit,
+    "l_diversity_audit": l_diversity_audit,
 }
 
 # DuckDB mirrors. Injection CASE logic and regexes are character-for-
@@ -222,4 +257,16 @@ ORACLE["erasure_impact_audit"] = f"""
            n_users_erased,
            (1000000 * n_erased) // n_rows AS erased_ppm
     FROM agg
+"""
+
+ORACLE["l_diversity_audit"] = f"""
+    SELECT lang,
+           n_chars // 100 AS len_bucket,
+           count(*) AS k_size,
+           count(DISTINCT source) AS l_sources,
+           CASE WHEN count(*) < {K_MIN}
+                     OR count(DISTINCT source) < {L_MIN}
+                THEN 1 ELSE 0 END AS at_risk
+    FROM documents
+    GROUP BY lang, n_chars // 100
 """

@@ -237,7 +237,86 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QN_DOMAIN_LIMIT = 100_000  # distinct-value ceiling for the exact path
+QN_BUCKETS = 4096  # fallback resolution above the ceiling
+
+
+def quantile_normalize_over(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Quantile normalization of an integer column across groups: each
+    (group, value) maps to the smallest GLOBAL value whose global CDF
+    reaches the value's within-group CDF — the classic cross-slice
+    distribution aligner (e.g. make per-language length distributions
+    comparable before mixing).
+
+    Everything runs on histograms: one groupBy builds the (group,
+    value) histogram, the global histogram folds from it (no second
+    scan), and the CDF comparison `gcum·n_g ≥ cum·N` stays EXACT
+    integer (decimal(38,0)) — no double-CDF boundary ambiguity. The
+    candidate join is broadcast histogram × histogram, O(D²) pairs in
+    the value domain D; a pre-check coarsens to QN_BUCKETS
+    equal-width buckets when D would exceed QN_DOMAIN_LIMIT (same
+    guard pattern as quantile_sketch_over).
+    """
+    from pyspark.sql.window import Window
+
+    dom = df.select(
+        F.approx_count_distinct(value_col).alias("d"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).collect()[0]
+    if dom["d"] is not None and dom["d"] > QN_DOMAIN_LIMIT:
+        width = max(1, (int(dom["hi"]) - int(dom["lo"]) + 1) // QN_BUCKETS)
+        val = (
+            F.floor((F.col(value_col) - int(dom["lo"])) / width) * width
+            + int(dom["lo"])
+        ).alias(value_col)
+    else:
+        val = F.col(value_col)
+    hist = df.select(F.col(group_col).alias("g"), val.alias("v")).groupBy(
+        "g", "v"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    wl = Window.partitionBy("g").orderBy("v")
+    lh = (
+        hist.withColumn("cum", F.sum("c").over(wl).cast(dec))
+        .withColumn("n_g", F.sum("c").over(Window.partitionBy("g")).cast(dec))
+    )
+    g = hist.groupBy("v").agg(F.sum("c").alias("gc"))
+    wg = Window.orderBy("v")
+    wall = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (
+        g.withColumn("gcum", F.sum("gc").over(wg).cast(dec))
+        .withColumn("N", F.sum("gc").over(wall).cast(dec))
+        .select(F.col("v").alias("gv"), "gcum", "N")
+    )
+    joined = lh.join(
+        F.broadcast(g),
+        g["gcum"] * lh["n_g"] >= lh["cum"] * g["N"],
+    )
+    out = joined.groupBy("g", "v", "cum", "n_g").agg(
+        F.min("gv").alias("norm_v")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("v").alias(value_col),
+        (F.col("cum").cast("double") / F.col("n_g").cast("double")).alias("q"),
+        F.col("norm_v").alias(f"norm_{value_col}"),
+    )
+
+
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface: quantile-normalize ``n_chars`` across
+    languages (see quantile_normalize_over for plan + guard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize_over(
+        docs.select("lang", "n_chars"), "lang", "n_chars"
+    )
+
+
 QUERIES = {
+    "quantile_normalize_lengths": quantile_normalize_lengths,
     "target_encoding_loo": target_encoding_loo,
     "gini_doclen_concentration": gini_doclen_concentration,
     "zipf_slope_fit": zipf_slope_fit,
@@ -246,6 +325,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quantile_normalize_lengths": """
+        WITH hist AS (
+            SELECT lang AS g, n_chars AS v, count(*) AS c
+            FROM documents GROUP BY lang, n_chars
+        ),
+        lh AS (
+            SELECT g, v, c,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
+                        AS HUGEINT) AS cum,
+                   CAST(sum(c) OVER (PARTITION BY g) AS HUGEINT) AS n_g
+            FROM hist
+        ),
+        gh AS (
+            SELECT v AS gv,
+                   CAST(sum(sum(c)) OVER (ORDER BY v) AS HUGEINT) AS gcum,
+                   CAST(sum(sum(c)) OVER () AS HUGEINT) AS N
+            FROM hist GROUP BY v
+        )
+        SELECT lh.g AS lang, lh.v AS n_chars,
+               CAST(lh.cum AS DOUBLE) / CAST(lh.n_g AS DOUBLE) AS q,
+               min(gh.gv) AS norm_n_chars
+        FROM lh JOIN gh ON gh.gcum * lh.n_g >= lh.cum * gh.N
+        GROUP BY lh.g, lh.v, lh.cum, lh.n_g
+    """,
     "target_encoding_loo": """
         WITH enc AS (
             SELECT source, count(*) AS src_cnt, sum(n_chars) AS src_sum

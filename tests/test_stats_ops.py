@@ -141,3 +141,144 @@ def test_kappa_matches_sequential_contingency(spark, sf_dir, docs_pd):
         # kappa bounded: [-1, 1]
         if r["kappa"] is not None:
             assert -1.0 <= r["kappa"] <= 1.0
+
+
+# ---- batch 2: split / l-diversity / quantile normalization ----
+
+
+def test_stratified_split_exact_quotas_and_order(spark, sf_dir, docs_pd):
+    import hashlib
+
+    from go_zoom_kinesis_spark.operators.sampling import (
+        stratified_split_exact,
+    )
+
+    got = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split_exact(spark, sf_dir).collect()
+    }
+    assert len(got) == len(docs_pd)
+    for lang, sub in docs_pd.groupby("lang"):
+        ids = sorted(
+            sub["doc_id"],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        n = len(ids)
+        train_q = (8 * n + 9) // 10
+        val_q = (n + 9) // 10
+        want = (
+            ["train"] * train_q
+            + ["val"] * min(val_q, n - train_q)
+            + ["test"] * max(0, n - train_q - val_q)
+        )
+        assert [got[i] for i in ids] == want
+
+
+def test_l_diversity_referee(spark, sf_dir, docs_pd):
+    from go_zoom_kinesis_spark.operators.privacy import (
+        K_MIN,
+        L_MIN,
+        l_diversity_audit,
+    )
+
+    rows = l_diversity_audit(spark, sf_dir).collect()
+    got = {(r["lang"], r["len_bucket"]): r for r in rows}
+    ref = docs_pd.assign(len_bucket=docs_pd["n_chars"] // 100).groupby(
+        ["lang", "len_bucket"]
+    )["source"]
+    agg = ref.agg(["count", "nunique"])
+    assert len(got) == len(agg)
+    for (lang, lb), row in agg.iterrows():
+        r = got[(lang, lb)]
+        assert r["k_size"] == row["count"]
+        assert r["l_sources"] == row["nunique"]
+        assert r["at_risk"] == int(
+            row["count"] < K_MIN or row["nunique"] < L_MIN
+        )
+
+
+def _qn_referee(pairs):
+    """Sequential quantile normalization over (group, value) pairs."""
+    from collections import Counter, defaultdict
+
+    by_g = defaultdict(Counter)
+    glob = Counter()
+    for g, v in pairs:
+        by_g[g][v] += 1
+        glob[v] += 1
+    gvals = sorted(glob)
+    N = sum(glob.values())
+    gcum = {}
+    run = 0
+    for v in gvals:
+        run += glob[v]
+        gcum[v] = run
+    out = {}
+    for g, cnt in by_g.items():
+        n_g = sum(cnt.values())
+        run = 0
+        for v in sorted(cnt):
+            run += cnt[v]
+            # smallest global value with gcum/N >= run/n_g (exact ints)
+            norm = next(x for x in gvals if gcum[x] * n_g >= run * N)
+            out[(g, v)] = (run / n_g, norm)
+    return out
+
+
+def test_quantile_normalize_matches_referee(spark, sf_dir, docs_pd):
+    from go_zoom_kinesis_spark.operators.stats import (
+        quantile_normalize_lengths,
+    )
+
+    rows = quantile_normalize_lengths(spark, sf_dir).collect()
+    ref = _qn_referee(zip(docs_pd["lang"], docs_pd["n_chars"]))
+    assert len(rows) == len(ref)
+    for r in rows:
+        q, norm = ref[(r["lang"], r["n_chars"])]
+        assert r["q"] == pytest.approx(q, rel=1e-12)
+        assert r["norm_n_chars"] == norm
+    # per-group monotonicity: higher value -> >= normalized value
+    for lang in docs_pd["lang"].unique():
+        sub = sorted(
+            (r["n_chars"], r["norm_n_chars"])
+            for r in rows
+            if r["lang"] == lang
+        )
+        norms = [n for _, n in sub]
+        assert norms == sorted(norms)
+
+
+def test_quantile_normalize_single_group_is_identity(spark):
+    from go_zoom_kinesis_spark.operators.stats import quantile_normalize_over
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [3, 5, 5, 9, 12, 12, 20]], "g string, v long"
+    )
+    rows = quantile_normalize_over(df, "g", "v").collect()
+    for r in rows:
+        assert r["norm_v"] == r["v"]
+
+
+def test_quantile_normalize_domain_guard_buckets(spark):
+    from go_zoom_kinesis_spark.operators.stats import (
+        QN_BUCKETS,
+        QN_DOMAIN_LIMIT,
+        quantile_normalize_over,
+    )
+
+    n = QN_DOMAIN_LIMIT + 60_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
+            # distinct-heavy values spread over a wide domain
+            "id * 7 AS v",
+        )
+    )
+    rows = quantile_normalize_over(df, "g", "v").collect()
+    # bucketed path: far fewer distinct output values than raw domain
+    assert 0 < len({r["v"] for r in rows}) <= 2 * QN_BUCKETS
+    for g in ("x", "y"):
+        sub = sorted((r["v"], r["norm_v"]) for r in rows if r["g"] == g)
+        norms = [x for _, x in sub]
+        assert norms == sorted(norms)

@@ -12,6 +12,8 @@ registry operators (each individually oracle-verified):
                              sharing a 5-gram with the eval slice)
       → k-anonymity gate    (k_anonymity_audit shape over the
                              survivors: refuse to ship risky classes)
+      → exact split         (stratified_split_exact shape: per-language
+                             hash-ordered train/val/test quotas)
       → sequence packing    (pack budget offsets per language stream)
       → batch manifest      (minibatch_pack_plan shape: padding-waste
                              accounting the trainer reads)
@@ -50,6 +52,9 @@ from go_zoom_kinesis_spark.operators.pipeline import (  # noqa: E402
     EVAL_MOD,
     PACK_BUDGET,
     decontaminate_ngram,
+)
+from go_zoom_kinesis_spark.operators.sampling import (  # noqa: E402
+    stratified_split_assign,
 )
 from go_zoom_kinesis_spark.operators.text import text_quality  # noqa: E402
 from go_zoom_kinesis_spark.session import get_spark  # noqa: E402
@@ -111,6 +116,18 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     kept = kept.join(F.broadcast(safe_classes), ["lang", "source"], "left_semi")
     funnel["k_anonymous"] = kept.count()
 
+    # 4c. exact-quota train/val/test split over the SURVIVORS (the
+    #     registry's stratified_split_exact applied post-filter): split
+    #     AFTER curation so quota math sees the shipped population, and
+    #     by content hash so the assignment is reproducible run-to-run.
+    kept = stratified_split_assign(kept, "lang", "doc_id")
+    split_counts = {
+        r["split"]: r["n"]
+        for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    for s in ("train", "val", "test"):
+        funnel[s] = split_counts.get(s, 0)
+
     # 5. pack offsets over the SURVIVING stream (same contract as the
     #    registry's pack_sequences, applied post-filter)
     w = (
@@ -140,7 +157,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     # 6. shard write — partitioned by language for downstream loaders
     (
         packed.select(
-            "doc_id", "lang", "source", "text", "n_tok", "pack_id"
+            "doc_id", "lang", "source", "split", "text", "n_tok", "pack_id"
         )
         .write.mode("overwrite")
         .partitionBy("lang")

@@ -175,53 +175,63 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-quota stratified train/val/test assignment: within each
-    language stratum, documents are ordered by content hash and the
-    first ⌈0.8n⌉ go to train, the next ⌈0.1n⌉ to val, the rest to
-    test — EXACT per-stratum proportions (hash-threshold splits only
-    hit quotas in expectation), reproducible on any engine and any
-    partitioning.
+def stratified_split_assign(
+    df: DataFrame, stratum_col: str, id_col: str
+) -> DataFrame:
+    """Exact-quota stratified train/val/test assignment over any
+    DataFrame: within each stratum, rows are ordered by content hash
+    of the id and the first ⌈0.8n⌉ go to train, the next ⌈0.1n⌉ to
+    val, the rest to test — EXACT per-stratum proportions
+    (hash-threshold splits only hit quotas in expectation),
+    reproducible on any engine and any partitioning. Returns the
+    input columns plus ``split``.
 
     The per-stratum rank is two-phase (the round-5-verdict pattern for
     low-cardinality partition keys): rows bucket by the hash's leading
-    byte, per-(lang, bucket) counts broadcast back as cumulative
-    offsets, and the in-bucket row_number runs over lang×256
-    partitions instead of one multi-terabyte sort per language. The
+    byte, per-(stratum, bucket) counts broadcast back as cumulative
+    offsets, and the in-bucket row_number runs over stratum×256
+    partitions instead of one multi-terabyte sort per stratum. The
     hex-prefix bucket preserves lexicographic md5 order, so
     offset + in-bucket rank == the global per-stratum rank. Quotas use
     integer ceil ((8n+9) div 10) — no float boundary ambiguity.
     """
-    docs = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    d = df.withColumn(
+        "__h", F.md5(F.col(id_col).cast("string"))
     ).withColumn(
-        "bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        "__bucket", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
     )
-    cnt = d.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    woff = Window.partitionBy("lang").orderBy("bucket")
-    off = cnt.withColumn("off", F.sum("c").over(woff) - F.col("c"))
-    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    cnt = d.groupBy(stratum_col, "__bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    woff = Window.partitionBy(stratum_col).orderBy("__bucket")
+    off = cnt.withColumn("__off", F.sum("__c").over(woff) - F.col("__c"))
+    tot = cnt.groupBy(stratum_col).agg(F.sum("__c").alias("__n"))
     d = d.join(
-        F.broadcast(off.select("lang", "bucket", "off")), ["lang", "bucket"]
-    ).join(F.broadcast(tot), "lang")
-    rk = F.col("off") + F.row_number().over(
-        Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+        F.broadcast(off.select(stratum_col, "__bucket", "__off")),
+        [stratum_col, "__bucket"],
+    ).join(F.broadcast(tot), stratum_col)
+    rk = F.col("__off") + F.row_number().over(
+        Window.partitionBy(stratum_col, "__bucket").orderBy("__h", id_col)
     )
-    train_q = F.expr("(8 * n + 9) div 10")
-    val_q = F.expr("(n + 9) div 10")
-    return d.select(
-        "doc_id",
-        "lang",
+    train_q = F.expr("(8 * __n + 9) div 10")
+    val_q = F.expr("(__n + 9) div 10")
+    return d.withColumn(
+        "split",
         F.when(rk <= train_q, "train")
         .when(rk <= train_q + val_q, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+        .otherwise("test"),
+    ).drop("__h", "__bucket", "__off", "__n")
+
+
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface: exact-quota train/val/test over documents,
+    stratified by language (see stratified_split_assign)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split_assign(
+        docs.select("doc_id", "lang"), "lang", "doc_id"
+    ).select("doc_id", "lang", "split")
 
 
 QUERIES = {

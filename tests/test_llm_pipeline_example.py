@@ -28,6 +28,18 @@ def test_pipeline_example_end_to_end(spark, sf_dir, tmp_path):
     assert funnel["written"] == funnel["k_anonymous"]
     assert funnel["written"] > 0
     assert 0 < funnel["batches"] <= funnel["written"]
+    # exact split partitions the shipped population, train dominating
+    assert (
+        funnel["train"] + funnel["val"] + funnel["test"]
+        == funnel["k_anonymous"]
+    )
+    assert funnel["train"] >= funnel["val"] >= 0
+    assert funnel["train"] >= funnel["test"] >= 0
+    # the split column ships in the shards
+    out_df = spark.read.parquet(out)
+    assert set(
+        r["split"] for r in out_df.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
     shards = [d for d in os.listdir(out) if d.startswith("lang=")]
     assert shards, "expected partitionBy(lang) shard directories"
     back = spark.read.parquet(out)

@@ -152,6 +152,7 @@ HEADLINE_R6 = [
     "l_diversity_audit",
     "stratified_split_exact",
     "quantile_normalize_lengths",
+    "ivf_pq_adc_topk",
 ]
 
 

@@ -711,9 +711,140 @@ def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADC_QUERIES = 5  # vec_id < 5 probe the compressed index
+ADC_TOP_K = 3
+
+
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving path — the complete compressed-domain ANN query:
+    coarse-cell probe (IVF) + asymmetric distance computation (ADC)
+    over PQ codes. This is how a 100 TB vector index actually answers
+    queries: the scan touches {PQ_M}-byte codes, never full vectors —
+    each query precomputes a {PQ_M}×{PQ_K} lookup table of
+    subspace-to-centroid distances, and a candidate's distance is M
+    integer table lookups summed, not a 64-dim float kernel.
+
+    Determinism: subspace/coarse d² are the sequential zip_with folds
+    shared with pq_codebook_audit (bit-identical to the oracle's
+    list_reduce); LUT entries are fixed-point floor(d²·{PQ_FP}) BIGINTs
+    so the per-candidate ADC sum is order-free exact; all ranks
+    tie-break on ids.
+
+    Scale shape: codes + cells are one broadcast-codebook map pass
+    each (no shuffle); the LUT is Q×{PQ_M}×{PQ_K} rows (broadcast);
+    candidates flow through ONE equi-join on the probed cell key
+    (∝ n·nprobe/{IVF_CENTROIDS} rows per query, never n); the ADC fold
+    is a broadcast LUT join + integer hash-aggregate. No window ever
+    sees the corpus — only the per-query top-k over candidates.
+
+    Plan note: of the 6 parquet scans, 4 are pushdown-pruned to
+    ≤ IVF_CENTROIDS rows (centroid/query slices — PLANS.md); the two
+    corpus-sized scans build ``codes`` and ``cells``, which a
+    production index persists ONCE and re-reads per query batch — the
+    per-query cost is the code-table scan alone ({PQ_M} bytes/vector),
+    which is the entire point of PQ."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        F.floor(F.size("emb") / PQ_M).cast("int").alias("subd"),
+    )
+    subs = base.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("sub"),
+        "emb",
+        "subd",
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice(
+            F.col("emb"), F.col("sub") * F.col("subd") + 1, F.col("subd")
+        ).alias("sv"),
+    )
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    code_pairs = subs.join(F.broadcast(cents), "sub").select(
+        "vec_id", "sub", "cid", d2.alias("d2")
+    )
+    codes = (
+        code_pairs.select(
+            "vec_id",
+            "sub",
+            F.struct(F.col("d2"), F.col("cid")).alias("s"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("s").alias("m"))
+        .select("vec_id", "sub", F.col("m.cid").alias("code"))
+    )
+    # coarse quantizer: full-vector squared L2 to the IVF seed vectors
+    coarse = base.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
+    )
+    cd2 = F.aggregate(
+        F.zip_with("emb", "c_emb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cell_pairs = base.join(F.broadcast(coarse)).select(
+        "vec_id", "cell_id", cd2.alias("d2")
+    )
+    cells = (
+        cell_pairs.select(
+            "vec_id", F.struct(F.col("d2"), F.col("cell_id")).alias("s")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("m"))
+        .select("vec_id", F.col("m.cell_id").alias("cell"))
+    )
+    probes = (
+        cell_pairs.filter(F.col("vec_id") < ADC_QUERIES)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+            ),
+        )
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("cell_id").alias("cell"))
+    )
+    lut = code_pairs.filter(F.col("vec_id") < ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        "sub",
+        F.col("cid").alias("code"),
+        F.floor(F.col("d2") * PQ_FP).cast("bigint").alias("lut_fp"),
+    )
+    cand = probes.join(cells, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lut_fp").alias("adc_fp"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ADC_TOP_K)
+        .select(
+            "q_id",
+            "rk",
+            "vec_id",
+            "adc_fp",
+            F.round(
+                F.col("adc_fp").cast("double") / F.lit(float(PQ_FP)), 6
+            ).alias("adc6"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_gram_int8": embedding_gram_int8,
     "pq_codebook_audit": pq_codebook_audit,
+    "ivf_pq_adc_topk": ivf_pq_adc_topk,
     "matryoshka_truncation_audit": matryoshka_truncation_audit,
     "coreset_kcenter_step": coreset_kcenter_step,
     # embedding_pca_top is deliberately NOT registered: its eigensolve
@@ -1067,4 +1198,85 @@ ORACLE["pq_codebook_audit"] = f"""
            round((CAST(sse_fp AS DOUBLE) / {PQ_FP}.0) / n_assigned, 6)
                AS mse6
     FROM cells
+"""
+
+ORACLE["ivf_pq_adc_topk"] = f"""
+    WITH base AS (
+        SELECT vec_id, {_EMB_D} AS emb,
+               CAST(len(embedding) // {PQ_M} AS INT) AS subd
+        FROM embeddings
+    ),
+    subs AS (
+        SELECT vec_id, CAST(m.sub AS INT) AS sub,
+               emb[(m.sub * subd + 1):(m.sub * subd + subd)] AS sv
+        FROM base, (SELECT unnest(range({PQ_M})) AS sub) m
+    ),
+    cents AS (
+        SELECT sub, vec_id AS cid, sv AS cv FROM subs
+        WHERE vec_id < {PQ_K}
+    ),
+    code_pairs AS (
+        SELECT v.vec_id, v.sub, c.cid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(v.sv)),
+                       i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))),
+                   (acc, x) -> acc + x) AS d2
+        FROM subs v JOIN cents c ON v.sub = c.sub
+    ),
+    codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, cid) AS rn
+            FROM code_pairs
+        ) WHERE rn = 1
+    ),
+    coarse AS (
+        SELECT vec_id AS cell_id, emb AS c_emb FROM base
+        WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    cell_pairs AS (
+        SELECT b.vec_id, k.cell_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(b.emb)),
+                       i -> (b.emb[i] - k.c_emb[i])
+                            * (b.emb[i] - k.c_emb[i]))),
+                   (acc, x) -> acc + x) AS d2
+        FROM base b, coarse k
+    ),
+    cells AS (
+        SELECT vec_id, cell_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell_id) AS rn
+            FROM cell_pairs
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, cell_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell_id) AS rn
+            FROM cell_pairs WHERE vec_id < {ADC_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    lut AS (
+        SELECT vec_id AS q_id, sub, cid AS code,
+               CAST(floor(d2 * {PQ_FP}) AS BIGINT) AS lut_fp
+        FROM code_pairs WHERE vec_id < {ADC_QUERIES}
+    ),
+    scored AS (
+        SELECT p.q_id, c.vec_id,
+               CAST(sum(l.lut_fp) AS BIGINT) AS adc_fp
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id
+        JOIN codes d ON d.vec_id = c.vec_id
+        JOIN lut l ON l.q_id = p.q_id AND l.sub = d.sub
+                  AND l.code = d.code
+        GROUP BY p.q_id, c.vec_id
+    )
+    SELECT q_id, rk, vec_id, adc_fp,
+           round(CAST(adc_fp AS DOUBLE) / {PQ_FP}.0, 6) AS adc6
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_fp, vec_id) AS rk
+        FROM scored
+    ) WHERE rk <= {ADC_TOP_K}
 """

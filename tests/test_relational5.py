@@ -235,3 +235,89 @@ def test_bootstrap_ci_referee(spark, sf_dir):
     # the CI brackets the point estimate and is properly ordered
     assert row["ci_lo6"] <= row["ci_hi6"]
     assert row["ci_lo6"] <= row["point_mean6"] <= row["ci_hi6"]
+
+
+def test_ivf_pq_adc_referee(spark, sf_dir):
+    """Sequential numpy referee for the full IVF-PQ serving path:
+    PQ-encode, coarse-assign, probe nprobe cells, ADC-sum fixed-point
+    LUT entries, top-k with (adc, vec_id) tie-break. Also pins the ANN
+    contract: every reported candidate lives in a probed cell."""
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.similarity import (
+        ADC_QUERIES,
+        ADC_TOP_K,
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        PQ_FP,
+        PQ_K,
+        PQ_M,
+        ivf_pq_adc_topk,
+    )
+
+    got = [
+        (r["q_id"], r["rk"], r["vec_id"], r["adc_fp"])
+        for r in ivf_pq_adc_topk(spark, sf_dir).collect()
+    ]
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    dim = len(next(iter(emb.values())))
+    subd = dim // PQ_M
+
+    def seq_d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    codes = {
+        (vid, m): min(
+            (seq_d2(v[m * subd:(m + 1) * subd],
+                    emb[c][m * subd:(m + 1) * subd]), c)
+            for c in range(PQ_K) if c in emb
+        )[1]
+        for vid, v in emb.items() for m in range(PQ_M)
+    }
+    cells = {
+        vid: min((seq_d2(v, emb[c]), c)
+                 for c in range(IVF_CENTROIDS) if c in emb)[1]
+        for vid, v in emb.items()
+    }
+    expected = []
+    for q in range(ADC_QUERIES):
+        if q not in emb:
+            continue
+        probed = [
+            c for _, c in sorted(
+                (seq_d2(emb[q], emb[c]), c)
+                for c in range(IVF_CENTROIDS) if c in emb
+            )[:IVF_NPROBE]
+        ]
+        lut = {
+            (m, c): int(np.floor(
+                seq_d2(emb[q][m * subd:(m + 1) * subd],
+                       emb[c][m * subd:(m + 1) * subd]) * PQ_FP))
+            for m in range(PQ_M) for c in range(PQ_K) if c in emb
+        }
+        cand = [
+            v for v in emb
+            if v != q and cells[v] in probed
+        ]
+        scored = sorted(
+            (sum(lut[(m, codes[(v, m)])] for m in range(PQ_M)), v)
+            for v in cand
+        )
+        for rk, (adc, v) in enumerate(scored[:ADC_TOP_K], start=1):
+            expected.append((q, rk, v, adc))
+    assert sorted(got) == sorted(expected)
+    # ANN contract: reported neighbors come only from probed cells
+    for q, _, v, _ in got:
+        probed = [
+            c for _, c in sorted(
+                (seq_d2(emb[q], emb[c]), c)
+                for c in range(IVF_CENTROIDS) if c in emb
+            )[:IVF_NPROBE]
+        ]
+        assert cells[v] in probed

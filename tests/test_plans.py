@@ -417,3 +417,46 @@ def test_export_shard_plan_no_global_sort_window(spark, sf_dir):
         if "tok" in spec or "doc_id" in spec:
             assert "vb" in spec, "unbucketed global window: " + spec
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_split_no_per_stratum_global_window(spark, sf_dir):
+    """The split's rank must be the two-phase form: every window over
+    document rows partitions by (lang, __bucket) — a window on lang
+    alone would be one multi-terabyte sort per language at scale. The
+    offsets come back via broadcast joins."""
+    plan = _plan(spark, sf_dir, "stratified_split_exact")
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "__h" in spec:  # the row-grain rank window
+            assert "__bucket" in spec, "unbucketed stratum window: " + spec
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_broadcast_candidates(spark, sf_dir):
+    """The CDF candidate join must be a broadcast nested-loop against
+    the tiny global histogram — never a CartesianProduct (no broadcast)
+    or a corpus-sized build side."""
+    plan = _plan(spark, sf_dir, "quantile_normalize_lengths")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encoding_broadcast_join_back(spark, sf_dir):
+    """LOO encoding joins the bounded per-source aggregate back onto
+    the fact scan as a broadcast hash join — no shuffle of documents
+    on the join key."""
+    plan = _plan(spark, sf_dir, "target_encoding_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_adc_no_cartesian_pruned_codebook_scans(spark, sf_dir):
+    """ADC serving path: centroid/query slices must reach the parquet
+    scan as pushed filters (pruned index-build inputs), and no join may
+    degrade to a cartesian product."""
+    plan = _plan(spark, sf_dir, "ivf_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id") >= 2

@@ -153,6 +153,7 @@ HEADLINE_R6 = [
     "stratified_split_exact",
     "quantile_normalize_lengths",
     "ivf_pq_adc_topk",
+    "group_kfold_assign",
 ]
 
 

@@ -234,12 +234,49 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "split")
 
 
+K_FOLDS = 5  # grouped cross-validation folds
+
+
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold assignment audit — the CV-split discipline that
+    prevents domain leakage: ALL documents of a source land in the
+    same fold (fold = hash(source) % K), so no fold ever trains on a
+    domain its validation twin contains. The audit reports per-fold
+    document/source/char masses and the doc share in integer ppm —
+    the trainer's check that hash-assignment didn't produce a
+    pathologically unbalanced fold.
+
+    One map-side expression (fold is a pure function of ``source``)
+    plus a single bounded groupBy — zero joins, K-row output, the
+    shape survives 100 TB unchanged.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fold = (_hash_bucket(F.col("source")) % K_FOLDS).cast("int")
+    agg = docs.withColumn("fold", fold).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = agg.agg(F.sum("n_docs").alias("N"))
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            "fold",
+            "n_docs",
+            "n_sources",
+            "total_chars",
+            F.expr("1000000 * n_docs div N").alias("share_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "sample_hash_events": sample_hash_events,
     "sample_stratified_documents": sample_stratified_documents,
     "sample_weighted_priority": sample_weighted_priority,
     "stratified_split_exact": stratified_split_exact,
+    "group_kfold_assign": group_kfold_assign,
 }
 
 _BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INTEGER)"
@@ -323,4 +360,25 @@ ORACLE["stratified_split_exact"] = """
                 WHEN rk <= (8 * n + 9) // 10 + (n + 9) // 10 THEN 'val'
                 ELSE 'test' END AS split
     FROM ranked
+"""
+
+ORACLE["group_kfold_assign"] = f"""
+    WITH folds AS (
+        SELECT {_BUCKET.format(key='source')} % {K_FOLDS} AS fold,
+               source, n_chars
+        FROM documents
+    ),
+    agg AS (
+        SELECT fold, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM folds GROUP BY fold
+    )
+    SELECT CAST(fold AS INTEGER) AS fold,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           total_chars,
+           CAST((1000000 * n_docs)
+                // (SELECT sum(n_docs) FROM agg) AS BIGINT) AS share_ppm
+    FROM agg
 """

@@ -282,3 +282,37 @@ def test_quantile_normalize_domain_guard_buckets(spark):
         sub = sorted((r["v"], r["norm_v"]) for r in rows if r["g"] == g)
         norms = [x for _, x in sub]
         assert norms == sorted(norms)
+
+
+def test_group_kfold_no_source_spans_folds(spark, sf_dir, docs_pd):
+    import hashlib
+
+    from go_zoom_kinesis_spark.operators.sampling import (
+        K_FOLDS,
+        group_kfold_assign,
+    )
+
+    rows = {r["fold"]: r for r in group_kfold_assign(spark, sf_dir).collect()}
+
+    def fold_of(source: str) -> int:
+        return int(hashlib.md5(source.encode()).hexdigest()[:4], 16) % K_FOLDS
+
+    ref = docs_pd.assign(fold=docs_pd["source"].map(fold_of))
+    agg = ref.groupby("fold").agg(
+        n_docs=("doc_id", "count"),
+        n_sources=("source", "nunique"),
+        total_chars=("n_chars", "sum"),
+    )
+    assert set(rows) == set(agg.index)
+    N = len(docs_pd)
+    for fold, row in agg.iterrows():
+        r = rows[fold]
+        assert r["n_docs"] == row["n_docs"]
+        assert r["n_sources"] == row["n_sources"]
+        assert r["total_chars"] == row["total_chars"]
+        assert r["share_ppm"] == 1_000_000 * row["n_docs"] // N
+    # leakage pin: a source's fold is a pure function of the source —
+    # no source may contribute to two folds
+    assert ref.groupby("source")["fold"].nunique().max() == 1
+    # conservation: folds partition the corpus
+    assert sum(r["n_docs"] for r in rows.values()) == N

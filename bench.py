@@ -1,9 +1,16 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r7 rework — the r5/r6 single line carried 119
+per-query timings, overflowed the driver's stdout-tail capture, and
+arrived truncated → BENCH "parsed": null): the LAST stdout line is now
+a SHORT summary JSON {"metric", "value", "unit", "sf",
+"value_baseline_set", "n_queries", "detail_file"}; the full per-query
+timing map goes to BENCH_DETAIL_r{N}.json next to this file (N = next
+round number inferred from existing BENCH_r*.json artifacts, override
+with $SPARK_GRAFT_BENCH_ROUND).
 
 Each query is forced end-to-end with a noop-format write (full plan
 execution, no driver-side collect).
@@ -157,6 +164,23 @@ HEADLINE_R6 = [
 ]
 
 
+def _round_no(repo: str) -> int:
+    """Next round number: driver artifacts BENCH_r{N}.json exist for
+    completed rounds, so the in-flight round is max+1."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> None:
     from go_zoom_kinesis_spark import registry
     from go_zoom_kinesis_spark.session import get_spark
@@ -204,6 +228,26 @@ def main() -> None:
             total_baseline_set += dt
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = _round_no(repo)
+    detail_file = f"BENCH_DETAIL_r{rnd:02d}.json"
+    with open(os.path.join(repo, detail_file), "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "value_baseline_set": round(total_baseline_set, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            },
+            f,
+            indent=1,
+        )
+    # LAST stdout line = the short driver-parsable summary; the
+    # per-query map lives only in the detail file (a 119-entry inline
+    # map exceeded the driver's stdout-tail capture in r5/r6).
     print(
         json.dumps(
             {
@@ -215,10 +259,12 @@ def main() -> None:
                 # `value` above also counts queries added in later
                 # rounds)
                 "value_baseline_set": round(total_baseline_set, 3),
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf else None,
+                "detail_file": detail_file,
             }
-        )
+        ),
+        flush=True,
     )
 
 

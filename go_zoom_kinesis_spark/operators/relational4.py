@@ -320,47 +320,44 @@ def groupby_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TRY_MUL_CONST = 1_000_000_000_000  # overflows int64 for cents > ~9.2e6
+TRY_MUL_CONST = 1_000_000_000_000_000  # overflows int64 for cents > ~9223
+TRY_SALT_MOD = 97  # registered/benched variant: ~1% error density
+TRY_SALT_MOD_DENSE = 3  # pytest semantics pin: ~33% error density
 
 
-def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error-safe arithmetic surface — the ``try_*`` family a curation
-    pipeline uses so one malformed record NULLs out instead of failing
-    the job: ``try_cast`` on salted numeric strings (every 3rd line
-    number gets a trailing junk char), ``try_divide`` with an
-    occasionally-zero divisor, ``try_multiply`` driven into int64
-    overflow. The DuckDB oracle restates each semantic explicitly
-    (CASE divisor=0, HUGEINT range check), so this query PINS Spark's
-    documented null-on-error behavior rather than assuming it.
-
-    Determinism: per-row doubles are floored to bigint before the sum
-    (double summation order would otherwise differ between engines);
-    everything else is integer. One scan, one aggregate.
-
-    Measured cost model (sf0.1, local[32]): Spark implements try_* by
-    catching the underlying JVM exception PER FAILING ROW, so the cost
-    is proportional to the ERROR count, not the row count — try_cast
-    0.22 s with zero parse errors vs 1.39 s with this query's
-    deliberately error-dense 33% salt; try_multiply 0.15 s with no
-    overflow vs 1.61 s overflow-dense. At production error rates
-    (<0.1%) try_* is free; for known-error-dense validation scans,
-    pre-filter with a guard predicate (RLIKE / range check) and keep
-    try_* as the safety net, not the classifier."""
+def _try_functions_frame(
+    spark: SparkSession, sf_dir: str, salt_mod: int
+) -> DataFrame:
+    """Shared builder for ``try_functions_audit``: rows where
+    ``(cents + ln) % salt_mod == 0`` take all three error paths
+    (junk-char parse failure, zero divisor, int64-overflowing
+    multiplier); clean rows parse/divide/multiply normally."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
-    base = li.select(
-        cents.alias("cents"),
-        F.col("l_linenumber").cast("bigint").alias("ln"),
-    ).withColumn(
-        "s",
-        F.concat(
-            F.col("cents").cast("string"),
-            F.when(F.col("ln") % 3 == 0, F.lit("x")).otherwise(F.lit("")),
-        ),
+    base = (
+        li.select(
+            cents.alias("cents"),
+            F.col("l_linenumber").cast("bigint").alias("ln"),
+        )
+        .withColumn("is_err", (F.col("cents") + F.col("ln")) % salt_mod == 0)
+        .withColumn(
+            "s",
+            F.concat(
+                F.col("cents").cast("string"),
+                F.when(F.col("is_err"), F.lit("x")).otherwise(F.lit("")),
+            ),
+        )
     )
     parsed = F.expr("try_cast(s AS BIGINT)")
-    div = F.expr("floor(try_divide(cents, ln - 3) * 100)").cast("bigint")
-    mul = F.expr(f"try_multiply(cents, CAST({TRY_MUL_CONST} AS BIGINT))")
+    div = F.expr(
+        "floor(try_divide(cents,"
+        " CASE WHEN is_err THEN CAST(0 AS BIGINT) ELSE ln + 1 END) * 100)"
+    ).cast("bigint")
+    mul = F.expr(
+        "try_multiply(cents,"
+        f" CASE WHEN is_err THEN CAST({TRY_MUL_CONST} AS BIGINT)"
+        " ELSE CAST(1 AS BIGINT) END)"
+    )
     return base.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(parsed.isNull(), 1).otherwise(0)).alias("n_parse_fail"),
@@ -369,6 +366,81 @@ def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(div).alias("sum_div_floor"),
         F.sum(F.when(mul.isNull(), 1).otherwise(0)).alias("n_overflow"),
     )
+
+
+def try_functions_oracle_sql(salt_mod: int) -> str:
+    """DuckDB restatement of ``_try_functions_frame`` at the given salt
+    density — shared by the registered ORACLE (``TRY_SALT_MOD``) and
+    the error-dense pytest pin (``TRY_SALT_MOD_DENSE``)."""
+    return f"""
+        WITH base AS (
+            SELECT cents, ln,
+                   ((cents + ln) % {salt_mod} = 0) AS is_err,
+                   concat(CAST(cents AS VARCHAR),
+                          CASE WHEN (cents + ln) % {salt_mod} = 0
+                               THEN 'x' ELSE '' END) AS s
+            FROM (
+                SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(l_linenumber AS BIGINT) AS ln
+                FROM lineitem
+            )
+        ),
+        x AS (
+            SELECT try_cast(s AS BIGINT) AS parsed,
+                   CASE WHEN is_err THEN NULL
+                        ELSE CAST(floor((CAST(cents AS DOUBLE) / (ln + 1))
+                                        * 100) AS BIGINT) END AS div_floor,
+                   CASE WHEN NOT is_err THEN cents
+                        WHEN CAST(cents AS HUGEINT) * {TRY_MUL_CONST}
+                             BETWEEN -9223372036854775808
+                                 AND 9223372036854775807
+                        THEN cents * {TRY_MUL_CONST} END AS mul
+            FROM base
+        )
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_parse_fail,
+               CAST(sum(parsed) AS BIGINT) AS sum_parsed,
+               CAST(sum(CASE WHEN div_floor IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
+               CAST(sum(div_floor) AS BIGINT) AS sum_div_floor,
+               CAST(sum(CASE WHEN mul IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overflow
+        FROM x
+    """
+
+
+def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface — the ``try_*`` family a curation
+    pipeline uses so one malformed record NULLs out instead of failing
+    the job: ``try_cast`` on salted numeric strings, ``try_divide``
+    with an occasionally-zero divisor, ``try_multiply`` driven into
+    int64 overflow. The DuckDB oracle restates each semantic
+    explicitly (CASE divisor=0, HUGEINT range check), so this query
+    PINS Spark's documented null-on-error behavior rather than
+    assuming it.
+
+    Determinism: per-row doubles are floored to bigint before the sum
+    (double summation order would otherwise differ between engines);
+    everything else is integer. One scan, one aggregate.
+
+    Measured cost model (sf0.1, local[32]): Spark implements try_* by
+    catching the underlying JVM exception PER FAILING ROW, so the cost
+    is proportional to the ERROR count, not the row count — try_cast
+    0.22 s with zero parse errors vs 1.39 s at 33% error density;
+    try_multiply 0.15 s clean vs 1.61 s overflow-dense. At production
+    error rates (<0.1%) try_* is free; for known-error-dense
+    validation scans, pre-filter with a guard predicate (RLIKE / range
+    check) and keep try_* as the safety net, not the classifier.
+
+    The registered/benched variant salts ~1% of rows
+    (``(cents + ln) % 97 == 0``) so the headline bench
+    measures the try_* arithmetic path at a production-shaped error
+    rate; the original error-dense 33% variant — where exception
+    unwinding IS the workload by construction — stays pinned against
+    DuckDB in ``tests/test_relational4.py`` (r6 verdict: an artificial
+    worst case shouldn't sit in the headline total)."""
+    return _try_functions_frame(spark, sf_dir, TRY_SALT_MOD)
 
 
 MIN_COLLOC_COUNT = 5
@@ -712,38 +784,7 @@ ORACLE = {
         FROM orders
         GROUP BY ALL
     """,
-    "try_functions_audit": f"""
-        WITH base AS (
-            SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
-                   CAST(l_linenumber AS BIGINT) AS ln,
-                   concat(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
-                               AS VARCHAR),
-                          CASE WHEN l_linenumber % 3 = 0 THEN 'x' ELSE '' END)
-                       AS s
-            FROM lineitem
-        ),
-        x AS (
-            SELECT try_cast(s AS BIGINT) AS parsed,
-                   CASE WHEN ln - 3 = 0 THEN NULL
-                        ELSE CAST(floor((CAST(cents AS DOUBLE) / (ln - 3))
-                                        * 100) AS BIGINT) END AS div_floor,
-                   CASE WHEN CAST(cents AS HUGEINT) * {TRY_MUL_CONST}
-                             BETWEEN -9223372036854775808
-                                 AND 9223372036854775807
-                        THEN cents * {TRY_MUL_CONST} END AS mul
-            FROM base
-        )
-        SELECT count(*) AS n_rows,
-               CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_parse_fail,
-               CAST(sum(parsed) AS BIGINT) AS sum_parsed,
-               CAST(sum(CASE WHEN div_floor IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_div_null,
-               CAST(sum(div_floor) AS BIGINT) AS sum_div_floor,
-               CAST(sum(CASE WHEN mul IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_overflow
-        FROM x
-    """,
+    "try_functions_audit": try_functions_oracle_sql(TRY_SALT_MOD),
     "cross_lingual_contamination": f"""
         WITH pre AS (
             SELECT lang,

@@ -256,18 +256,29 @@ def quantile_normalize_over(
     integer (decimal(38,0)) — no double-CDF boundary ambiguity. The
     candidate join is broadcast histogram × histogram, O(D²) pairs in
     the value domain D; a pre-check coarsens to QN_BUCKETS
-    equal-width buckets when D would exceed QN_DOMAIN_LIMIT (same
-    guard pattern as quantile_sketch_over).
+    equal-width buckets when the value RANGE (hi − lo + 1, an upper
+    bound on D) exceeds QN_DOMAIN_LIMIT.
+
+    The guard is deliberately range-based, not distinct-count-based
+    (r7 advice): min/max are exact, so the branch choice is
+    deterministic and the DuckDB oracle restates the SAME conditional
+    bucketization — parity holds on either side of the threshold. An
+    approx_count_distinct guard would flip nondeterministically near
+    the limit and had no oracle counterpart. (A sparse domain with a
+    wide range bucketizes conservatively — acceptable: the fallback
+    is still a valid quantile normalizer at QN_BUCKETS resolution.)
     """
     from pyspark.sql.window import Window
 
     dom = df.select(
-        F.approx_count_distinct(value_col).alias("d"),
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     ).collect()[0]
-    if dom["d"] is not None and dom["d"] > QN_DOMAIN_LIMIT:
-        width = max(1, (int(dom["hi"]) - int(dom["lo"]) + 1) // QN_BUCKETS)
+    rng = (
+        int(dom["hi"]) - int(dom["lo"]) + 1 if dom["hi"] is not None else 0
+    )
+    if rng > QN_DOMAIN_LIMIT:
+        width = max(1, rng // QN_BUCKETS)
         val = (
             F.floor((F.col(value_col) - int(dom["lo"])) / width) * width
             + int(dom["lo"])
@@ -325,10 +336,25 @@ QUERIES = {
 }
 
 ORACLE = {
-    "quantile_normalize_lengths": """
-        WITH hist AS (
-            SELECT lang AS g, n_chars AS v, count(*) AS c
-            FROM documents GROUP BY lang, n_chars
+    "quantile_normalize_lengths": f"""
+        WITH dom AS (
+            SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+                   greatest(1, (max(n_chars) - min(n_chars) + 1)
+                               // {QN_BUCKETS}) AS w
+            FROM documents
+        ),
+        -- mirrors the Spark-side deterministic range guard: exact
+        -- values below the domain limit, equal-width buckets above
+        vals AS (
+            SELECT lang AS g,
+                   CASE WHEN (hi - lo + 1) > {QN_DOMAIN_LIMIT}
+                        THEN CAST(floor(CAST(n_chars - lo AS DOUBLE) / w)
+                                  AS BIGINT) * w + lo
+                        ELSE n_chars END AS v
+            FROM documents, dom
+        ),
+        hist AS (
+            SELECT g, v, count(*) AS c FROM vals GROUP BY g, v
         ),
         lh AS (
             SELECT g, v, c,

@@ -69,17 +69,54 @@ def _write_partition(path: str, iterator) -> GzkCommitMessage:
     return GzkCommitMessage(fname, n, max_seq)
 
 
-def _manifest_batches(path: str) -> set:
+def _manifest_entries(path: str) -> list[dict]:
+    """Parse manifest lines, TOLERATING a torn trailing line: a driver
+    crash mid-append may leave a partial JSON line, and the recovery
+    path (replay → read manifest → re-commit) must not be the one that
+    breaks on it. A malformed line is skipped — its batch was never
+    durably committed, which is exactly the at-least-once contract
+    (the batch replays and re-appends)."""
     mf = os.path.join(path, MANIFEST)
     if not os.path.exists(mf):
-        return set()
+        return []
+    out: list[dict] = []
     with open(mf) as f:
-        return {json.loads(line)["batch_id"] for line in f if line.strip()}
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                continue  # torn line from a mid-append crash
+    return out
 
 
-def _commit_files(path: str, messages, batch_id) -> None:
+def _manifest_batches(path: str) -> set:
+    return {e["batch_id"] for e in _manifest_entries(path)}
+
+
+def _append_manifest(path: str, entry: dict) -> None:
+    """Crash-atomic append: rewrite via temp file + os.replace so a
+    crash leaves either the old manifest or the new one, never a torn
+    line. O(batches) bytes per commit — the manifest is batch-grain,
+    not row-grain, so this stays driver-trivial at any data scale."""
+    mf = os.path.join(path, MANIFEST)
+    lines = [json.dumps(e, sort_keys=True) for e in _manifest_entries(path)]
+    lines.append(json.dumps(entry, sort_keys=True))
+    tmp = mf + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mf)
+
+
+def _commit_files(path: str, messages, batch_id, overwrite: bool = False) -> None:
     """Driver-side: publish temp files + append ONE manifest line.
-    Idempotent per batch_id — a replayed commit is a no-op."""
+    Idempotent per batch_id — a replayed commit is a no-op. With
+    ``overwrite`` (batch writer ``mode('overwrite')``) the existing
+    manifest and data files are cleared first, so the committed state
+    is exactly this job's output."""
     if batch_id is not None and batch_id in _manifest_batches(path):
         for m in messages:  # replay: drop the re-written temps
             if m is not None:
@@ -87,6 +124,16 @@ def _commit_files(path: str, messages, batch_id) -> None:
                 if os.path.exists(tmp):
                     os.remove(tmp)
         return
+    if overwrite:
+        # truncate-then-publish: drop the manifest first (readers see
+        # "no committed data", never a mix of old manifest + missing
+        # files), then the now-unreferenced data files
+        mf = os.path.join(path, MANIFEST)
+        if os.path.exists(mf):
+            os.remove(mf)
+        for fname in os.listdir(path):
+            if fname.endswith(".part.jsonl"):
+                os.remove(os.path.join(path, fname))
     files, total, max_seq = [], 0, None
     for m in messages:
         if m is None:
@@ -98,19 +145,15 @@ def _commit_files(path: str, messages, batch_id) -> None:
         total += m.n_rows
         if m.max_seq is not None:
             max_seq = m.max_seq if max_seq is None else max(max_seq, m.max_seq)
-    with open(os.path.join(path, MANIFEST), "a") as f:
-        f.write(
-            json.dumps(
-                {
-                    "batch_id": batch_id,
-                    "files": sorted(files),
-                    "n_rows": total,
-                    "checkpoint_seq": max_seq,
-                },
-                sort_keys=True,
-            )
-            + "\n"
-        )
+    _append_manifest(
+        path,
+        {
+            "batch_id": batch_id,
+            "files": sorted(files),
+            "n_rows": total,
+            "checkpoint_seq": max_seq,
+        },
+    )
 
 
 def _abort_files(path: str, messages) -> None:
@@ -123,14 +166,15 @@ def _abort_files(path: str, messages) -> None:
 
 
 class GzkBatchWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self._path = options["path"]
+        self._overwrite = overwrite
 
     def write(self, iterator) -> GzkCommitMessage:
         return _write_partition(self._path, iterator)
 
     def commit(self, messages) -> None:
-        _commit_files(self._path, messages, None)
+        _commit_files(self._path, messages, None, overwrite=self._overwrite)
 
     def abort(self, messages) -> None:
         _abort_files(self._path, messages)
@@ -156,7 +200,7 @@ class GzkSinkDataSource(DataSource):
         return "gzk_checkpoint_sink"
 
     def writer(self, schema, overwrite: bool) -> GzkBatchWriter:
-        return GzkBatchWriter(self.options)
+        return GzkBatchWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> GzkStreamWriter:
         return GzkStreamWriter(self.options)
@@ -167,15 +211,11 @@ def register(spark) -> None:
 
 
 def read_committed(path: str) -> list[dict]:
-    """Read back ONLY manifested rows (the sink's visibility rule)."""
+    """Read back ONLY manifested rows (the sink's visibility rule);
+    torn trailing manifest lines are skipped, not fatal."""
     out: list[dict] = []
-    mf = os.path.join(path, MANIFEST)
-    if not os.path.exists(mf):
-        return out
-    with open(mf) as f:
-        for line in f:
-            entry = json.loads(line)
-            for fname in entry["files"]:
-                with open(os.path.join(path, fname)) as pf:
-                    out.extend(json.loads(ln) for ln in pf if ln.strip())
+    for entry in _manifest_entries(path):
+        for fname in entry["files"]:
+            with open(os.path.join(path, fname)) as pf:
+                out.extend(json.loads(ln) for ln in pf if ln.strip())
     return out

@@ -104,3 +104,66 @@ def test_replayed_batch_commit_is_noop(tmp_path):
     m3 = stage("c.part.jsonl", [{"sequence_number": 9}])
     _commit_files(path, [m3], 1)
     assert len(read_committed(path)) == 3
+
+
+def test_torn_manifest_line_tolerated(tmp_path):
+    """Crash-recovery hardening (r7 advice): a driver crash mid-append
+    can leave a partial JSON line; every subsequent read AND commit
+    must skip it instead of raising — the un-manifested batch simply
+    replays (at-least-once)."""
+    from go_zoom_kinesis_spark.sources.gzk_sink import MANIFEST, _manifest_batches
+
+    path = str(tmp_path / "sink_torn")
+    os.makedirs(os.path.join(path, "tmp"))
+
+    def stage(fname, rows):
+        with open(os.path.join(path, "tmp", fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return GzkCommitMessage(
+            fname, len(rows), max(r["sequence_number"] for r in rows)
+        )
+
+    _commit_files(path, [stage("a.part.jsonl", [{"sequence_number": 1}])], 0)
+    # simulate the crash: torn half-written line at the tail
+    with open(os.path.join(path, MANIFEST), "a") as f:
+        f.write('{"batch_id": 1, "files": ["b.part.jso')
+
+    assert _manifest_batches(path) == {0}
+    assert len(read_committed(path)) == 1
+    # the recovery commit (replay of batch 1) must succeed and heal the
+    # manifest (atomic rewrite drops the torn line)
+    _commit_files(path, [stage("b.part.jsonl", [{"sequence_number": 2}])], 1)
+    assert _manifest_batches(path) == {0, 1}
+    assert len(read_committed(path)) == 2
+    with open(os.path.join(path, MANIFEST)) as f:
+        for line in f:
+            json.loads(line)  # every surviving line is whole
+
+
+def test_batch_overwrite_mode_truncates(spark, sf_dir, tmp_path):
+    """``mode('overwrite')`` must replace the committed state, not
+    silently append (r7 advice: the writer used to ignore the flag)."""
+    register(spark)
+    path = str(tmp_path / "sink_overwrite")
+    df = _events_slice(spark, sf_dir)
+
+    df.write.format("gzk_checkpoint_sink").mode("append").save(path)
+    n1 = len(read_committed(path))
+    assert n1 > 0
+
+    # append doubles; overwrite resets to exactly one copy
+    df.write.format("gzk_checkpoint_sink").mode("append").save(path)
+    assert len(read_committed(path)) == 2 * n1
+    df.write.format("gzk_checkpoint_sink").mode("overwrite").save(path)
+    rows = read_committed(path)
+    assert len(rows) == n1
+    exp = [r.asDict() for r in df.collect()]
+    key = lambda d: d["sequence_number"]  # noqa: E731
+    assert sorted(rows, key=key) == sorted(exp, key=key)
+    # no orphaned data files outside the manifest
+    manifested = {f for e in __import__(
+        "go_zoom_kinesis_spark.sources.gzk_sink", fromlist=["_manifest_entries"]
+    )._manifest_entries(path) for f in e["files"]}
+    on_disk = {f for f in os.listdir(path) if f.endswith(".part.jsonl")}
+    assert on_disk == manifested

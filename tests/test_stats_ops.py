@@ -282,6 +282,11 @@ def test_quantile_normalize_domain_guard_buckets(spark):
         sub = sorted((r["v"], r["norm_v"]) for r in rows if r["g"] == g)
         norms = [x for _, x in sub]
         assert norms == sorted(norms)
+    # the guard is deterministic (exact min/max range, r7 advice): every
+    # bucketed value sits on the lo + k*width grid the range implies
+    lo, hi = 0, (n - 1) * 7
+    width = max(1, (hi - lo + 1) // QN_BUCKETS)
+    assert all((r["v"] - lo) % width == 0 for r in rows)
 
 
 def test_group_kfold_no_source_spans_folds(spark, sf_dir, docs_pd):

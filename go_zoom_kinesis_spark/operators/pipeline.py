@@ -281,9 +281,68 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination, LSH-bucketed — the 100 TB path
+    ``decontaminate_semantic``'s docstring promises for when the eval
+    suite outgrows a broadcast: eval AND train vectors are hashed to
+    the same 8-bit hyperplane-LSH signature (``similarity.py``'s
+    ``_bucket_col``), candidates come from an EQUI-JOIN on the bucket
+    key, and cosine verifies only within-bucket pairs. Per label:
+    train count, candidates-checked count, contaminated count
+    (max bucket-cosine ≥ 0.4), worst score.
+
+    Scale contract (and the difference from the broadcast variant):
+    the eval relation is NEVER broadcast — the join is hinted
+    ``shuffle_hash`` on the bucket key, so both sides shuffle by
+    bucket and the plan stays valid when the eval suite is billions of
+    rows (plan-pinned: no BroadcastExchange in
+    ``tests/test_plans.py``). The trade is recall: only same-bucket
+    pairs are compared (8 hyperplanes ⇒ a near-duplicate pair
+    collides with prob ≈ (1 − θ/π)⁸; production stacks B independent
+    bands exactly like ``dedup_minhash_lsh`` — band count is a
+    constant, join shape identical). ``n_checked`` makes the
+    approximation auditable next to the exact variant's output.
+
+    Same sequential-fold cosine as every embedding op; LEFT join keeps
+    candidate-less train vectors so ``n_train`` still counts the full
+    corpus."""
+    from .similarity import _bucket_col, _dot, _emb, _with_norm
+
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn(
+        "bucket", _bucket_col(F.col("emb"))
+    )
+    ev = emb.filter(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
+        "bucket",
+        F.col("emb").alias("e_emb"),
+        F.col("norm").alias("e_norm"),
+    )
+    tr = emb.filter(F.col("vec_id") % SEM_EVAL_MOD != 0)
+    per_train = (
+        tr.join(ev.hint("shuffle_hash"), "bucket", "left")
+        .withColumn(
+            "c",
+            _dot(F.col("emb"), F.col("e_emb"))
+            / (F.col("norm") * F.col("e_norm")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("c").alias("max_cos"))
+    )
+    return per_train.groupBy("label").agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.when(F.col("max_cos").isNotNull(), 1).otherwise(0)).alias(
+            "n_checked"
+        ),
+        F.sum(F.when(F.col("max_cos") >= SEM_TAU, 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.round(F.max("max_cos"), 6).alias("worst_cos"),
+    )
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_semantic": decontaminate_semantic,
+    "decontaminate_semantic_lsh": decontaminate_semantic_lsh,
     "corpus_mix_sample": corpus_mix_sample,
     "corpus_temperature_mix": corpus_temperature_mix,
     "decontaminate_ngram": decontaminate_ngram,
@@ -435,3 +494,47 @@ ORACLE["decontaminate_semantic"] = f"""
            round(max(max_cos), 6) AS worst_cos
     FROM per_train GROUP BY 1
 """
+
+
+def _lsh_decon_oracle() -> str:
+    # the 8-hyperplane bucket expression is imported from similarity's
+    # oracle fragments so both engines' bucketing stays one definition
+    from .similarity import _BUCKET
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               label
+        FROM embeddings
+    ),
+    en AS (
+        SELECT vec_id, emb, label,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, 64), i -> emb[i] * emb[i])),
+                    (acc, v) -> acc + v)) AS norm,
+               {_BUCKET} AS bucket
+        FROM e
+    ),
+    ev AS (SELECT bucket, emb AS e_emb, norm AS e_norm FROM en
+           WHERE vec_id % {SEM_EVAL_MOD} = 0),
+    tr AS (SELECT * FROM en WHERE vec_id % {SEM_EVAL_MOD} <> 0),
+    per_train AS (
+        SELECT tr.vec_id, tr.label,
+               max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, 64),
+                                  i -> tr.emb[i] * ev.e_emb[i])),
+                   (acc, v) -> acc + v) / (tr.norm * ev.e_norm)) AS max_cos
+        FROM tr LEFT JOIN ev ON tr.bucket = ev.bucket
+        GROUP BY 1, 2
+    )
+    SELECT label, count(*) AS n_train,
+           CAST(sum(CASE WHEN max_cos IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN max_cos >= {SEM_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(max(max_cos), 6) AS worst_cos
+    FROM per_train GROUP BY 1
+"""
+
+
+ORACLE["decontaminate_semantic_lsh"] = _lsh_decon_oracle()

@@ -489,22 +489,24 @@ def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
-def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_pca_eigensolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the corpus — the production big-data
     PCA split: the O(N·d²) Gram pass is distributed and integer-exact;
     the d×d eigensolve runs driver-side on 4096 scalars (O(d²) driver
     state, scale-invariant like the k-means M-step collect; power
-    iteration is the wrong tool here — this near-isotropic spectrum
-    has no eigengap for it to exploit).
+    iteration is the wrong tool for the full eigenVECTOR here — this
+    near-isotropic spectrum has no eigengap for it to exploit).
 
     Library-surface only (NOT in the driver ``QUERIES`` registry): a
     dense symmetric eigensolve is not SQL-expressible, so there is no
     DuckDB oracle to pair it with — the distributed part of the
     computation (the Gram) IS registered and hash-checked as
-    ``embedding_gram_int8``, and this eigensolve layer is pinned
-    against a direct numpy eigendecomposition of the raw embeddings in
-    `tests/test_timeseries_search.py`. Deterministic because the Gram
-    is integer-exact and the solve is one driver-side LAPACK call."""
+    ``embedding_gram_int8``, this eigensolve layer is pinned against a
+    direct numpy eigendecomposition of the raw embeddings in
+    `tests/test_timeseries_search.py`, and the driver-green companion
+    ``embedding_pca_top`` pins integer spectral invariants of the SAME
+    Gram relation cross-engine. Deterministic because the Gram is
+    integer-exact and the solve is one driver-side LAPACK call."""
     import numpy as np
 
     gram_rows = embedding_gram_int8(spark, sf_dir).collect()
@@ -523,6 +525,91 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "dim_idx bigint, loading double, eigenvalue double, n_gram_cells bigint"
+    )
+
+
+PCA_U_SCALE = 1024  # 10-bit fixed-point for the power-iteration vector
+PCA_FP = 1_000_000  # 6-digit fixed-point for the Rayleigh fraction
+
+
+def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green PCA contract (r6 verdict item 3): integer spectral
+    invariants of the corpus Gram matrix that a SQL oracle CAN
+    recompute, replacing the unregisterable eigenvector output of
+    ``embedding_pca_eigensolve`` (which stays as the library/pytest
+    surface for the actual loadings).
+
+    From the exact int64 Gram G (the hash-checked
+    ``embedding_gram_int8`` relation) this emits, all in EXACT integer
+    / fixed-point arithmetic so both engines hash-match bit-for-bit:
+
+    - ``trace_g`` = tr(G) = Σλ (total spectral mass);
+    - ``frob_div_trace``/``frob_mod_trace`` = divmod(‖G‖_F², tr(G)) —
+      ‖G‖_F² = Σλ² exceeds int64 at scale, so it is carried as an
+      exact quotient+remainder pair against the trace;
+    - ``rq0_fp6`` = 10⁶·(1ᵀG1)/d — the Rayleigh quotient of the
+      all-ones start vector (λ_max lower bound);
+    - one deterministic integer power-iteration step: v₁ = G·1 (exact
+      row sums), normalized to the 10-bit fixed-point vector
+      u = ⌊(v₁+m)·1024/m⌋ − 1024 with m = max(|v₁|, 1) — the shift
+      keeps the divided quantity non-negative so truncating division
+      IS floor division in both engines;
+    - ``rq1_int``/``rq1_frac_fp6`` = the improved Rayleigh quotient
+      uᵀGu / uᵀu as an integer part + 6-digit fixed-point fraction
+      (G is PSD so both terms are non-negative — again trunc == floor).
+
+    Scale: the Gram pass is the same distributed mapInPandas matmul as
+    ``embedding_gram_int8`` (O(N·d²) work, 64×64 partials); everything
+    downstream operates on the 4096-cell Gram relation — constant-size
+    joins regardless of corpus size. Intermediates ride decimal(38,0)
+    (u·g·u partials reach ~10²³ at sf1; headroom to ~10³⁵)."""
+    dec = "decimal(38,0)"
+    tri = embedding_gram_int8(spark, sf_dir).cache()  # i ≤ j triangle
+    mirror = tri.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("g")
+    )
+    full = tri.select("i", "j", "g").union(mirror)
+    v1 = full.groupBy("i").agg(F.sum("g").alias("w"))
+    m = v1.agg(
+        F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m")
+    )
+    u = v1.crossJoin(F.broadcast(m)).selectExpr(
+        "i",
+        f"CAST(((w + m) * {PCA_U_SCALE}) div m AS BIGINT)"
+        f" - {PCA_U_SCALE} AS u",
+    )
+    ui = u.select(F.col("i").alias("fi"), F.col("u").alias("u_i"))
+    uj = u.select(F.col("i").alias("fj"), F.col("u").alias("u_j"))
+    quad = (
+        full.join(F.broadcast(ui), F.col("i") == F.col("fi"))
+        .join(F.broadcast(uj), F.col("j") == F.col("fj"))
+        .agg(
+            F.sum(
+                (F.col("u_i") * F.col("g")).cast(dec) * F.col("u_j")
+            ).alias("num")
+        )
+    )
+    den = u.agg(F.sum(F.col("u") * F.col("u")).alias("den"))
+    scal = full.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("g"))).alias("trace_g"),
+        F.sum(F.col("g").cast(dec) * F.col("g")).alias("frob_sq"),
+        F.sum(F.col("g").cast(dec)).alias("sum_all"),
+    )
+    row = (
+        scal.crossJoin(F.broadcast(quad))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(m))
+    )
+    return row.selectExpr(
+        "CAST(trace_g AS BIGINT) AS trace_g",
+        "CAST(frob_sq div trace_g AS BIGINT) AS frob_div_trace",
+        "CAST(frob_sq % trace_g AS BIGINT) AS frob_mod_trace",
+        f"CAST((sum_all * {PCA_FP}) div {DIM} AS BIGINT) AS rq0_fp6",
+        "CAST(m AS BIGINT) AS v1_max_abs",
+        "CAST(den AS BIGINT) AS u_norm_sq",
+        "CAST(num div den AS BIGINT) AS rq1_int",
+        f"CAST((CAST(num % den AS {dec}) * {PCA_FP}) div den AS BIGINT)"
+        " AS rq1_frac_fp6",
     )
 
 
@@ -847,10 +934,12 @@ QUERIES = {
     "ivf_pq_adc_topk": ivf_pq_adc_topk,
     "matryoshka_truncation_audit": matryoshka_truncation_audit,
     "coreset_kcenter_step": coreset_kcenter_step,
-    # embedding_pca_top is deliberately NOT registered: its eigensolve
-    # layer has no SQL-expressible oracle, so it lives on the library +
-    # pytest surface only (the distributed Gram it builds on IS
-    # registered and exactly hash-checked above).
+    # embedding_pca_top: registered r7 as integer spectral invariants
+    # (trace / Frobenius divmod / fixed-point Rayleigh quotients) of
+    # the same Gram relation; the eigenVECTOR solve itself stays
+    # library-only as embedding_pca_eigensolve (no SQL oracle exists
+    # for a dense symmetric eigensolve).
+    "embedding_pca_top": embedding_pca_top,
     "similarity_topk": similarity_topk,
     "kmeans_update_step": kmeans_update_step,
     "similarity_lsh_buckets": similarity_lsh_buckets,
@@ -1156,6 +1245,52 @@ ORACLE["embedding_gram_int8"] = """
     FROM qv, dims d1, dims d2
     WHERE d2.i >= d1.i
     GROUP BY d1.i, d2.i
+"""
+
+# Spectral invariants restated over the SAME Gram SQL (reused as a
+# CTE): exact integer trace / Frobenius divmod / fixed-point Rayleigh
+# quotients. HUGEINT carries what exceeds int64; every division is a
+# non-negative truncating `//` (== floor, mirroring Spark's `div` on
+# the shifted non-negative operands).
+ORACLE["embedding_pca_top"] = f"""
+    WITH gram AS ({ORACLE["embedding_gram_int8"]}),
+    fullg AS (
+        SELECT i, j, g FROM gram
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gram WHERE i <> j
+    ),
+    v1 AS (SELECT i, CAST(sum(g) AS BIGINT) AS w FROM fullg GROUP BY i),
+    mm AS (
+        SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM v1
+    ),
+    u AS (
+        SELECT i, ((w + m) * {PCA_U_SCALE}) // m - {PCA_U_SCALE} AS u
+        FROM v1, mm
+    ),
+    quad AS (
+        SELECT CAST(sum(CAST(ui.u AS HUGEINT) * fg.g * uj.u) AS HUGEINT)
+                   AS num
+        FROM fullg fg
+        JOIN u ui ON ui.i = fg.i
+        JOIN u uj ON uj.i = fg.j
+    ),
+    dd AS (SELECT CAST(sum(u * u) AS BIGINT) AS den FROM u),
+    scal AS (
+        SELECT CAST(sum(CASE WHEN i = j THEN g END) AS BIGINT) AS trace_g,
+               CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS frob_sq,
+               CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sum_all
+        FROM fullg
+    )
+    SELECT trace_g,
+           CAST(frob_sq // trace_g AS BIGINT) AS frob_div_trace,
+           CAST(frob_sq % trace_g AS BIGINT) AS frob_mod_trace,
+           CAST((sum_all * {PCA_FP}) // {DIM} AS BIGINT) AS rq0_fp6,
+           CAST(m AS BIGINT) AS v1_max_abs,
+           den AS u_norm_sq,
+           CAST(num // den AS BIGINT) AS rq1_int,
+           CAST((CAST(num % den AS HUGEINT) * {PCA_FP}) // den AS BIGINT)
+               AS rq1_frac_fp6
+    FROM scal, mm, quad, dd
 """
 
 ORACLE["pq_codebook_audit"] = f"""

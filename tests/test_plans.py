@@ -460,3 +460,19 @@ def test_ivf_pq_adc_no_cartesian_pruned_codebook_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ivf_pq_adc_topk")
     assert "CartesianProduct" not in plan
     assert plan.count("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id") >= 2
+
+
+def test_decontaminate_semantic_lsh_never_broadcasts_eval(spark, sf_dir):
+    """The LSH decontamination variant exists FOR the case where the
+    eval relation cannot broadcast — its plan must be a shuffled hash
+    join on the bucket key with zero broadcast exchanges (the
+    broadcast-shaped sibling decontaminate_semantic covers the
+    small-eval case)."""
+    plan = _plan(spark, sf_dir, "decontaminate_semantic_lsh")
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "bucket" in plan
+    # and never a cartesian pair enumeration
+    assert "CartesianProduct" not in plan

@@ -226,29 +226,85 @@ def test_fuzzy_match_symmetric_and_bounded(spark, sf_dir):
         assert size_a == size_b
 
 
-def test_pca_power_matches_numpy_eigh(spark, sf_dir):
-    """embedding_pca_power's loading vector must align with the top
-    eigenvector of the exact int8 Gram computed directly in numpy
-    (|cos| -> 1) with a matching top eigenvalue."""
+def _numpy_gram(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
 
-    from go_zoom_kinesis_spark.operators.similarity import (
-        INT8_MAX,
-        embedding_pca_top,
-    )
+    from go_zoom_kinesis_spark.operators.similarity import INT8_MAX
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     M = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
     amax = np.abs(M).max(axis=1)
     scale = np.where(amax == 0.0, 1.0, amax / INT8_MAX)
     q = np.floor(M / scale[:, None] + 0.5)
-    G = q.T @ q
+    return q.T @ q
+
+
+def test_pca_eigensolve_matches_numpy_eigh(spark, sf_dir):
+    """embedding_pca_eigensolve's loading vector must align with the
+    top eigenvector of the exact int8 Gram computed directly in numpy
+    (|cos| -> 1) with a matching top eigenvalue."""
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.similarity import (
+        embedding_pca_eigensolve,
+    )
+
+    G = _numpy_gram(sf_dir)
     evals, evecs = np.linalg.eigh(G)
     top_val, top_vec = evals[-1], evecs[:, -1]
 
-    out = embedding_pca_top(spark, sf_dir).orderBy("dim_idx").collect()
+    out = embedding_pca_eigensolve(spark, sf_dir).orderBy("dim_idx").collect()
     v = np.array([r["loading"] for r in out])
     assert abs(abs(v @ top_vec) - 1.0) < 1e-6
     assert abs(out[0]["eigenvalue"] - top_val) / top_val < 1e-9
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_pca_invariants_referee(spark, sf_dir):
+    """The registered embedding_pca_top invariants recomputed by an
+    exact-integer Python referee over the numpy Gram, plus the
+    spectral laws they encode: rq0 ≤ rq1 ≤ λ_max ≤ tr(G) and
+    ‖G‖_F² = q·tr + r with 0 ≤ r < tr."""
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.similarity import (
+        DIM,
+        PCA_FP,
+        PCA_U_SCALE,
+        embedding_pca_top,
+    )
+
+    G = np.rint(_numpy_gram(sf_dir)).astype(object)  # exact python ints
+    row = embedding_pca_top(spark, sf_dir).collect()[0]
+
+    trace = int(sum(G[d][d] for d in range(DIM)))
+    frob = int(sum(int(G[i][j]) ** 2 for i in range(DIM) for j in range(DIM)))
+    sum_all = int(sum(int(G[i][j]) for i in range(DIM) for j in range(DIM)))
+    w = [int(sum(int(G[i][j]) for j in range(DIM))) for i in range(DIM)]
+    m = max(max(abs(x) for x in w), 1)
+    u = [((x + m) * PCA_U_SCALE) // m - PCA_U_SCALE for x in w]
+    den = sum(x * x for x in u)
+    num = sum(
+        u[i] * int(G[i][j]) * u[j] for i in range(DIM) for j in range(DIM)
+    )
+
+    assert row["trace_g"] == trace
+    assert row["frob_div_trace"] == frob // trace
+    assert row["frob_mod_trace"] == frob % trace
+    assert row["rq0_fp6"] == (sum_all * PCA_FP) // DIM
+    assert row["v1_max_abs"] == m
+    assert row["u_norm_sq"] == den
+    assert row["rq1_int"] == num // den
+    assert row["rq1_frac_fp6"] == ((num % den) * PCA_FP) // den
+
+    # spectral laws: any Rayleigh quotient is ≤ λ_max, and one exact
+    # power step cannot decrease it (u is the 10-bit quantization of
+    # v₁, so allow its ~2⁻¹⁰ relative perturbation on the comparison)
+    lam_max = float(np.linalg.eigvalsh(_numpy_gram(sf_dir))[-1])
+    rq0 = row["rq0_fp6"] / PCA_FP
+    rq1 = row["rq1_int"] + row["rq1_frac_fp6"] / PCA_FP
+    assert rq0 <= rq1 * (1 + 1e-2) + 1e-6
+    assert rq1 <= lam_max * (1 + 1e-9)
+    assert lam_max <= trace + 1e-6
+    assert 0 <= row["frob_mod_trace"] < trace

@@ -210,6 +210,27 @@ def register(spark) -> None:
     spark.dataSource.register(GzkSinkDataSource)
 
 
+def commit_batch(df, path: str, batch_id: int) -> None:
+    """``foreachBatch`` adapter for the two-phase sink — the
+    composition point between ``StreamProcessor`` (which owns the
+    micro-batch loop via foreachBatch) and this sink's commit
+    protocol: executors stage one temp file per partition (the same
+    ``_write_partition`` the DataSource writer runs), the driver
+    publishes them under this ``batch_id`` — so a micro-batch REPLAYED
+    after a checkpoint rollback is a no-op, exactly like the
+    ``DataSourceStreamWriter`` path.
+
+    The ``mapPartitions`` hop exists because foreachBatch gives the
+    sink a DataFrame, not a writer task context; the collected commit
+    messages are O(partitions) driver data (file name + counts), the
+    rows themselves never leave the executors."""
+    os.makedirs(path, exist_ok=True)
+    messages = df.rdd.mapPartitions(
+        lambda it, p=path: [_write_partition(p, it)]
+    ).collect()
+    _commit_files(path, messages, batch_id)
+
+
 def read_committed(path: str) -> list[dict]:
     """Read back ONLY manifested rows (the sink's visibility rule);
     torn trailing manifest lines are skipped, not fatal."""

@@ -14,20 +14,38 @@ fixed):
   the base data and copies never cross-join;
 - nation/region are NOT replicated (fixed dimensions, as in TPC-H);
   nationkey references stay in the fixed 0..24 domain;
-- documents.content is salted with a short per-copy suffix so
-  near-dup/shingle operators see a K×-corpus with the same duplicate
-  DENSITY as the base, instead of K exact copies of everything (which
-  would grow candidate pairs K²× by construction of the data, not the
-  plan);
-- embeddings.emb gets a tiny per-copy deterministic jitter for the
-  same reason (SemDeDup/ANN see new near-neighbors, not K-way exact
-  ties).
+- documents.text gets a PER-COPY ALPHABET ROTATION (a bijective char
+  map: every letter shifts by the copy index) — within-copy duplicate
+  structure is preserved EXACTLY (bijections preserve shingle-set
+  equality and Jaccard), while cross-copy shingle overlap drops to ~0,
+  so near-dup operators see a K×-corpus with the same duplicate
+  DENSITY as the base. (The r6 version appended a short per-copy
+  suffix instead — measured insufficient: a 1-token tail change leaves
+  minhash signatures equal, so every base doc became a K-way near-dup
+  cluster and candidate pairs grew K²× by construction of the DATA;
+  chaining the amplification to sf10 made dedup_minhash_lsh read 57×
+  on the 1→10 decade purely from that artifact);
+- embeddings.embedding gets PER-COPY RADEMACHER SIGN FLIPS (dim d
+  negated when bit (copy mod 6) of d is set) — norms and within-copy
+  geometry are preserved exactly, cross-copy cosines decorrelate, so
+  SemDeDup/ANN see K× genuinely distinct vectors, not K-way ties
+  (same reasoning; the r6 tiny-jitter variant left copies at
+  cosine ≈ 1).
 
 PERFORMANCE DATA ONLY: the amplified tables are for plan-shape/scaling
 measurement, never for the oracle-parity gate (value distributions are
 amplification artifacts). Output lands in .scratch/sf1 (gitignored).
 
 Usage: python tools/gen_scaled_data.py [--copies 10] [--out DIR]
+       [--src DIR] [--tables documents,embeddings]
+
+The fourth decade (r6 verdict item 6) chains the amplification:
+    python tools/gen_scaled_data.py --src .scratch/sf1 --copies 10 \
+        --out .scratch/sf10 --tables documents,embeddings
+amplifies the already-amplified sf1 by another 10× for JUST the tables
+the decade-4 watch queries (text_tfidf_topterms, kmeans_update_step,
+dedup_minhash_lsh) read — tools/scaling_curve.py includes the sf10
+point automatically for queries whose tables exist there.
 """
 
 from __future__ import annotations
@@ -75,6 +93,12 @@ def main() -> None:
             "sf1",
         ),
     )
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list; default = all replicated tables + fixed dims",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -84,13 +108,22 @@ def main() -> None:
 
     spark = get_spark(app_name="gzk-gen-scaled")
     os.makedirs(args.out, exist_ok=True)
+    src = args.src
+    replicated = (
+        [t for t in args.tables.split(",") if t in REPLICATED]
+        if args.tables
+        else list(REPLICATED)
+    )
+    fixed = [] if args.tables else list(FIXED)
 
     # one pass to size each key family's offset constant
     offsets: dict[str, int] = {}
-    tables = {t: load_table(spark, SRC, t) for t in REPLICATED}
+    tables = {t: load_table(spark, src, t) for t in replicated}
     for fam, cols in KEY_FAMILIES.items():
         hi = 0
         for tbl, col in cols:
+            if tbl not in tables:
+                continue
             v = tables[tbl].agg(F.max(col)).collect()[0][0]
             hi = max(hi, int(v))
         offsets[fam] = hi + 1
@@ -101,13 +134,32 @@ def main() -> None:
         for tbl, col in cols
     }
 
-    for t in FIXED:
-        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+    for t in fixed:
+        load_table(spark, src, t).write.mode("overwrite").parquet(
             os.path.join(args.out, f"{t}.parquet")
         )
         print(f"{t}: fixed dimension copied")
 
-    for t in REPLICATED:
+    import random
+    import string
+
+    out_key = os.path.basename(os.path.normpath(args.out))
+
+    def _copy_permutation(i: int) -> str:
+        """Keyed pseudo-random alphabet permutation for copy i — keyed
+        by the OUTPUT dir too, so chained amplifications (sf0.1→sf1→
+        sf10) compose to distinct bijections instead of colliding
+        shift classes."""
+        letters = list(string.ascii_lowercase)
+        random.Random(f"{out_key}:doc:{i}").shuffle(letters)
+        lo = "".join(letters)
+        return lo + lo.upper()
+
+    def _copy_signs(i: int) -> list[float]:
+        rng = random.Random(f"{out_key}:emb:{i}")
+        return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(64)]
+
+    for t in replicated:
         base = tables[t]
         copies = []
         for i in range(args.copies):
@@ -116,16 +168,21 @@ def main() -> None:
                 if tbl == t:
                     df = df.withColumn(col, F.col(col) + F.lit(i * off))
             if t == "documents" and i > 0:
-                salt = f" c{i}x"
+                src_alpha = string.ascii_lowercase + string.ascii_uppercase
                 df = df.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(salt))
-                ).withColumn("n_chars", F.col("n_chars") + F.lit(len(salt)))
+                    "text",
+                    F.translate("text", src_alpha, _copy_permutation(i)),
+                )
             if t == "embeddings" and i > 0:
-                jit = 1e-4 * i
+                signs = F.array(
+                    *[F.lit(s) for s in _copy_signs(i)]
+                )
                 df = df.withColumn(
                     "embedding",
-                    F.transform(
-                        "embedding", lambda x: (x + F.lit(jit)).cast("float")
+                    F.zip_with(
+                        "embedding",
+                        signs,
+                        lambda x, s: (x * s).cast("float"),
                     ),
                 )
             copies.append(df)

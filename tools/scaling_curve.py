@@ -38,6 +38,14 @@ SF1_DIR = os.path.join(
     ".scratch",
     "sf1",
 )
+# optional FOURTH decade: a partial (documents/embeddings-only) 10×
+# amplification of sf1 — see gen_scaled_data.py --src/--tables. Queries
+# whose tables are absent there record t_sf10 = null and no growth_10x_c.
+SF10_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "sf10",
+)
 
 
 def _time_query(fn, spark, sf_dir: str) -> float:
@@ -71,6 +79,8 @@ def main() -> None:
     sf_dirs = dict(SF_DIRS)
     if os.path.isdir(SF1_DIR):
         sf_dirs["sf1"] = SF1_DIR
+    if os.path.isdir(SF10_DIR):
+        sf_dirs["sf10"] = SF10_DIR
 
     rows = []
     for name in names:
@@ -79,11 +89,17 @@ def main() -> None:
             continue
         row = {"query": name}
         for label, d in sf_dirs.items():
-            row[f"t_{label.replace('.', '')}"] = _time_query(fn, spark, d)
+            try:
+                row[f"t_{label.replace('.', '')}"] = _time_query(fn, spark, d)
+            except Exception:
+                # partial decade dirs (sf10) only carry some tables
+                row[f"t_{label.replace('.', '')}"] = None
         t_small, t_big = row["t_sf001"], row["t_sf01"]
         row["growth_10x"] = round(t_big / t_small, 2) if t_small > 0 else None
-        if "t_sf1" in row and t_big > 0:
+        if row.get("t_sf1") and t_big > 0:
             row["growth_10x_b"] = round(row["t_sf1"] / t_big, 2)
+        if row.get("t_sf10") and row.get("t_sf1"):
+            row["growth_10x_c"] = round(row["t_sf10"] / row["t_sf1"], 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

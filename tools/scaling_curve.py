@@ -30,7 +30,8 @@ SF_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
 }
 # optional third decade: a 10× amplification of sf0.1 produced by
-# tools/gen_scaled_data.py (disjoint key spaces, salted text, jittered
+# tools/gen_scaled_data.py (disjoint key spaces; per-copy bijective
+# alphabet permutation for documents, Rademacher sign flips for
 # embeddings — see that module's docstring). Included automatically
 # when present; growth_10x_b then reports the 0.1→1 step.
 SF1_DIR = os.path.join(

@@ -73,7 +73,9 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
+def _pair_jaccard(
+    cand: DataFrame, arrs: DataFrame, dict_join_hint: str | None = None
+) -> DataFrame:
     """Exact jaccard for candidate (doc_a, doc_b) pairs: join the pair
     list against the per-doc shingle-array dictionary and intersect the
     arrays in-row.
@@ -82,10 +84,24 @@ def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     (|cand|·~50 rows through two shuffles) with two joins that carry one
     array per row. The dictionary is first semi-joined down to only the
     docs that appear in a candidate pair (∝ near-dups, not corpus size),
-    then joined WITHOUT a broadcast hint: AQE sees the post-semi-join
-    size at runtime and broadcasts exactly when it fits under
-    autoBroadcastJoinThreshold — safe at 100 TB, broadcast-fast at
-    test scale."""
+    then joined per the caller's ``dict_join_hint``, because the right
+    strategy is a property of the CALLER's candidate cardinality —
+    measured on the sf10 fourth decade (600k docs), not guessed:
+
+    - ``dedup_ngram_jaccard`` (corpus-scale candidates: ≥2-shared-
+      capped-shingle policy ⇒ 11.2M pairs at sf10) passes
+      ``"shuffle_hash"``: the dict is the canonical hash-build side
+      (bounded by near-dup docs, partition-local after the shuffle),
+      while sort-merge — Spark's default once the dict outgrows a
+      broadcast — re-sorts the array-carrying pair relation: measured
+      SMJ 20.7 s vs SHJ 10.5 s warm at sf10. Cold-run growth is
+      exactly linear either way (10.3 s → 104 s on the 1→10 decade;
+      candidates 1.12M → 11.2M, exactly 10×).
+    - ``dedup_minhash_lsh`` (band-pruned candidates ∝ true near-dups,
+      tiny at every scale) passes ``None``: AQE's runtime broadcast
+      conversion is right at every measured sf, and forcing SHJ there
+      is a flat ~0.6 s tax (0.27→0.80 s at sf1, 0.30→0.93 s at sf10)
+      for two shuffles of a dictionary a broadcast carries for free."""
     # cache: cand (the expensive candidate-generation join) feeds the
     # two semi-join branches AND the verify join — without it the whole
     # upstream recomputes three times
@@ -99,8 +115,14 @@ def _pair_jaccard(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     # to MB at any corpus size), and both pair sides consume it — an
     # uncached reference would rescan + reshingle the corpus twice
     dict_small = arrs.join(docs_in_play, "doc_id", "left_semi").cache()
-    a = dict_small.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    b = dict_small.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    a = dict_small.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+    )
+    b = dict_small.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+    )
+    if dict_join_hint:
+        a, b = a.hint(dict_join_hint), b.hint(dict_join_hint)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -251,7 +273,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
         .select(F.col("doc_a"), F.col("doc_b"))
     )
-    jac = _pair_jaccard(cand, arrs)
+    # corpus-scale candidate relation ⇒ hash-join the dict (see
+    # _pair_jaccard's measured rationale)
+    jac = _pair_jaccard(cand, arrs, dict_join_hint="shuffle_hash")
     return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )

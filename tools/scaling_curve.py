@@ -50,6 +50,13 @@ SF10_DIR = os.path.join(
 
 
 def _time_query(fn, spark, sf_dir: str) -> float:
+    # hermetic per-(query, sf) measurement — same rule as bench.py:
+    # cached intermediates from a previous sf dir (or query) otherwise
+    # evict this run's under storage pressure and the timing silently
+    # pays a recompute another measurement caused (seen at sf10:
+    # dedup_ngram_jaccard 15.5 s vs 23.5 s across runs purely from
+    # cache residue of its own sf1 pass)
+    spark.catalog.clearCache()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm-up
     best = float("inf")

@@ -85,23 +85,19 @@ def _pair_jaccard(
     array per row. The dictionary is first semi-joined down to only the
     docs that appear in a candidate pair (∝ near-dups, not corpus size),
     then joined per the caller's ``dict_join_hint``, because the right
-    strategy is a property of the CALLER's candidate cardinality —
-    measured on the sf10 fourth decade (600k docs), not guessed:
-
-    - ``dedup_ngram_jaccard`` (corpus-scale candidates: ≥2-shared-
-      capped-shingle policy ⇒ 11.2M pairs at sf10) passes
-      ``"shuffle_hash"``: the dict is the canonical hash-build side
-      (bounded by near-dup docs, partition-local after the shuffle),
-      while sort-merge — Spark's default once the dict outgrows a
-      broadcast — re-sorts the array-carrying pair relation: measured
-      SMJ 20.7 s vs SHJ 10.5 s warm at sf10. Cold-run growth is
-      exactly linear either way (10.3 s → 104 s on the 1→10 decade;
-      candidates 1.12M → 11.2M, exactly 10×).
-    - ``dedup_minhash_lsh`` (band-pruned candidates ∝ true near-dups,
-      tiny at every scale) passes ``None``: AQE's runtime broadcast
-      conversion is right at every measured sf, and forcing SHJ there
-      is a flat ~0.6 s tax (0.27→0.80 s at sf1, 0.30→0.93 s at sf10)
-      for two shuffles of a dictionary a broadcast carries for free."""
+    strategy is a property of the CALLER's verify-input cardinality —
+    measured on the sf10 fourth decade (600k docs), not guessed. Both
+    current callers keep pair lists ∝ true near-dups (LSH bands /
+    the intersection-bound prune), where AQE's runtime broadcast
+    conversion is right at every measured sf and forcing SHJ is a
+    flat ~0.6 s tax (0.27→0.80 s at sf1, 0.30→0.93 s at sf10) for two
+    shuffles of a dictionary a broadcast carries for free. A caller
+    that DOES ship a corpus-scale pair relation should pass
+    ``"shuffle_hash"``: the dict is the canonical hash-build side
+    (partition-local after the shuffle), while sort-merge — Spark's
+    default once the dict outgrows a broadcast — re-sorts the
+    array-carrying pair relation: measured SMJ 20.7 s vs SHJ 10.5 s
+    warm at sf10 on the pre-prune 11.2M-pair formulation."""
     # cache: cand (the expensive candidate-generation join) feeds the
     # two semi-join branches AND the verify join — without it the whole
     # upstream recomputes three times
@@ -238,7 +234,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle policy prunes the one-coincidental-shingle flood before the
     exact verify (a 0.3-jaccard pair of ~50-shingle docs shares ~20+
     shingles, so real matches always survive). Both knobs are mirrored
-    in the oracle SQL."""
+    in the oracle SQL.
+
+    Verify-input prune (round 7, zero false negatives by theorem): the
+    intersection of a candidate pair is bounded above by
+    ``n_shared + min(hot_a, hot_b)`` — ``n_shared`` counts ALL shared
+    shingles whose posting survived the df-cap (the pair expansion
+    enumerates every pair in every retained posting), and the only
+    shared shingles it misses live in capped-away hot postings, of
+    which doc x carries ``hot_x``. With τ = 0.3, ``jaccard ≥ τ  ⟺
+    13·i ≥ 3·(|A|+|B|)`` in exact integers, so any pair whose BOUND
+    fails the inequality cannot reach the threshold and is dropped
+    before the array join. Measured at sf10 (600k docs): 11.2M
+    candidates → 25.6k verify pairs (0.23%), turning the verify stage
+    from a 9 GB array shuffle into one ∝ true near-matches — which is
+    also why the dictionary join downstream is broadcast-sized again
+    at every measured scale. The oracle needs no mirror: pruned pairs
+    fail the ≥ τ filter identically."""
     docs = _docs(spark, sf_dir)
     arrs = _shingle_arrays(docs).cache()
     sh = arrs.select("doc_id", F.explode("hs").alias("shash"))
@@ -271,11 +283,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
-        .select(F.col("doc_a"), F.col("doc_b"))
     )
-    # corpus-scale candidate relation ⇒ hash-join the dict (see
-    # _pair_jaccard's measured rationale)
-    jac = _pair_jaccard(cand, arrs, dict_join_hint="shuffle_hash")
+    # intersection upper bound (docstring theorem): per-doc hot-shingle
+    # counts come from a count-shaped aggregate (map-side partials, no
+    # lists) + an equi-join back over the exploded relation — hot
+    # shingles are rare by definition, so AQE broadcasts hot_keys
+    hot_keys = (
+        sh.groupBy("shash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DOC_FREQ)
+        .select("shash")
+    )
+    hot_n = (
+        sh.join(hot_keys, "shash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hot"))
+    )
+    sizes = (
+        arrs.select("doc_id", F.size("hs").alias("n"))
+        .join(hot_n, "doc_id", "left")
+        .fillna(0, ["hot"])
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.col("hot").alias("hot_a"),
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("hot").alias("hot_b"),
+    )
+    # τ = 3/10 exactly, so jaccard ≥ τ ⟺ (10+3)·i ≥ 3·(|A|+|B|) in
+    # pure integers; testing the bound i_ub instead of i only ever
+    # KEEPS extra pairs — never drops a qualifying one
+    i_ub = F.col("n_shared") + F.least("hot_a", "hot_b")
+    verify = (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.lit(13) * i_ub >= F.lit(3) * (F.col("n_a") + F.col("n_b")))
+        .select("doc_a", "doc_b")
+    )
+    # verify input is ∝ true near-matches after the bound prune, so the
+    # dictionary join is broadcast-sized again (no hint; AQE converts)
+    jac = _pair_jaccard(verify, arrs)
     return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )

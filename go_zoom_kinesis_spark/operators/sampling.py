@@ -270,6 +270,94 @@ def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEYMAN_BUDGET = 1000  # eval-set rows to allocate across language strata
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-proportional) stratified-sampling allocation:
+    split an eval-set budget of {NEYMAN_BUDGET} rows across language
+    strata as ``n_h ∝ N_h·S_h`` — the allocation that minimizes the
+    variance of the stratified mean (Neyman 1934), vs the equal-rate
+    allocation of ``sample_stratified_documents``. High-variance
+    strata (heterogeneous doc lengths) get more eval rows; a
+    zero-variance stratum needs only its mean and gets none.
+
+    Cross-engine determinism is integer-exact end to end: the weight
+    ``N_h·S_h = sqrt(N_h·Σx² − (Σx)²)`` (population SD) is ONE IEEE
+    sqrt of an exactly-computed decimal(38,0)/HUGEINT integer, then
+    quantized to a bigint at 1e-4 (``round`` to an integer-valued
+    double before the cast, so both engines cast exactly). Base
+    shares are integer ``div``/``%`` against the exact bigint weight
+    total, and the leftover goes to the largest integer remainders
+    (ties broken by lang asc) — no float ever crosses an aggregation
+    whose order an engine could choose.
+
+    Scale: the corpus-scale work is ONE map-side-combining aggregate
+    to K = |languages| rows; every window/join after it is K-row
+    (broadcast). At extreme corpus sizes (N_h·Σx² past ~1e38) swap
+    the exact decimal for a double Gram — the allocation tolerates
+    sub-ulp weight error by construction (remainders are re-ranked).
+    Zero-variance corpora (total weight 0) allocate nothing, by
+    definition of the method."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_stratum"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("s1"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    w2 = F.col("n_stratum").cast("decimal(38,0)") * F.col("s2") - F.col(
+        "s1"
+    ).cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    w_dbl = F.sqrt(w2.cast("double"))
+    per = per.select(
+        "lang",
+        "n_stratum",
+        F.round(w_dbl / F.col("n_stratum"), 4).alias("sd_chars"),
+        F.when(w2 <= 0, F.lit(0))
+        .otherwise(F.round(w_dbl * 10000).cast("bigint"))
+        .alias("w_scaled"),
+    )
+    tot = per.agg(F.sum("w_scaled").alias("totw"))
+    per = per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_stratum",
+        "sd_chars",
+        "w_scaled",
+        F.expr(
+            f"CASE WHEN totw > 0 THEN ({NEYMAN_BUDGET} * w_scaled) div totw"
+            " ELSE 0 END"
+        ).alias("base"),
+        F.expr(
+            f"CASE WHEN totw > 0 THEN ({NEYMAN_BUDGET} * w_scaled) % totw"
+            " ELSE 0 END"
+        ).alias("rem"),
+    )
+    lsum = per.agg(F.sum("base").alias("bsum"), F.sum("w_scaled").alias("tw"))
+    w = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        per.join(F.broadcast(lsum))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "lang",
+            "n_stratum",
+            "sd_chars",
+            "w_scaled",
+            (
+                F.col("base")
+                + F.when(
+                    (F.col("tw") > 0)
+                    & (F.col("rk") <= NEYMAN_BUDGET - F.col("bsum")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_alloc"),
+        )
+    )
+
+
 QUERIES = {
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "sample_hash_events": sample_hash_events,
@@ -277,6 +365,7 @@ QUERIES = {
     "sample_weighted_priority": sample_weighted_priority,
     "stratified_split_exact": stratified_split_exact,
     "group_kfold_assign": group_kfold_assign,
+    "sample_neyman_allocation": sample_neyman_allocation,
 }
 
 _BUCKET = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INTEGER)"
@@ -381,4 +470,45 @@ ORACLE["group_kfold_assign"] = f"""
            CAST((1000000 * n_docs)
                 // (SELECT sum(n_docs) FROM agg) AS BIGINT) AS share_ppm
     FROM agg
+"""
+
+ORACLE["sample_neyman_allocation"] = f"""
+    WITH per AS (
+        SELECT lang,
+               count(*) AS n_stratum,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+        FROM documents GROUP BY lang
+    ),
+    wq AS (
+        SELECT lang, n_stratum,
+               round(sqrt(CAST(n_stratum * s2 - s1 * s1 AS DOUBLE))
+                     / n_stratum, 4) AS sd_chars,
+               CASE WHEN n_stratum * s2 - s1 * s1 <= 0 THEN 0
+                    ELSE CAST(round(sqrt(CAST(n_stratum * s2 - s1 * s1
+                                              AS DOUBLE)) * 10000) AS BIGINT)
+               END AS w_scaled
+        FROM per
+    ),
+    tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS totw FROM wq),
+    base AS (
+        SELECT lang, n_stratum, sd_chars, w_scaled, totw,
+               CASE WHEN totw > 0
+                    THEN CAST(({NEYMAN_BUDGET} * w_scaled) // totw AS BIGINT)
+                    ELSE 0 END AS base,
+               CASE WHEN totw > 0
+                    THEN CAST(({NEYMAN_BUDGET} * w_scaled) % totw AS BIGINT)
+                    ELSE 0 END AS rem
+        FROM wq, tot
+    ),
+    l AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM base)
+    SELECT lang,
+           CAST(n_stratum AS BIGINT) AS n_stratum,
+           sd_chars,
+           w_scaled,
+           CAST(base + CASE WHEN totw > 0
+                             AND row_number() OVER (ORDER BY rem DESC, lang)
+                                 <= {NEYMAN_BUDGET} - bsum
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+    FROM base, l
 """

@@ -321,3 +321,48 @@ def test_group_kfold_no_source_spans_folds(spark, sf_dir, docs_pd):
     assert ref.groupby("source")["fold"].nunique().max() == 1
     # conservation: folds partition the corpus
     assert sum(r["n_docs"] for r in rows.values()) == N
+
+
+def test_neyman_allocation_referee(spark, sf_dir, docs_pd):
+    """Pure-Python Neyman referee: per-language (n, Σx, Σx²) from the
+    raw parquet, weight = sqrt(n·Σx² − (Σx)²) quantized at 1e-4,
+    integer base shares + largest-remainder leftover (ties lang asc) —
+    the distributed allocation must agree row-for-row, the total must
+    equal the budget exactly, and every stratum must sit within 1 of
+    its real-valued Neyman share (the largest-remainder guarantee)."""
+    from go_zoom_kinesis_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    g = docs_pd.groupby("lang")["n_chars"]
+    per = {}
+    for lang, s in g:
+        n = len(s)
+        s1 = int(s.sum())
+        s2 = int((s.astype(object) ** 2).sum())
+        w2 = n * s2 - s1 * s1
+        wq = 0 if w2 <= 0 else int(round(math.sqrt(w2) * 10000))
+        per[lang] = (n, wq, round(math.sqrt(max(w2, 0)) / n, 4))
+    totw = sum(w for _, w, _ in per.values())
+    base = {k: (NEYMAN_BUDGET * w) // totw for k, (_, w, _) in per.items()}
+    rem = {k: (NEYMAN_BUDGET * w) % totw for k, (_, w, _) in per.items()}
+    left = NEYMAN_BUDGET - sum(base.values())
+    for k in sorted(per, key=lambda k: (-rem[k], k))[:left]:
+        base[k] += 1
+
+    got = {
+        r["lang"]: r
+        for r in sample_neyman_allocation(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for k, (n, wq, sd) in per.items():
+        assert got[k]["n_stratum"] == n
+        assert got[k]["w_scaled"] == wq
+        assert got[k]["sd_chars"] == pytest.approx(sd, abs=1e-9)
+        assert got[k]["n_alloc"] == base[k], k
+    assert sum(r["n_alloc"] for r in got.values()) == NEYMAN_BUDGET
+    # largest-remainder bound: |n_alloc - exact Neyman share| < 1
+    for k, (_, wq, _) in per.items():
+        exact = NEYMAN_BUDGET * wq / totw
+        assert abs(got[k]["n_alloc"] - exact) < 1.0, k

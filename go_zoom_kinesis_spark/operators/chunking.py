@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashes as H
 from ..io import fan_out_narrow, load_table
 
 CHUNK_SIZE = 120
@@ -250,3 +251,98 @@ ORACLE["chunk_dedup_stats"] = f"""
                          ELSE 0 END) AS BIGINT) AS chars_retained
     FROM marked GROUP BY doc_id
 """
+
+
+# --- staged for round 8: unigram^0.75 negative-sampling table -----------
+#
+# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
+# NOT enter the driver registry until the round-8 merge (the round-7
+# registration freeze keeps the driver window on tier-3 re-checks).
+
+NS_VOCAB = 100  # sampling table size (top tokens by frequency)
+NS_FP = 1_000_000  # fixed-point scale for the smoothed weight
+
+
+def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: the classic
+    unigram^(3/4) smoothing (Mikolov et al. NeurIPS'13, public
+    literature) over corpus token counts, emitted as an integer
+    cumulative-ppm sampling table a trainer binary-searches into.
+
+    Cross-engine exactness without pow(): c^0.75 = c / c^0.25 and
+    c^0.25 = sqrt(sqrt(c)) — two chained correctly-rounded IEEE sqrts
+    of an EXACT small integer (token counts are < 2^53 far past 100 TB
+    of text), then ONE multiply + ONE divide + floor, the identical op
+    sequence on both engines. The quantized weight
+    ``floor({NS_FP} * c / sqrt(sqrt(c)))`` is bigint from there on:
+    probabilities are exact integer divisions of weight sums (valid
+    while {NS_FP}·c < 2^63, i.e. c < 9.2e12 occurrences — beyond any
+    single token's count at 100 TB).
+
+    Scale: one explode + one vocabulary-bounded hash-aggregate, then a
+    TakeOrdered top-{NS_VOCAB}; the cumulative window runs over the
+    {NS_VOCAB}-row result only (bounded by construction, never by the
+    corpus)."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(H.tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("token")).limit(NS_VOCAB)
+    w = F.floor(
+        F.lit(float(NS_FP)) * F.col("c") / F.sqrt(F.sqrt(F.col("c")))
+    ).cast("long")
+    weighted = top.select("token", "c", w.alias("w"))
+    total = weighted.agg(F.sum("w").alias("total_w"))
+    cum_w = Window.orderBy(F.desc("c"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn(
+            "prob_ppm",
+            F.expr(f"(w * {NS_FP}) div total_w"),
+        )
+        .withColumn(
+            "cum_ppm",
+            F.expr(f"(sum(w) OVER (ORDER BY c DESC, token ASC "
+                   f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                   f"* {NS_FP}) div total_w"),
+        )
+        .select("token", "c", "w", "prob_ppm", "cum_ppm")
+    )
+
+
+QUERIES_R8 = {
+    "negative_sampling_unigram": negative_sampling_unigram,
+}
+
+_NS_TOKS = H.TOKENS_SQL.format(text="text")
+
+ORACLE_R8 = {
+    "negative_sampling_unigram": f"""
+        WITH counts AS (
+            SELECT tok AS token, count(*) AS c
+            FROM (SELECT unnest({_NS_TOKS}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        top AS (
+            SELECT token, c FROM counts
+            ORDER BY c DESC, token ASC LIMIT {NS_VOCAB}
+        ),
+        weighted AS (
+            SELECT token, c,
+                   CAST(floor({float(NS_FP)} * c / sqrt(sqrt(c))) AS BIGINT)
+                       AS w
+            FROM top
+        ),
+        tot AS (SELECT sum(w) AS total_w FROM weighted)
+        SELECT token, c, w,
+               CAST((w * {NS_FP}) // total_w AS BIGINT) AS prob_ppm,
+               CAST((sum(w) OVER (ORDER BY c DESC, token ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * {NS_FP}) // total_w AS BIGINT) AS cum_ppm
+        FROM weighted CROSS JOIN tot
+    """,
+}

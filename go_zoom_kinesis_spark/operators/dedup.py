@@ -914,3 +914,178 @@ ORACLE["bloom_novelty_filter"] = f"""
                AS BIGINT) AS n_missed
     FROM flagged
 """
+
+
+# --- staged for round 8: 64-bit SimHash Hamming-banded join -------------
+#
+# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
+# NOT enter the driver registry until the round-8 merge (the round-7
+# registration freeze keeps the driver window on tier-3 re-checks).
+
+SIM64_BITS = 64
+SIM64_BANDS = 4
+SIM64_BAND_BITS = SIM64_BITS // SIM64_BANDS  # 16
+SIM64_HAMMING_MAX = SIM64_BANDS - 1  # pigeonhole: <= 3 diff bits => >=1 clean band
+# 64 affine families derived deterministically from the base 16 (both
+# engines see the same literal constants via the f-string oracle)
+SIM64_A = [(H.A[i % 16] * pow(6151, i // 16, H.P)) % H.P for i in range(SIM64_BITS)]
+SIM64_B = [(H.B[i % 16] + 1009 * (i // 16)) % H.P for i in range(SIM64_BITS)]
+
+
+def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup JOIN on 64-bit SimHash with banded Hamming search —
+    Charikar's simhash taken from per-doc signature (``dedup_simhash``)
+    to an actual pair-finding join, the web-scale near-dup algorithm of
+    Manku/Jain/Sarma (WWW'07, public literature).
+
+    Signature: 64 sign-bits, each the majority vote of the doc's
+    distinct token hashes under an affine family; packed as FOUR 16-bit
+    band values (no single 64-bit pack — bit 63 would overflow signed
+    bigint, and the bands are what the join keys on anyway).
+
+    Candidate generation: stack the 4 bands, equi-join on (band_idx,
+    band_value). Pigeonhole theorem: a pair at Hamming distance <= 3
+    differs in at most 3 of the 4 bands, so at least one band matches
+    exactly — ZERO false negatives at the verify threshold by
+    construction. Verify: hamming = sum of bit_count(XOR) over the four
+    band values, keep <= {SIM64_HAMMING_MAX}.
+
+    Scale: candidates per band are |bucket|^2 with 2^16 buckets — fine
+    to ~10M docs; past that, band width grows with log2(n) (e.g. two
+    16-bit columns per band key), keeping the SAME equi-join shape. The
+    signature pass is one scan (64 integer folds per row, no shuffle);
+    the verify dictionary is doc_id -> 4 ints, broadcastable far past
+    any corpus the band join can serve."""
+    docs = _docs(spark, sf_dir)
+    th = (
+        fan_out_narrow(docs)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
+            ).alias("ths"),
+        )
+        .filter(F.size("ths") > 0)
+    )
+
+    def _vote64(j: int):
+        return lambda t: ((t * SIM64_A[j] + SIM64_B[j]) % H.P % 2) * 2 - 1
+
+    votes = th.select(
+        "doc_id",
+        *[
+            F.aggregate(
+                F.transform("ths", _vote64(j)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias(f"v{j}")
+            for j in range(SIM64_BITS)
+        ],
+    )
+    band_cols = []
+    for k in range(SIM64_BANDS):
+        expr = None
+        for r in range(SIM64_BAND_BITS):
+            j = k * SIM64_BAND_BITS + r
+            bit = F.when(F.col(f"v{j}") > 0, F.lit(2**r)).otherwise(F.lit(0))
+            expr = bit if expr is None else expr + bit
+        band_cols.append(expr.cast("long").alias(f"b{k}"))
+    sigs = votes.select("doc_id", *band_cols).cache()
+    bands = sigs.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band_idx, band_val)".format(
+            n=SIM64_BANDS,
+            args=", ".join(f"{k}, b{k}" for k in range(SIM64_BANDS)),
+        ),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIM64_BANDS)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIM64_BANDS)],
+    )
+    ham = None
+    for k in range(SIM64_BANDS):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= SIM64_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+QUERIES_R8 = {
+    "simhash_hamming_join": simhash_hamming_join,
+}
+
+_V64_COLS = ",\n                   ".join(
+    f"sum((thash * {SIM64_A[j]} + {SIM64_B[j]}) % {H.P} % 2 * 2 - 1) AS v{j}"
+    for j in range(SIM64_BITS)
+)
+_B64_COLS = ",\n                   ".join(
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN v{k * SIM64_BAND_BITS + r} > 0 THEN {2**r} ELSE 0 END"
+        for r in range(SIM64_BAND_BITS)
+    )
+    + f" AS BIGINT) AS b{k}"
+    for k in range(SIM64_BANDS)
+)
+_HAM64 = " + ".join(
+    f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(SIM64_BANDS)
+)
+
+ORACLE_R8 = {
+    "simhash_hamming_join": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        th AS (
+            SELECT DISTINCT doc_id,
+                   {H.CHAR_HASH_SQL.format(s="tok")} AS thash
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {_V64_COLS}
+            FROM th GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {_B64_COLS}
+            FROM votes
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {k} AS band_idx, b{k} AS band_val FROM sigs" for k in range(SIM64_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST({_HAM64} AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.doc_a
+            JOIN sigs y ON y.doc_id = c.doc_b
+        ) WHERE hamming <= {SIM64_HAMMING_MAX}
+    """,
+}

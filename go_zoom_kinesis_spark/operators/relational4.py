@@ -30,7 +30,7 @@ are bit-identical to the DuckDB oracle by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashes as H
@@ -890,5 +890,185 @@ ORACLE = {
                                      THEN 1 END), 0) FROM fo)
                     AS BIGINT) AS vocab_cum
         FROM ck
+    """,
+}
+
+
+# --- staged for round 8: exact-substring span SCRUB ---------------------
+#
+# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
+# NOT enter the driver registry until the round-8 merge (the round-7
+# registration freeze keeps the driver window on tier-3 re-checks).
+
+SCRUB_ENC = 1_000_000_000  # (doc_id, pos) -> one bigint first-occurrence key
+GREEDY_ENC = 10_000_000  # (last_end, n_removed) -> one bigint fold state
+
+
+def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL plan — the operation behind
+    ``duplicate_span_audit``'s histogram (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", public literature):
+    every {SPAN_N}-token window whose hash occurred EARLIER in the
+    corpus (global order = (doc_id, position)) is a duplicate instance;
+    per document, a greedy left-to-right pass removes non-overlapping
+    duplicate windows and reports the surviving token mass.
+
+    Determinism: the "first occurrence" of a span is the minimum of the
+    encoded key ``doc_id * {SCRUB_ENC} + pos`` (positions are 1-based
+    token offsets, bounded far below the encoder base); the greedy pass
+    is a sequential fold over the SORTED duplicate positions with the
+    pair state packed into ONE bigint ``last_end * {GREEDY_ENC} +
+    n_removed`` and a BRANCH-FREE step ``acc += [p >= last_end] ·
+    ((p + {SPAN_N} - last_end) · {GREEDY_ENC} + 1)``. Both the packing
+    and the branch-freedom are deliberate: DuckDB 1.0's ``list_reduce``
+    mis-evaluates lambdas with a conditional pass-through branch
+    (CASE/struct forms both reproduced 2/96 rows wrong in bulk
+    vectorized evaluation while correct on single filtered rows —
+    pinned by ``test_duck_list_reduce_conditional_hazard``), whereas
+    the unconditional-arithmetic fold is the same shape as this repo's
+    everywhere-green char hash. Decode arithmetic stays exact:
+    ``n = acc % {GREEDY_ENC}`` is pure integer, and ``last_end =
+    (acc - n) / {GREEDY_ENC}`` divides two exactly-representable
+    doubles with an integer quotient — exact while documents stay under
+    ~{GREEDY_ENC // SPAN_N:,} tokens (a ~300 MB single document; far
+    past any curated corpus row).
+
+    Scale: span instances are one explode away from the token arrays
+    (positions kept, so no in-row distinct — a doc repeating its own
+    span sees later copies as duplicates too); first-occurrence is ONE
+    window-min shuffle keyed on span hash (uniform 2^31 domain); the
+    greedy fold runs per doc after a groupBy(doc_id) whose value list
+    is the doc's duplicate positions only (∝ duplicated text, not doc
+    length). Nothing is quadratic, nothing collects."""
+    pre = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias("th"),
+    )
+    spans = F.when(
+        F.size("th") >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (SPAN_N - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("th"), i + 1, SPAN_N - 1),
+                F.element_at(F.col("th"), i),
+                lambda acc, x: (acc * 31 + x) % H.P,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    inst = (
+        pre.select("doc_id", F.size("th").alias("n_tokens"), spans.alias("sp"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode("sp").alias("p0", "shash"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            "shash",
+        )
+    )
+    wmin = Window.partitionBy("shash")
+    dups = (
+        inst.withColumn(
+            "first_key",
+            F.min(F.col("doc_id") * SCRUB_ENC + F.col("pos")).over(wmin),
+        )
+        .filter(F.col("doc_id") * SCRUB_ENC + F.col("pos") != F.col("first_key"))
+    )
+    per_doc = dups.groupBy("doc_id").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    def _last_end(acc):
+        # exact: acc - acc % E is a multiple of E <= 2^53, its quotient
+        # by E is an integer double — one exact IEEE division
+        return ((acc - acc % GREEDY_ENC) / GREEDY_ENC).cast("long")
+
+    greedy_n = F.aggregate(
+        F.col("ps"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + (p >= _last_end(acc)).cast("long")
+        * ((p + SPAN_N - _last_end(acc)) * GREEDY_ENC + 1),
+        lambda acc: acc % GREEDY_ENC,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.size("ps").cast("long").alias("n_dup_instances"),
+        greedy_n.alias("n_spans_removed"),
+        (greedy_n * SPAN_N).alias("tokens_removed"),
+        (F.col("n_tokens") - greedy_n * SPAN_N).alias("surviving_tokens"),
+    )
+
+
+QUERIES_R8 = {
+    "duplicate_span_scrub": duplicate_span_scrub,
+}
+
+ORACLE_R8 = {
+    "duplicate_span_scrub": f"""
+        WITH pre AS (
+            SELECT doc_id,
+                   list_transform({_TOKENS}, s -> {_CHASH}) AS th
+            FROM documents
+        ),
+        spl AS (
+            SELECT doc_id, len(th) AS n_tokens,
+                   CASE WHEN len(th) >= {SPAN_N} THEN
+                       list_transform(generate_series(1, len(th) - {SPAN_N - 1}),
+                           i -> {{'pos': CAST(i AS BIGINT),
+                                  'h': list_reduce(th[i:i+{SPAN_N - 1}],
+                                       (acc, x) -> (acc * 31 + x)
+                                                   % 2147483647)}})
+                   ELSE CAST([] AS STRUCT(pos BIGINT, h BIGINT)[]) END AS sp
+            FROM pre
+        ),
+        inst AS (
+            SELECT doc_id, n_tokens, s.pos AS pos, s.h AS shash
+            FROM (SELECT doc_id, n_tokens, unnest(sp) AS s FROM spl)
+        ),
+        dups AS (
+            SELECT doc_id, n_tokens, pos FROM (
+                SELECT doc_id, n_tokens, pos,
+                       doc_id * {SCRUB_ENC} + pos AS k,
+                       min(doc_id * {SCRUB_ENC} + pos)
+                           OVER (PARTITION BY shash) AS first_key
+                FROM inst
+            ) WHERE k <> first_key
+        ),
+        per_doc AS (
+            SELECT doc_id, min(n_tokens) AS n_tokens,
+                   list(pos ORDER BY pos) AS ps
+            FROM dups GROUP BY doc_id
+        ),
+        folded AS (
+            -- greedy state packed as last_end * {GREEDY_ENC} + n, with
+            -- a BRANCH-FREE step: DuckDB 1.0 list_reduce mis-evaluates
+            -- conditional pass-through lambdas in bulk (see the Spark
+            -- docstring); the unconditional-arithmetic fold is the
+            -- same shape as this repo's everywhere-green char hash
+            SELECT doc_id, n_tokens, len(ps) AS n_dup_instances,
+                   list_reduce(
+                        list_prepend(CAST(0 AS BIGINT), ps),
+                        (acc, p) -> acc
+                            + CAST(p >= CAST((acc - acc % {GREEDY_ENC})
+                                   / {GREEDY_ENC} AS BIGINT) AS BIGINT)
+                            * ((p + {SPAN_N}
+                                - CAST((acc - acc % {GREEDY_ENC})
+                                       / {GREEDY_ENC} AS BIGINT))
+                               * {GREEDY_ENC} + 1))
+                   % {GREEDY_ENC} AS nrem
+            FROM per_doc
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_dup_instances AS BIGINT) AS n_dup_instances,
+               nrem AS n_spans_removed,
+               nrem * {SPAN_N} AS tokens_removed,
+               n_tokens - nrem * {SPAN_N} AS surviving_tokens
+        FROM folded
     """,
 }

@@ -1415,3 +1415,71 @@ ORACLE["ivf_pq_adc_topk"] = f"""
         FROM scored
     ) WHERE rk <= {ADC_TOP_K}
 """
+
+
+# --- staged for round 8: ranking-quality eval (MRR) ---------------------
+#
+# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
+# NOT enter the driver registry until the round-8 merge (the round-7
+# registration freeze keeps the driver window on tier-3 re-checks).
+
+
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank audit of the IVF ANN path — the ranking
+    twin of ``similarity_recall_eval``: per query, the brute-force
+    nearest neighbor (rank 1 of ``similarity_topk``, the relevance
+    ground truth) is looked up in the IVF top-{IVF_TOP_K} list; its
+    reciprocal rank in exact ppm (floor(10^6 / rank), 0 on a miss) is
+    the per-query score a serving team averages into MRR.
+
+    Both sides reuse the registered operators verbatim (same
+    tie-breaks), so this composes two already-hash-verified plans with
+    one O(Q) left join — at 100 TB the eval set is a sampled query
+    slice and this audit's own cost is negligible next to either
+    retrieval pass."""
+    truth1 = (
+        similarity_topk(spark, sf_dir)
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("vec_id").alias("rel_vec"))
+    )
+    approx = similarity_ivf_topk(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("rel_vec"), F.col("rk").alias("rank_in_approx")
+    )
+    j = truth1.join(approx, ["q_id", "rel_vec"], "left")
+    return j.select(
+        "q_id",
+        "rel_vec",
+        F.col("rank_in_approx").isNotNull().alias("found"),
+        F.col("rank_in_approx").cast("long").alias("rank_in_approx"),
+        F.coalesce(
+            F.floor(F.lit(1000000.0) / F.col("rank_in_approx")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rr_ppm"),
+    )
+
+
+QUERIES_R8 = {
+    "retrieval_mrr_eval": retrieval_mrr_eval,
+}
+
+ORACLE_R8 = {
+    "retrieval_mrr_eval": f"""
+        WITH truth1 AS (
+            SELECT q_id, vec_id AS rel_vec
+            FROM ({ORACLE["similarity_topk"]}) t
+            WHERE rk = 1
+        ),
+        approx AS (
+            SELECT q_id, vec_id AS rel_vec, rk AS rank_in_approx
+            FROM ({ORACLE["similarity_ivf_topk"]}) a
+        )
+        SELECT t.q_id,
+               t.rel_vec,
+               a.rank_in_approx IS NOT NULL AS found,
+               CAST(a.rank_in_approx AS BIGINT) AS rank_in_approx,
+               coalesce(CAST(floor(1000000.0 / a.rank_in_approx) AS BIGINT),
+                        0) AS rr_ppm
+        FROM truth1 t
+        LEFT JOIN approx a ON a.q_id = t.q_id AND a.rel_vec = t.rel_vec
+    """,
+}

@@ -425,3 +425,78 @@ ORACLE = {
         FROM fps f JOIN clusters c USING (fingerprint)
     """,
 }
+
+
+# --- staged for round 8: hashing-trick vectorization --------------------
+#
+# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
+# NOT enter the driver registry until the round-8 merge (the round-7
+# registration freeze keeps the driver window on tier-3 re-checks).
+
+FH_DIM = 64  # hashed feature dimensionality
+FH_SIGN_FAMILY = 3  # affine family index for the sign hash
+
+
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick ("feature hashing", Weinberger et al. ICML'09 —
+    public literature) bag-of-words vectorization audit: every token
+    OCCURRENCE maps to dimension ``hash % {FH_DIM}`` with a ±1 sign
+    from an independent affine family (the signed variant that makes
+    collisions cancel in expectation), and each document's sparse
+    vector is summarized with exact integer invariants — nnz, L1 mass,
+    squared norm, and a dimension-weighted checksum — so the DuckDB
+    oracle re-derives every byte.
+
+    Scale: one explode + one (doc_id, dim) hash-aggregate (map-side
+    combine collapses each task to ≤ {FH_DIM} rows per doc) + one
+    per-doc rollup — two uniform-key shuffles, no joins, no windows.
+    The feature matrix itself never materializes wider than its sparse
+    (doc, dim, weight) relation, which is how a 100 TB corpus feeds a
+    distributed trainer."""
+    docs = _docs(spark, sf_dir)
+    th = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
+        ).alias("h"),
+    )
+    sgn = (H.affine_col(F.col("h"), FH_SIGN_FAMILY) % 2) * 2 - 1
+    cell = (
+        th.select("doc_id", (F.col("h") % FH_DIM).alias("dim"), sgn.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    return cell.groupBy("doc_id").agg(
+        F.count("*").alias("nnz"),
+        F.sum(F.abs("v")).alias("l1_mass"),
+        F.sum(F.col("v") * F.col("v")).alias("sq_norm"),
+        F.sum((F.col("dim") + 1) * F.col("v")).alias("dim_checksum"),
+    )
+
+
+QUERIES_R8 = {
+    "feature_hash_vectorize": feature_hash_vectorize,
+}
+
+ORACLE_R8 = {
+    "feature_hash_vectorize": f"""
+        WITH th AS (
+            SELECT doc_id,
+                   {H.CHAR_HASH_SQL.format(s="tok")} AS h
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        ),
+        cell AS (
+            SELECT doc_id, h % {FH_DIM} AS dim,
+                   sum(({H.affine_sql('h', FH_SIGN_FAMILY)}) % 2 * 2 - 1) AS v
+            FROM th GROUP BY doc_id, h % {FH_DIM}
+            HAVING sum(({H.affine_sql('h', FH_SIGN_FAMILY)}) % 2 * 2 - 1) <> 0
+        )
+        SELECT doc_id,
+               count(*) AS nnz,
+               CAST(sum(abs(v)) AS BIGINT) AS l1_mass,
+               CAST(sum(v * v) AS BIGINT) AS sq_norm,
+               CAST(sum((dim + 1) * v) AS BIGINT) AS dim_checksum
+        FROM cell GROUP BY doc_id
+    """,
+}

@@ -1012,3 +1012,169 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+
+# --- staged for round 8: linear-interpolation gap fill ------------------
+#
+# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
+# NOT enter the driver registry until the round-8 merge (the round-7
+# registration freeze keeps the driver window on tier-3 re-checks).
+
+
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the ``interpolate()`` twin of
+    ``ts_gapfill_hours``'s LOCF: missing hourly buckets get the value
+    linearly interpolated between the nearest REAL observations on
+    either side (timeseries stores call this locf vs interpolate; both
+    belong in the gap-fill surface).
+
+    Exactness: hourly sums are integer cents (values are <=2dp by the
+    testdata invariant, so round(value*100) is exact); the
+    interpolation ``v_prev + floor((v_next - v_prev)·(t - t_prev) /
+    (t_next - t_prev))`` stays in integers except ONE correctly-rounded
+    IEEE division inside floor() — identical op sequence on both
+    engines (floor, not div/#//, because the two engines' integer
+    division disagree on negative operands). Buckets before the first
+    or after the last real observation stay NULL (no extrapolation).
+
+    Scale: the dense grid is O(hours × types) regardless of fact rows;
+    the neighbor search is TWO window passes (forward last-non-null,
+    backward first-non-null) over the SAME (type, hour) shuffle — no
+    self-joins, no per-gap scans; per-task window state is one row
+    each way."""
+    ev = _events(spark, sf_dir)
+    per_hour = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket_hour"),
+    )
+    dense = grid.join(per_hour, ["event_type", "bucket_hour"], "left")
+    eh = (F.unix_timestamp("bucket_hour") / 3600).cast("long")
+    dense = dense.withColumn("eh", eh)
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_eh = F.when(F.col("cents").isNotNull(), F.col("eh"))
+    neigh = dense.select(
+        "event_type",
+        "bucket_hour",
+        "eh",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "cents",
+        F.last("cents", ignorenulls=True).over(wf).alias("pv"),
+        F.last(real_eh, ignorenulls=True).over(wf).alias("pt"),
+        F.first("cents", ignorenulls=True).over(wb).alias("nv"),
+        F.first(real_eh, ignorenulls=True).over(wb).alias("nt"),
+    )
+    interp = F.col("pv") + F.floor(
+        ((F.col("nv") - F.col("pv")) * (F.col("eh") - F.col("pt"))).cast(
+            "double"
+        )
+        / (F.col("nt") - F.col("pt")).cast("double")
+    ).cast("long")
+    return neigh.select(
+        "event_type",
+        "bucket_hour",
+        "n_events",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_cents"),
+        (
+            F.col("cents").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("interpolated"),
+    )
+
+
+QUERIES_R8 = {
+    "ts_linear_interpolate": ts_linear_interpolate,
+}
+
+ORACLE_R8 = {
+    "ts_linear_interpolate": """
+        WITH per_hour AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.bucket_hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket_hour
+                FROM bounds
+            ) g
+        ),
+        dense AS (
+            SELECT g.event_type, g.bucket_hour,
+                   CAST(epoch(g.bucket_hour) AS BIGINT) // 3600 AS eh,
+                   coalesce(p.n_events, 0) AS n_events,
+                   p.cents AS cents
+            FROM grid g
+            LEFT JOIN per_hour p
+              ON p.event_type = g.event_type
+             AND p.bucket_hour = g.bucket_hour
+        ),
+        neigh AS (
+            SELECT event_type, bucket_hour, eh, n_events, cents,
+                   last_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket_hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pv,
+                   last_value(CASE WHEN cents IS NOT NULL THEN eh END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket_hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pt,
+                   first_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket_hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   first_value(CASE WHEN cents IS NOT NULL THEN eh END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket_hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nt
+            FROM dense
+        )
+        SELECT event_type, bucket_hour,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + CAST(floor(
+                            CAST((nv - pv) * (eh - pt) AS DOUBLE)
+                            / CAST(nt - pt AS DOUBLE)) AS BIGINT)
+                    END AS BIGINT) AS value_cents,
+               (cents IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+                   AS interpolated
+        FROM neigh
+    """,
+}

@@ -30,7 +30,8 @@ def test_all_queries_run_on_empty_tables(spark, sf_dir, tmp_path_factory):
             schema.empty_table(), os.path.join(dst, os.path.basename(f))
         )
     failures = []
-    for name, fn in registry.all_queries().items():
+    everything = {**registry.all_queries(), **registry.staged_queries()}
+    for name, fn in everything.items():
         try:
             fn(spark, dst).count()
         except Exception as e:  # noqa: BLE001 — collect all, report once

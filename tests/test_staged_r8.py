@@ -1,0 +1,381 @@
+"""Round-8 staging area: the operators finished during the round-7
+registration freeze (``registry.staged_queries``) get the SAME oracle
+parity gate as the registered surface, plus pure-Python referees for
+their algorithmic invariants — so the round-8 merge is a dict move, not
+a verification event.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from go_zoom_kinesis_spark import registry
+from go_zoom_kinesis_spark.io import load_table
+from tests.util import assert_matches_oracle, duck_connection
+
+P = 2_147_483_647
+
+STAGED_Q = registry.staged_queries()
+STAGED_O = registry.staged_oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def _py_tokens(text):
+    return [w for w in text.lower().split(" ") if w]
+
+
+def _py_char_hash(s):
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % P
+    return h
+
+
+# --- the same gate the registered surface gets ---------------------------
+
+
+def test_staging_area_is_nonempty_and_fully_oracled():
+    assert STAGED_Q
+    assert sorted(STAGED_O) == sorted(STAGED_Q)
+
+
+def test_staged_names_not_registered():
+    import __spark_entry__ as entrymod
+
+    live = set(entrymod.queries())
+    assert not (set(STAGED_Q) & live)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_Q))
+def test_staged_matches_oracle(spark, sf_dir, duck, name):
+    df = STAGED_Q[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, STAGED_O[name], name)
+
+
+# --- simhash_hamming_join: pigeonhole no-false-negatives -----------------
+
+
+def _py_sim64_bands(ths):
+    from go_zoom_kinesis_spark.operators.dedup import (
+        SIM64_A,
+        SIM64_B,
+        SIM64_BAND_BITS,
+        SIM64_BANDS,
+        SIM64_BITS,
+    )
+
+    votes = [0] * SIM64_BITS
+    for t in ths:
+        for j in range(SIM64_BITS):
+            votes[j] += ((t * SIM64_A[j] + SIM64_B[j]) % P % 2) * 2 - 1
+    bands = []
+    for k in range(SIM64_BANDS):
+        v = 0
+        for r in range(SIM64_BAND_BITS):
+            if votes[k * SIM64_BAND_BITS + r] > 0:
+                v |= 1 << r
+        bands.append(v)
+    return bands
+
+
+def test_simhash_hamming_join_no_false_negatives(spark, sf_dir):
+    """Brute-force referee: every pair at Hamming distance <= 3 in the
+    full 64-bit signature space MUST appear (pigeonhole over the 4
+    bands), and every reported hamming must match the exact XOR
+    popcount."""
+    from go_zoom_kinesis_spark.operators.dedup import (
+        SIM64_HAMMING_MAX,
+        simhash_hamming_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sigs = {}
+    for d in docs:
+        ths = sorted({_py_char_hash(t) for t in _py_tokens(d["text"])})
+        if ths:
+            sigs[d["doc_id"]] = _py_sim64_bands(ths)
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+            )
+            if ham <= SIM64_HAMMING_MAX:
+                expected[(a, b)] = ham
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_join(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "referee corpus produced no near pairs - test is vacuous"
+
+
+# --- duplicate_span_scrub: greedy-removal referee ------------------------
+
+
+def test_duplicate_span_scrub_referee(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.relational4 import (
+        SPAN_N,
+        duplicate_span_scrub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    inst = []  # (shash, doc_id, pos1based)
+    ntok = {}
+    for d in docs:
+        th = [_py_char_hash(t) for t in _py_tokens(d["text"])]
+        ntok[d["doc_id"]] = len(th)
+        for i in range(len(th) - SPAN_N + 1):
+            h = th[i]
+            for x in th[i + 1 : i + SPAN_N]:
+                h = (h * 31 + x) % P
+            inst.append((h, d["doc_id"], i + 1))
+    first = {}
+    for h, doc, pos in inst:
+        k = doc * 1_000_000_000 + pos
+        if h not in first or k < first[h]:
+            first[h] = k
+    dups = {}
+    for h, doc, pos in inst:
+        if doc * 1_000_000_000 + pos != first[h]:
+            dups.setdefault(doc, []).append(pos)
+    expected = {}
+    for doc, ps in dups.items():
+        last_end, n = 0, 0
+        for p in sorted(ps):
+            if p >= last_end:
+                last_end, n = p + SPAN_N, n + 1
+        expected[doc] = (ntok[doc], len(ps), n, n * SPAN_N, ntok[doc] - n * SPAN_N)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_instances"],
+            r["n_spans_removed"],
+            r["tokens_removed"],
+            r["surviving_tokens"],
+        )
+        for r in duplicate_span_scrub(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "referee corpus has no duplicate spans - test is vacuous"
+
+
+# --- retrieval_mrr_eval: composition law ---------------------------------
+
+
+def test_retrieval_mrr_composition(spark, sf_dir):
+    """found/rank/rr must agree with the two registered operators the
+    audit composes: rank = position of the brute-force top-1 in the IVF
+    list, rr_ppm = floor(1e6/rank) (0 on a miss)."""
+    from go_zoom_kinesis_spark.operators.similarity import (
+        retrieval_mrr_eval,
+        similarity_ivf_topk,
+        similarity_topk,
+    )
+
+    truth1 = {
+        r["q_id"]: r["vec_id"]
+        for r in similarity_topk(spark, sf_dir).collect()
+        if r["rk"] == 1
+    }
+    ivf = {}
+    for r in similarity_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r["q_id"], {})[r["vec_id"]] = r["rk"]
+    rows = retrieval_mrr_eval(spark, sf_dir).collect()
+    assert {r["q_id"] for r in rows} == set(truth1)
+    for r in rows:
+        rel = truth1[r["q_id"]]
+        assert r["rel_vec"] == rel
+        rank = ivf.get(r["q_id"], {}).get(rel)
+        assert r["found"] == (rank is not None)
+        assert r["rank_in_approx"] == rank
+        assert r["rr_ppm"] == (math.floor(1_000_000.0 / rank) if rank else 0)
+
+
+# --- feature_hash_vectorize: python vectorizer referee -------------------
+
+
+def test_feature_hash_referee(spark, sf_dir):
+    from go_zoom_kinesis_spark.functions import hashes as H
+    from go_zoom_kinesis_spark.operators.text import (
+        FH_DIM,
+        FH_SIGN_FAMILY,
+        feature_hash_vectorize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for d in docs:
+        vec = Counter()
+        for t in _py_tokens(d["text"]):
+            h = _py_char_hash(t)
+            s = ((h * H.A[FH_SIGN_FAMILY] + H.B[FH_SIGN_FAMILY]) % P % 2) * 2 - 1
+            vec[h % FH_DIM] += s
+        vec = {k: v for k, v in vec.items() if v != 0}
+        if vec:
+            expected[d["doc_id"]] = (
+                len(vec),
+                sum(abs(v) for v in vec.values()),
+                sum(v * v for v in vec.values()),
+                sum((k + 1) * v for k, v in vec.items()),
+            )
+    got = {
+        r["doc_id"]: (r["nnz"], r["l1_mass"], r["sq_norm"], r["dim_checksum"])
+        for r in feature_hash_vectorize(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# --- negative_sampling_unigram: python table referee ---------------------
+
+
+def test_negative_sampling_referee(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.chunking import (
+        NS_FP,
+        NS_VOCAB,
+        negative_sampling_unigram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter()
+    for d in docs:
+        counts.update(_py_tokens(d["text"]))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:NS_VOCAB]
+    weighted = [
+        (t, c, math.floor(float(NS_FP) * c / math.sqrt(math.sqrt(c))))
+        for t, c in top
+    ]
+    total = sum(w for _, _, w in weighted)
+    expected, cum = [], 0
+    for t, c, w in weighted:
+        cum += w
+        expected.append((t, c, w, (w * NS_FP) // total, (cum * NS_FP) // total))
+    rows = negative_sampling_unigram(spark, sf_dir).collect()
+    got = sorted(
+        ((r["token"], r["c"], r["w"], r["prob_ppm"], r["cum_ppm"]) for r in rows),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == expected
+    # the table is a valid sampler: cumulative ends exactly at 1.0
+    assert got[-1][4] == NS_FP
+
+
+# --- ts_linear_interpolate: python interpolation referee -----------------
+
+
+def test_ts_linear_interpolate_referee(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.timeseries import ts_linear_interpolate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    hourly = {}
+    for r in ev:
+        eh = int(r["ts"].timestamp()) // 3600
+        key = (r["event_type"], eh)
+        n, c = hourly.get(key, (0, 0))
+        hourly[key] = (n + 1, c + int(round(r["value"] * 100)))
+    lo = min(eh for _, eh in hourly)
+    hi = max(eh for _, eh in hourly)
+    types = {t for t, _ in hourly}
+    expected = {}
+    for t in types:
+        series = {eh: hourly.get((t, eh)) for eh in range(lo, hi + 1)}
+        real = sorted(eh for eh, v in series.items() if v)
+        for eh in range(lo, hi + 1):
+            v = series[eh]
+            if v:
+                expected[(t, eh)] = (v[0], v[1], False)
+                continue
+            prevs = [x for x in real if x < eh]
+            nexts = [x for x in real if x > eh]
+            if prevs and nexts:
+                pt, nt = prevs[-1], nexts[0]
+                pv, nv = series[pt][1], series[nt][1]
+                iv = pv + math.floor(
+                    float((nv - pv) * (eh - pt)) / float(nt - pt)
+                )
+                expected[(t, eh)] = (0, iv, True)
+            else:
+                expected[(t, eh)] = (0, None, False)
+    got = {}
+    for r in ts_linear_interpolate(spark, sf_dir).collect():
+        eh = int(r["bucket_hour"].timestamp()) // 3600
+        got[(r["event_type"], eh)] = (
+            r["n_events"],
+            r["value_cents"],
+            r["interpolated"],
+        )
+    assert got == expected
+    assert any(v[2] for v in expected.values()), "no gaps - test is vacuous"
+
+
+# --- DuckDB list_reduce conditional-lambda hazard ------------------------
+
+
+def test_duck_list_reduce_conditional_hazard():
+    """The greedy fold in duplicate_span_scrub's oracle must stay
+    BRANCH-FREE: DuckDB 1.0's list_reduce mis-evaluates lambdas with a
+    conditional pass-through branch (CASE WHEN ... ELSE acc) under bulk
+    vectorization — observed 2/96 rows wrong on the fuzz corpus while
+    the same fold on a single filtered row is correct. This test (a)
+    guards the shipped oracle text against a CASE creeping back into
+    the fold, and (b) stress-verifies the branch-free fold against a
+    sequential Python replay on 5k variable-length lists."""
+    import random
+
+    import duckdb
+
+    from go_zoom_kinesis_spark.operators.relational4 import (
+        GREEDY_ENC,
+        ORACLE_R8,
+        SPAN_N,
+    )
+
+    sql = ORACLE_R8["duplicate_span_scrub"]
+    fold = sql[sql.index("folded AS") : sql.index("nrem")]
+    assert "CASE" not in fold, "greedy fold must stay branch-free (see docstring)"
+
+    con = duckdb.connect()
+    rng = random.Random(11)
+    rows = []
+    for i in range(5000):
+        n = rng.randint(0, 30)
+        rows.append((i, sorted(rng.sample(range(1, 200), n))))
+    con.execute("CREATE TABLE t (i BIGINT, ps BIGINT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = dict(
+        con.execute(
+            f"""
+        SELECT i, list_reduce(
+            list_prepend(CAST(0 AS BIGINT), ps),
+            (acc, p) -> acc
+                + CAST(p >= CAST((acc - acc % {GREEDY_ENC})
+                       / {GREEDY_ENC} AS BIGINT) AS BIGINT)
+                * ((p + {SPAN_N}
+                    - CAST((acc - acc % {GREEDY_ENC})
+                           / {GREEDY_ENC} AS BIGINT))
+                   * {GREEDY_ENC} + 1)) % {GREEDY_ENC}
+        FROM t WHERE len(ps) > 0
+        """
+        ).fetchall()
+    )
+    for i, ps in rows:
+        if not ps:
+            continue
+        last, n = 0, 0
+        for p in ps:
+            if p >= last:
+                last, n = p + SPAN_N, n + 1
+        assert got[i] == n, f"row {i}: duck {got[i]} != py {n}"
+    con.close()

@@ -175,6 +175,12 @@ def main() -> None:
         help="non-ASCII document vocabulary; byte-level multimodal "
         "queries are excluded (their oracles are ASCII-contracted)",
     )
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="fuzz the round-8 staging area (registry.staged_queries) "
+        "instead of the registered surface",
+    )
     args = ap.parse_args()
 
     if args.unicode:
@@ -199,9 +205,11 @@ def main() -> None:
             "--sf",
             work,
         ]
+        if args.staged:
+            cmd += ["--staged"]
         if args.only:
             cmd += ["--only", args.only]
-        elif args.unicode:
+        elif args.unicode and not args.staged:
             sys.path.insert(0, REPO)
             import __spark_entry__ as entry
 

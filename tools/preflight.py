@@ -100,6 +100,12 @@ def main():
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="check the round-8 staging area (registry.staged_queries) "
+        "instead of the registered surface",
+    )
     args = ap.parse_args()
 
     global SF_DIR
@@ -108,8 +114,14 @@ def main():
     import __spark_entry__ as entry
     from go_zoom_kinesis_spark.io import TABLES
 
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    if args.staged:
+        from go_zoom_kinesis_spark import registry
+
+        queries = registry.staged_queries()
+        oracles = registry.staged_oracle_sql()
+    else:
+        queries = entry.queries()
+        oracles = entry.oracle_sql()
     names = sorted(queries)
     if args.only:
         wanted = args.only.split(",")

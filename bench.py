@@ -164,6 +164,25 @@ HEADLINE_R6 = [
 ]
 
 
+HEADLINE_R7 = [
+    "embedding_pca_top",
+    "decontaminate_semantic_lsh",
+    "sample_neyman_allocation",
+]
+
+# round-8 staging area (registry.staged_queries): benched as -1.0 until
+# the r8 merge moves them into the registered surface
+HEADLINE_R8 = [
+    "simhash_hamming_join",
+    "duplicate_span_scrub",
+    "retrieval_mrr_eval",
+    "feature_hash_vectorize",
+    "negative_sampling_unigram",
+    "ts_linear_interpolate",
+    "bpe_train_merges",
+]
+
+
 def _round_no(repo: str) -> int:
     """Next round number: driver artifacts BENCH_r{N}.json exist for
     completed rounds, so the in-flight round is max+1."""
@@ -194,7 +213,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     total_baseline_set = 0.0
-    for name in HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
+    for name in (
+        HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
+        + HEADLINE_R7 + HEADLINE_R8
+    ):
         fn = queries.get(name)
         if fn is None:
             timings[name] = -1.0

@@ -346,3 +346,270 @@ ORACLE_R8 = {
         FROM weighted CROSS JOIN tot
     """,
 }
+
+
+# --- staged for round 8: iterative BPE merge training -------------------
+
+N_BPE_MERGES = 6
+BPE_L = "\x02"  # symbol-open sentinel (contract: never appears in tokens,
+BPE_R = "\x03"  # like the multimodal ASCII guard — control chars are not
+#                 vocabulary; both fuzz modes generate word-list corpora)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE TRAINING loop (Sennrich et al. ACL'16, public
+    literature) — ``bpe_pair_stats`` counts one round of pairs; this
+    runs {N_BPE_MERGES} full merge iterations and emits the learned
+    merge table (step, left, right, merged, weighted pair count), i.e.
+    the artifact a tokenizer trainer persists.
+
+    Distribution shape (the 100 TB story): the ONLY corpus-scale work
+    is the initial token-frequency aggregate — classic BPE trains on
+    the word-TYPE table (|vocabulary| rows, count-weighted), so every
+    iteration is (a) a narrow per-row pair explode + one
+    vocabulary-bounded aggregate, (b) a TakeOrdered top-1, (c) ONE
+    driver-collected row (the chosen pair — the same O(1)-scalar loop
+    discipline as ``dedup_components``), and (d) a narrow literal
+    string replace applying the merge. Nothing per-document ever
+    re-runs.
+
+    Merge application is engine-portable by construction: a word's
+    symbol sequence is stored as ``\\x02sym\\x03`` units, so the merge
+    of (a, b) is ONE literal ``replace(seq, m(a)||m(b), m(ab))`` —
+    left-to-right non-overlapping replacement IS greedy BPE merging,
+    adjacent matches share no characters (the sentinel wrapping exists
+    exactly for this; a bare space-joined form fails on consecutive
+    pairs because the shared delimiter is consumed), and substring
+    false-matches are impossible because every symbol is bracketed.
+    No regex lookbehind (DuckDB's RE2 has none), no struct-accumulator
+    folds (DuckDB 1.0's list_reduce hazard, see duplicate_span_scrub).
+    Ties break (count DESC, left ASC, right ASC); counts are exact
+    integers, so the merge sequence is bit-identical cross-engine."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(H.tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    wrap = F.concat_ws(
+        "",
+        F.transform(
+            F.split("w", ""),
+            lambda ch: F.concat(F.lit(BPE_L), ch, F.lit(BPE_R)),
+        ),
+    )
+    words = wc.select(wrap.alias("seq"), "c").cache()
+    rows = []
+    for step in range(1, N_BPE_MERGES + 1):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), BPE_R + BPE_L
+        )
+        pairs = (
+            words.select("c", syms.alias("s"))
+            .select(
+                "c",
+                F.explode(
+                    # sequence(1, k) with k < 1 counts DOWN in Spark —
+                    # guard single-symbol words (same rule as shingles_col)
+                    F.expr(
+                        "CASE WHEN size(s) >= 2 THEN "
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS l, "
+                        "element_at(s, i + 1) AS r)) "
+                        "ELSE CAST(array() AS "
+                        "array<struct<l: string, r: string>>) END"
+                    )
+                ).alias("p"),
+            )
+            .select("c", "p.l", "p.r")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("c").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, pc = top[0]["l"], top[0]["r"], top[0]["pc"]
+        rows.append((step, l, r, l + r, pc))
+        words = words.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(BPE_L + l + BPE_R + BPE_L + r + BPE_R),
+                F.lit(BPE_L + l + r + BPE_R),
+            ).alias("seq"),
+            "c",
+        )
+    schema = (
+        "step int, left_sym string, right_sym string, "
+        "merged_sym string, pair_count long"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+QUERIES_R8["bpe_train_merges"] = bpe_train_merges
+
+
+def _bpe_ctes() -> str:
+    """Shared CTE chain for the BPE oracles: the word-type table, the
+    sentinel-wrapped sequences, and per step k the pair counts (p{{k}}),
+    the chosen pair (b{{k}}), and the merged dictionary (w{{k}} — the
+    word string ``w`` is carried through so the APPLY oracle can join
+    counts back)."""
+    toks = H.TOKENS_SQL.format(text="text")
+    ctes = [
+        f"wc AS (SELECT w, count(*) AS c FROM "
+        f"(SELECT unnest({toks}) AS w FROM documents) GROUP BY w)",
+        "w0 AS (SELECT w, array_to_string(list_transform(split(w, ''), "
+        "ch -> chr(2) || ch || chr(3)), '') AS seq, c FROM wc)",
+    ]
+    for k in range(1, N_BPE_MERGES + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+            SELECT l, r, sum(c) AS pc FROM (
+                SELECT c, s.l AS l, s.r AS r FROM (
+                    SELECT c, unnest(list_transform(
+                        generate_series(1, len(sy) - 1),
+                        i -> {{'l': sy[i], 'r': sy[i+1]}})) AS s
+                    FROM (SELECT c, split(substring(seq, 2,
+                               length(seq) - 2), chr(3) || chr(2)) AS sy
+                          FROM {prev})
+                )
+            ) GROUP BY l, r
+        )"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT l, r, pc FROM p{k} "
+            f"ORDER BY pc DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{k} AS (
+            SELECT w, replace(seq,
+                (SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3)
+                 FROM b{k}),
+                (SELECT chr(2) || l || r || chr(3) FROM b{k})) AS seq, c
+            FROM {prev}
+        )"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_train_oracle_sql() -> str:
+    selects = [
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged_sym, CAST(pc AS BIGINT) AS pair_count "
+        f"FROM b{k}"
+        for k in range(1, N_BPE_MERGES + 1)
+    ]
+    return _bpe_ctes() + "\n" + " UNION ALL ".join(selects)
+
+
+ORACLE_R8["bpe_train_merges"] = _bpe_train_oracle_sql()
+
+
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus and report
+    per-language compression — the evaluation a tokenizer team runs
+    before adopting a merge list (chars per symbol is the
+    bytes-per-token proxy).
+
+    Scale shape: merges are re-derived by the ``bpe_train_merges`` loop
+    (driver receives {N_BPE_MERGES} rows); the merge APPLICATION runs
+    on the distinct word-TYPE dictionary only — {N_BPE_MERGES} chained
+    narrow literal replaces over |vocabulary| rows — and per-language
+    totals come from ONE (lang, word) aggregate joined against that
+    dictionary. The corpus is scanned exactly twice (once for training
+    counts, once for the (lang, word) table); no per-document merge
+    work exists at any scale.
+
+    Symbol counting is engine-trivial: each symbol is wrapped
+    ``\\x02…\\x03``, so ``n_symbols = len(seq) - len(replace(seq,
+    \\x02, ''))`` — an integer both engines compute identically.
+    Compression is exact integer ppm: symbols·10^6 div chars."""
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    docs = _docs(spark, sf_dir)
+    lw = (
+        docs.select(
+            "lang", F.explode(H.tokens_col(F.col("text"))).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wrap = F.concat_ws(
+        "",
+        F.transform(
+            F.split("w", ""),
+            lambda ch: F.concat(F.lit(BPE_L), ch, F.lit(BPE_R)),
+        ),
+    )
+    dic = lw.select("w").distinct().select("w", wrap.alias("seq"))
+    for l, r in merges:
+        dic = dic.select(
+            "w",
+            F.replace(
+                F.col("seq"),
+                F.lit(BPE_L + l + BPE_R + BPE_L + r + BPE_R),
+                F.lit(BPE_L + l + r + BPE_R),
+            ).alias("seq"),
+        )
+    nsym = (
+        F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(BPE_L)))
+    ).cast("long")
+    joined = lw.join(dic, "w").select(
+        "lang",
+        "c",
+        F.length("w").cast("long").alias("wlen"),
+        nsym.alias("nsym"),
+    )
+    agg = joined.groupBy("lang").agg(
+        F.count("*").alias("n_word_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("wlen")).alias("n_chars"),
+        F.sum(F.col("c") * F.col("nsym")).alias("n_symbols"),
+    )
+    return agg.select(
+        "lang",
+        "n_word_types",
+        "n_tokens",
+        "n_chars",
+        "n_symbols",
+        F.expr("(n_symbols * 1000000) div n_chars").alias("symbols_per_char_ppm"),
+    )
+
+
+QUERIES_R8["tokenizer_apply_bpe"] = tokenizer_apply_bpe
+
+ORACLE_R8["tokenizer_apply_bpe"] = (
+    _bpe_ctes()
+    + f""",
+    lw AS (
+        SELECT lang, w, count(*) AS c FROM (
+            SELECT lang, unnest({H.TOKENS_SQL.format(text="text")}) AS w
+            FROM documents
+        ) GROUP BY lang, w
+    ),
+    dic AS (
+        SELECT w, length(seq) - length(replace(seq, chr(2), '')) AS nsym
+        FROM w{N_BPE_MERGES}
+    ),
+    joined AS (
+        SELECT lang, c, length(w) AS wlen, nsym
+        FROM lw JOIN dic USING (w)
+    )
+    SELECT lang,
+           count(*) AS n_word_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * wlen) AS BIGINT) AS n_chars,
+           CAST(sum(c * nsym) AS BIGINT) AS n_symbols,
+           CAST((CAST(sum(c * nsym) AS BIGINT) * 1000000)
+                // CAST(sum(c * wlen) AS BIGINT) AS BIGINT)
+               AS symbols_per_char_ppm
+    FROM joined GROUP BY lang
+"""
+)

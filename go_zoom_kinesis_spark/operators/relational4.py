@@ -955,19 +955,20 @@ def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    inst = (
-        pre.select("doc_id", F.size("th").alias("n_tokens"), spans.alias("sp"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.posexplode("sp").alias("p0", "shash"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("p0") + 1).cast("long").alias("pos"),
-            "shash",
-        )
+    # posexplode DIRECTLY from the projection that materializes th: an
+    # intermediate select(spans.alias(...)) lets CollapseProject inline
+    # the token-hash transform into every span window (re-hashing all
+    # tokens per span — measured 90× slower at sf1; the same no-CSE
+    # hazard duplicate_span_audit's docstring pins)
+    inst = pre.select(
+        "doc_id",
+        F.size("th").alias("n_tokens"),
+        F.posexplode(spans).alias("p0", "shash"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        "shash",
     )
     wmin = Window.partitionBy("shash")
     dups = (

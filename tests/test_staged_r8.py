@@ -379,3 +379,172 @@ def test_duck_list_reduce_conditional_hazard():
                 last, n = p + SPAN_N, n + 1
         assert got[i] == n, f"row {i}: duck {got[i]} != py {n}"
     con.close()
+
+
+# --- plan pins: the staged operators must ship 100 TB-shaped plans -------
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        STAGED_Q[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_staged_plans_no_cartesian(spark, sf_dir):
+    for name in sorted(STAGED_Q):
+        assert "CartesianProduct" not in _plan(spark, sf_dir, name), name
+
+
+def test_span_scrub_plan_joinless(spark, sf_dir):
+    """duplicate_span_scrub's contract: first-occurrence is a window
+    min, NOT a join — the whole plan carries zero join operators and
+    exactly two exchanges (span-hash window + per-doc rollup)."""
+    plan = _plan(spark, sf_dir, "duplicate_span_scrub")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_feature_hash_plan_joinless_partial_agg(spark, sf_dir):
+    """feature_hash_vectorize: two uniform-key hash aggregates, each
+    with a map-side partial (4 HashAggregate nodes), no joins."""
+    plan = _plan(spark, sf_dir, "feature_hash_vectorize")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 4
+    assert plan.count("Exchange") == 2
+
+
+def test_negative_sampling_plan_topk_not_global_sort(spark, sf_dir):
+    """The corpus-scale top-N must compile to TakeOrderedAndProject
+    (partial top-k per task), never a global Sort of the vocabulary."""
+    plan = _plan(spark, sf_dir, "negative_sampling_unigram")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_hamming_band_join_is_equi(spark, sf_dir):
+    """The candidate join must be hash-equi on the band key (broadcast
+    at test scale, shuffle-hash/sort-merge at 100 TB) — never a
+    nested-loop over doc pairs."""
+    plan = _plan(spark, sf_dir, "simhash_hamming_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- bpe_train_merges: pure-python BPE trainer referee -------------------
+
+
+def test_bpe_train_merges_referee(spark, sf_dir):
+    """Replay Sennrich-style BPE in plain Python (word-type table,
+    greedy left-to-right pair merging, (count DESC, pair ASC) choice)
+    and require the identical merge sequence."""
+    from go_zoom_kinesis_spark.operators.chunking import (
+        N_BPE_MERGES,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    wc = Counter()
+    for d in docs:
+        wc.update(_py_tokens(d["text"]))
+    words = {tuple(w): c for w, c in wc.items()}  # symbol tuple -> count
+
+    def merge_word(syms, a, b, m):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    for step in range(1, N_BPE_MERGES + 1):
+        pc = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, a + b, n))
+        merged = Counter()
+        for syms, c in words.items():
+            merged[merge_word(syms, a, b, a + b)] += c
+        words = dict(merged)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == expected
+    assert len(expected) == N_BPE_MERGES
+
+
+def test_tokenizer_apply_bpe_referee(spark, sf_dir):
+    """Replay merge application in Python: train merges (same replay as
+    the trainer referee), apply greedily to every word type, aggregate
+    per language — totals and the integer ppm must match exactly."""
+    from go_zoom_kinesis_spark.operators.chunking import (
+        N_BPE_MERGES,
+        tokenizer_apply_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    wc = Counter()
+    lw = Counter()
+    for d in docs:
+        for w in _py_tokens(d["text"]):
+            wc[w] += 1
+            lw[(d["lang"], w)] += 1
+    words = {tuple(w): c for w, c in wc.items()}
+
+    def merge_word(syms, a, b, m):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    merges = []
+    for _ in range(N_BPE_MERGES):
+        pc = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        merged = Counter()
+        for syms, c in words.items():
+            merged[merge_word(syms, a, b, a + b)] += c
+        words = dict(merged)
+
+    final = {}
+    for w in wc:
+        syms = tuple(w)
+        for a, b in merges:
+            syms = merge_word(syms, a, b, a + b)
+        final[w] = len(syms)
+    expected = {}
+    for (lang, w), c in lw.items():
+        t = expected.setdefault(lang, [0, 0, 0, 0])
+        t[0] += 1
+        t[1] += c
+        t[2] += c * len(w)
+        t[3] += c * final[w]
+    got = {}
+    for r in tokenizer_apply_bpe(spark, sf_dir).collect():
+        lang = r["lang"]
+        e = expected[lang]
+        assert (r["n_word_types"], r["n_tokens"], r["n_chars"], r["n_symbols"]) == tuple(e)
+        assert r["symbols_per_char_ppm"] == e[3] * 1_000_000 // e[2]
+        got[lang] = True
+    assert set(got) == set(expected)

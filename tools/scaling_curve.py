@@ -73,15 +73,28 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from bench import HEADLINE, HEADLINE_R4, HEADLINE_R5, HEADLINE_R6
+    from bench import (
+        HEADLINE,
+        HEADLINE_R4,
+        HEADLINE_R5,
+        HEADLINE_R6,
+        HEADLINE_R7,
+        HEADLINE_R8,
+    )
     from go_zoom_kinesis_spark import registry
     from go_zoom_kinesis_spark.session import get_spark
 
     spark = get_spark(app_name="gzk-scaling")
     spark.range(1).count()
-    queries = registry.all_queries()
+    # the round-8 staging area measures with the same protocol
+    queries = {**registry.all_queries(), **registry.staged_queries()}
     names = (
-        args.only.split(",") if args.only else list(HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6)
+        args.only.split(",")
+        if args.only
+        else list(
+            HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
+            + HEADLINE_R7 + HEADLINE_R8
+        )
     )
 
     sf_dirs = dict(SF_DIRS)

@@ -180,6 +180,10 @@ HEADLINE_R8 = [
     "negative_sampling_unigram",
     "ts_linear_interpolate",
     "bpe_train_merges",
+    "tokenizer_apply_bpe",
+    "winnow_fingerprint_overlap",
+    "dedup_incremental_lsh",
+    "domain_frequency_cap",
 ]
 
 

@@ -1087,3 +1087,103 @@ ORACLE_R8 = {
         WHERE hamming <= {SIM64_HAMMING_MAX}
     """,
 }
+
+
+# --- staged for round 8: incremental dedup (new batch vs corpus) ---------
+
+INCR_MOD = 5  # deterministic batch split: doc_id % MOD == SLOT is the
+INCR_SLOT = 3  # "incoming" crawl batch; the rest is the standing corpus
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening — the production shape of
+    MinHash-LSH dedup: a NEW crawl batch is checked against the
+    STANDING corpus (never corpus × corpus), and each incoming doc
+    reports how many existing near-dups it has, its canonical match,
+    and the best Jaccard. The batch here is the deterministic slice
+    ``doc_id % {INCR_MOD} == {INCR_SLOT}`` so the oracle can replay it;
+    in production the split is arrival time.
+
+    Scale (the point of the operator): band buckets make the check
+    incremental — candidates are incoming×existing WITHIN a bucket, so
+    cost is ∝ |batch| × bucket collision rate, independent of corpus²,
+    and the standing corpus's signatures would be computed once and
+    stored (here both sides recompute because the benchmark is
+    stateless — the signature pass is the same zero-shuffle
+    ``array_min(transform(...))`` scan either way). The verify join
+    ships shingle arrays only for docs in candidate pairs
+    (``_pair_jaccard``'s semi-join reduction). Same bands, same
+    threshold, same flood caps as ``dedup_minhash_lsh``."""
+    docs = _docs(spark, sf_dir)
+    arrs = _shingle_arrays(docs).cache()
+
+    def _affine(i: int):
+        return lambda h: H.affine_col(h, i)
+
+    sig = arrs.filter(F.size("hs") > 0).select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _affine(i))).alias(f"mh{i}")
+            for i in range(H.NUM_HASHES)
+        ],
+    )
+    band_exprs = []
+    for b in range(H.NUM_BANDS):
+        cols = ",".join(
+            f"mh{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)
+        )
+        band_exprs.append(f"{b}, concat_ws('-', {cols})")
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({H.NUM_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)",
+    )
+    incoming = bands.filter(
+        F.col("doc_id") % INCR_MOD == INCR_SLOT
+    ).select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    existing = bands.filter(
+        F.col("doc_id") % INCR_MOD != INCR_SLOT
+    ).select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        incoming.join(existing, ["band_idx", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = _pair_jaccard(cand, arrs).filter(
+        F.col("jaccard_raw") >= JACCARD_THRESHOLD
+    )
+    return jac.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("doc_b").alias("match_id"),
+        F.max(F.round("jaccard_raw", 6)).alias("best_jaccard"),
+    )
+
+
+QUERIES_R8["dedup_incremental_lsh"] = dedup_incremental_lsh
+
+ORACLE_R8["dedup_incremental_lsh"] = f"""
+    {_SH_CTES},
+    sig AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM shd WHERE len(hs) > 0
+    ),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id % {INCR_MOD} = {INCR_SLOT}
+          AND b.doc_id % {INCR_MOD} <> {INCR_SLOT}
+    ),
+    ver AS (
+        SELECT doc_a, doc_b, {_JACCARD_SQL} AS j
+        FROM cand
+        JOIN shd x ON x.doc_id = doc_a
+        JOIN shd y ON y.doc_id = doc_b
+    )
+    SELECT doc_a AS doc_id,
+           count(*) AS n_matches,
+           min(doc_b) AS match_id,
+           max(round(j, 6)) AS best_jaccard
+    FROM ver WHERE j >= {JACCARD_THRESHOLD}
+    GROUP BY doc_a
+"""

@@ -512,3 +512,86 @@ ORACLE["sample_neyman_allocation"] = f"""
                             THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
     FROM base, l
 """
+
+
+# --- staged for round 8: domain frequency capping ------------------------
+
+DOMAIN_CAP = 15  # max documents kept per source domain
+
+
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (the CCNet / RefinedWeb crawl-
+    hygiene step, public literature): keep at most {DOMAIN_CAP}
+    documents per ``source``, preferring longer documents (n_chars
+    DESC), and report the per-domain kept/dropped budget — the audit a
+    crawl team reads before a heavy domain floods the training mix.
+
+    Scale shape: NOT a per-domain row_number window — ranking a hot
+    domain's rows in one task is exactly the skew this operator exists
+    to police. Instead the two-phase prefix-sum pattern
+    (``stratified_split_assign``): rows collapse to (source, n_chars)
+    value buckets first (one map-side-combining aggregate), the
+    cumulative count runs over per-source DISTINCT VALUE buckets
+    (bounded by the char-length domain, never by rows), and the kept
+    mass from the boundary bucket is ``CAP - count_above`` — exact
+    because every doc in a bucket has the same n_chars, so WHICH
+    tie-break wins cannot change any reported sum. One shuffle to the
+    bucket aggregate, one value-domain window, K-row output.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    buckets = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"))
+    cum = buckets.withColumn(
+        "above", F.sum("cnt").over(w) - F.col("cnt")
+    )
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cnt"), F.lit(DOMAIN_CAP) - F.col("above")),
+    )
+    per_bucket = cum.select(
+        "source",
+        "n_chars",
+        "cnt",
+        kept.alias("kept"),
+    )
+    return per_bucket.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.sum("cnt") - F.sum("kept")).cast("long").alias("n_dropped"),
+        F.sum(F.col("cnt") * F.col("n_chars")).cast("long").alias("total_chars"),
+        F.sum(F.col("kept") * F.col("n_chars")).cast("long").alias("kept_chars"),
+    )
+
+
+QUERIES_R8 = {
+    "domain_frequency_cap": domain_frequency_cap,
+}
+
+# oracle: the naive per-domain rank formulation — any tie-break among
+# equal n_chars keeps the same counts and char sums, so row_number's
+# arbitrary order within ties cannot diverge from the bucket math
+ORACLE_R8 = {
+    "domain_frequency_cap": f"""
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC)
+                       AS rk
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rk > {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars
+                             ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY source
+    """,
+}

@@ -500,3 +500,126 @@ ORACLE_R8 = {
         FROM cell GROUP BY doc_id
     """,
 }
+
+
+# --- staged for round 8: winnowing fingerprint overlap ------------------
+
+WINNOW_K = 4  # k-gram length (tokens) per fingerprint hash
+WINNOW_W = 4  # winnowing window: guarantee a print in every W k-grams
+WINNOW_MAX_DF = 100  # flood cap: drop prints shared by > this many docs
+WINNOW_MIN_SHARED = 2  # report pairs sharing >= this many prints
+
+
+def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
+    the MOSS algorithm, public literature): hash every {WINNOW_K}-token
+    k-gram, then keep the MINIMUM hash of each {WINNOW_W}-window of
+    consecutive k-grams — the selected set is a position-robust
+    document sketch with a guaranteed detection density (any shared run
+    of {WINNOW_K}+{WINNOW_W}-1 tokens contributes at least one common
+    print). Pairs of documents sharing >= {WINNOW_MIN_SHARED} prints
+    are reported with their overlap count — the partial-overlap
+    detector that whole-document fingerprints (``text_fingerprint``)
+    and span-level df histograms (``duplicate_span_audit``) both miss.
+
+    Scale: per-doc work is three narrow HOF stages (token hashes ->
+    k-gram Horner folds -> window minima), each materialized as its own
+    array column so no stage re-evaluates inside another's lambda (the
+    no-CSE discipline ``duplicate_span_scrub`` pins). The cross-doc
+    stage is an inverted-index bucket join capped by {WINNOW_MAX_DF}
+    (the ``MAX_DOC_FREQ`` flood rule from ``dedup.py``) — candidates
+    are ∝ sum(df²) over capped prints, never corpus², and the pair
+    aggregate map-side-combines. Winnowing's own guarantee does the
+    rest: selected prints are ~2/(W+1) of all k-grams, so the shuffled
+    posting relation is a constant fraction of the token stream."""
+    docs = _docs(spark, sf_dir)
+    pre = docs.select(
+        "doc_id",
+        F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias(
+            "th"
+        ),
+    )
+    kgrams = F.when(
+        F.size("th") >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (WINNOW_K - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("th"), i + 1, WINNOW_K - 1),
+                F.element_at(F.col("th"), i),
+                lambda acc, x: (acc * 31 + x) % H.P,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    kg = pre.select("doc_id", kgrams.alias("kh"))
+    prints = F.array_distinct(
+        F.when(
+            F.size("kh") >= WINNOW_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size("kh") - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("kh"), j, WINNOW_W)),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    inst = kg.select("doc_id", F.explode(prints).alias("fp"))
+    good = (
+        inst.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= 2) & (F.col("df") <= WINNOW_MAX_DF)
+        )
+        .select("fp")
+    )
+    posting = inst.join(good, "fp")
+    a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+QUERIES_R8["winnow_fingerprint_overlap"] = winnow_fingerprint_overlap
+
+ORACLE_R8["winnow_fingerprint_overlap"] = f"""
+    WITH pre AS (
+        SELECT doc_id,
+               list_transform({_TOKS}, s -> {H.CHAR_HASH_SQL.format(s="s")})
+                   AS th
+        FROM documents
+    ),
+    kg AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= {WINNOW_K} THEN
+                   list_transform(
+                       generate_series(1, len(th) - {WINNOW_K - 1}),
+                       i -> list_reduce(th[i:i+{WINNOW_K - 1}],
+                                        (acc, x) -> (acc * 31 + x)
+                                                    % {H.P}))
+               ELSE CAST([] AS BIGINT[]) END AS kh
+        FROM pre
+    ),
+    pr AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(kh) >= {WINNOW_W} THEN
+                       list_transform(
+                           generate_series(1, len(kh) - {WINNOW_W - 1}),
+                           j -> list_aggregate(kh[j:j+{WINNOW_W - 1}],
+                                               'min'))
+                   ELSE CAST([] AS BIGINT[]) END)) AS fp
+        FROM kg
+    ),
+    dfs AS (
+        SELECT fp FROM pr GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DF}
+    ),
+    posting AS (SELECT pr.doc_id, pr.fp FROM pr JOIN dfs USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM posting a JOIN posting b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""

@@ -548,3 +548,151 @@ def test_tokenizer_apply_bpe_referee(spark, sf_dir):
         assert r["symbols_per_char_ppm"] == e[3] * 1_000_000 // e[2]
         got[lang] = True
     assert set(got) == set(expected)
+
+
+# --- winnow_fingerprint_overlap: pure-python winnowing referee -----------
+
+
+def test_winnow_referee(spark, sf_dir):
+    """Replay Schleimer-style winnowing in plain Python (k-gram Horner
+    hashes, per-window minimum, distinct per doc, df-capped posting
+    self-join) and require identical overlap pairs."""
+    from go_zoom_kinesis_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        winnow_fingerprint_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    doc_prints = {}
+    for d in docs:
+        th = [_py_char_hash(t) for t in _py_tokens(d["text"])]
+        kh = []
+        for i in range(len(th) - WINNOW_K + 1):
+            acc = th[i]
+            for x in th[i + 1 : i + WINNOW_K]:
+                acc = (acc * 31 + x) % P
+            kh.append(acc)
+        prints = {
+            min(kh[j : j + WINNOW_W])
+            for j in range(len(kh) - WINNOW_W + 1)
+        }
+        doc_prints[d["doc_id"]] = prints
+    df_count = Counter()
+    for prints in doc_prints.values():
+        df_count.update(prints)
+    good = {
+        fp for fp, c in df_count.items() if 2 <= c <= WINNOW_MAX_DF
+    }
+    expected = Counter()
+    posting = {}
+    for doc, prints in doc_prints.items():
+        for fp in prints & good:
+            posting.setdefault(fp, []).append(doc)
+    for fp, ds in posting.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                expected[(ds[i], ds[j])] += 1
+    expected = {
+        pair: n for pair, n in expected.items() if n >= WINNOW_MIN_SHARED
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_fingerprint_overlap(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# --- dedup_incremental_lsh: consistency vs the full pairwise surface -----
+
+
+def test_dedup_incremental_consistent_with_full_lsh(spark, sf_dir):
+    """The incremental screen must equal the incoming×existing slice of
+    the registered full-pairwise dedup_minhash_lsh result: same bands,
+    same threshold, so a cross pair appears in one iff it appears in
+    the other."""
+    from go_zoom_kinesis_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_SLOT,
+        dedup_incremental_lsh,
+        dedup_minhash_lsh,
+    )
+
+    full = dedup_minhash_lsh(spark, sf_dir).collect()
+    per_doc = {}
+    for r in full:
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        a_in = a % INCR_MOD == INCR_SLOT
+        b_in = b % INCR_MOD == INCR_SLOT
+        if a_in == b_in:
+            continue
+        new, old = (a, b) if a_in else (b, a)
+        st = per_doc.setdefault(new, [0, None, 0.0])
+        st[0] += 1
+        st[1] = old if st[1] is None else min(st[1], old)
+        st[2] = max(st[2], j)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["match_id"], r["best_jaccard"])
+        for r in dedup_incremental_lsh(spark, sf_dir).collect()
+    }
+    expected = {k: tuple(v) for k, v in per_doc.items()}
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        assert got[k][1] == expected[k][1], k
+        assert abs(got[k][2] - expected[k][2]) < 1e-9, k
+
+
+# --- domain_frequency_cap: pure-python rank referee ----------------------
+
+
+def test_domain_cap_referee(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.sampling import (
+        DOMAIN_CAP,
+        domain_frequency_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append((d["n_chars"], d["doc_id"]))
+    expected = {}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        kept = rows[:DOMAIN_CAP]
+        expected[src] = (
+            len(rows),
+            len(kept),
+            len(rows) - len(kept),
+            sum(c for c, _ in rows),
+            sum(c for c, _ in kept),
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_kept"],
+            r["n_dropped"],
+            r["total_chars"],
+            r["kept_chars"],
+        )
+        for r in domain_frequency_cap(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_domain_cap_plan_joinless_value_bucket_window(spark, sf_dir):
+    """The cap must never rank raw rows: the plan carries no joins and
+    its window runs AFTER the (source, n_chars) bucket aggregate —
+    visible as HashAggregate below Window in the tree."""
+    plan = _plan(spark, sf_dir, "domain_frequency_cap")
+    assert "Join" not in plan
+    assert "Window" in plan
+    # plan string is top-down: the (source, n_chars) bucket aggregate
+    # must sit BELOW the window (later in the string), proving the
+    # window ranks value buckets, not raw rows
+    assert plan.rindex("HashAggregate") > plan.index("Window")

@@ -47,6 +47,13 @@ SF10_DIR = os.path.join(
     ".scratch",
     "sf10",
 )
+# optional FIFTH decade: documents/embeddings-only 10× amplification of
+# sf10 (~6M docs / 6.4M vectors); growth_10x_d reports the 10→100 step.
+SF100_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "sf100",
+)
 
 
 def _time_query(fn, spark, sf_dir: str) -> float:
@@ -102,6 +109,8 @@ def main() -> None:
         sf_dirs["sf1"] = SF1_DIR
     if os.path.isdir(SF10_DIR):
         sf_dirs["sf10"] = SF10_DIR
+    if os.path.isdir(SF100_DIR):
+        sf_dirs["sf100"] = SF100_DIR
 
     rows = []
     for name in names:
@@ -121,6 +130,8 @@ def main() -> None:
             row["growth_10x_b"] = round(row["t_sf1"] / t_big, 2)
         if row.get("t_sf10") and row.get("t_sf1"):
             row["growth_10x_c"] = round(row["t_sf10"] / row["t_sf1"], 2)
+        if row.get("t_sf100") and row.get("t_sf10"):
+            row["growth_10x_d"] = round(row["t_sf100"] / row["t_sf10"], 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

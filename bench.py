@@ -184,6 +184,8 @@ HEADLINE_R8 = [
     "winnow_fingerprint_overlap",
     "dedup_incremental_lsh",
     "domain_frequency_cap",
+    "lsh_recall_audit",
+    "filter_survival_sweep",
 ]
 
 

@@ -581,3 +581,145 @@ ORACLE["filter_overlap_matrix"] = f"""
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM sig GROUP BY 1, 2, 3
 """
+
+
+# --- staged for round 8: filter-threshold survival sweep -----------------
+
+# quality-score thresholds swept (ppm of the max score 1.0)
+SWEEP_STEP_PPM = 100_000
+SWEEP_THRESHOLDS = list(range(0, 1_000_000, SWEEP_STEP_PPM))  # 10 rows
+
+
+def filter_survival_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over quality-filter thresholds — the table a
+    curation team reads to CHOOSE a threshold: for each candidate
+    cutoff, how many documents and how much token mass survive. The
+    score is the integer-ppm twin of ``text_quality``'s weighted score
+    (0.4·TTR + 0.3·length-saturation + 0.3·stopword-ratio), computed
+    with floor division so every value is engine-exact.
+
+    Scale shape: rows collapse to score-value buckets FIRST (one
+    map-side-combining aggregate over ``score_ppm`` — bounded by the
+    ppm domain, never by corpus rows), and the 10-threshold sweep runs
+    as a tiny-×-bounded range join over the histogram, with corpus
+    totals broadcast from a 1-row aggregate. A naive per-threshold
+    re-scan (10 scans) or a row×threshold explode (10× the corpus
+    through a shuffle) never happens; adding thresholds costs nothing.
+    """
+    from .text import STOPWORDS
+
+    docs = _docs(spark, sf_dir)
+    toks = H.tokens_col(F.col("text"))
+    base = docs.select(
+        F.col("doc_id"),
+        toks.alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct("toks")).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    ).cast("long")
+    score_ppm = (
+        F.expr("400000 * n_distinct div n_tokens")
+        + F.expr("300000 * least(n_tokens, 100L) div 100")
+        + F.expr("300000 * stop_hits div n_distinct")
+    )
+    scored = base.select(
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        stop_hits.alias("stop_hits"),
+    ).select(score_ppm.alias("score_ppm"), "n_tokens")
+    hist = scored.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).alias("b_docs"),
+        F.sum("n_tokens").alias("b_tokens"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold_ppm long"
+    )
+    joined = thr.join(
+        hist, F.col("score_ppm") >= F.col("threshold_ppm"), "left"
+    )
+    kept = joined.groupBy("threshold_ppm").agg(
+        F.coalesce(F.sum("b_docs"), F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce(F.sum("b_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+    # corpus totals WITHOUT a second scan: every score term is
+    # non-negative, so the threshold-0 row keeps everything — totals
+    # are the max over the 10-row sweep itself (one trivial window)
+    w_all = Window.partitionBy()
+    return kept.select(
+        "threshold_ppm",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.max("n_docs_kept").over(w_all).alias("tot_docs"),
+        F.max("n_tokens_kept").over(w_all).alias("tot_tokens"),
+    ).select(
+        "threshold_ppm",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.expr("n_docs_kept * 1000000 div tot_docs").alias("doc_share_ppm"),
+        F.expr("n_tokens_kept * 1000000 div tot_tokens").alias(
+            "token_share_ppm"
+        ),
+    )
+
+
+QUERIES_R8 = {
+    "filter_survival_sweep": filter_survival_sweep,
+}
+
+_SWEEP_TOKS = H.TOKENS_SQL.format(text="text")
+_SWEEP_STOPLIST = "['the','a','of','and','to','is','in']"
+
+ORACLE_R8 = {
+    "filter_survival_sweep": f"""
+        WITH base AS (
+            SELECT len(tk) AS n_tokens,
+                   len(list_distinct(tk)) AS n_distinct,
+                   len(list_intersect(list_distinct(tk),
+                                      {_SWEEP_STOPLIST})) AS stop_hits
+            FROM (SELECT {_SWEEP_TOKS} AS tk FROM documents)
+            WHERE len(tk) > 0
+        ),
+        scored AS (
+            SELECT (400000 * n_distinct) // n_tokens
+                   + (300000 * least(n_tokens, 100)) // 100
+                   + (300000 * stop_hits) // n_distinct AS score_ppm,
+                   n_tokens
+            FROM base
+        ),
+        hist AS (
+            SELECT score_ppm, count(*) AS b_docs,
+                   sum(n_tokens) AS b_tokens
+            FROM scored GROUP BY score_ppm
+        ),
+        thr AS (
+            SELECT unnest(range(0, 1000000, {SWEEP_STEP_PPM}))
+                AS threshold_ppm
+        ),
+        kept AS (
+            SELECT t.threshold_ppm,
+                   CAST(coalesce(sum(h.b_docs), 0) AS BIGINT)
+                       AS n_docs_kept,
+                   CAST(coalesce(sum(h.b_tokens), 0) AS BIGINT)
+                       AS n_tokens_kept
+            FROM thr t
+            LEFT JOIN hist h ON h.score_ppm >= t.threshold_ppm
+            GROUP BY t.threshold_ppm
+        )
+        SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+               n_docs_kept, n_tokens_kept,
+               CAST(n_docs_kept * 1000000
+                    // max(n_docs_kept) OVER () AS BIGINT)
+                   AS doc_share_ppm,
+               CAST(n_tokens_kept * 1000000
+                    // max(n_tokens_kept) OVER () AS BIGINT)
+                   AS token_share_ppm
+        FROM kept
+    """,
+}

@@ -133,15 +133,16 @@ def _pair_jaccard(
 # --- minhash + LSH ------------------------------------------------------
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection: 16 minhashes, 4 bands × 4 rows
-    (catches jaccard ≳ 0.5 with high probability), banded bucket join
-    for candidates, exact jaccard verification ≥ 0.5."""
-    docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).cache()
+def _minhash_bands(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — banded MinHash signatures from
+    the per-doc shingle-hash arrays. Signatures come straight from the
+    array — ``array_min(transform(...))`` per hash family, zero
+    shuffles (vs explode + 16-way groupBy-min); bands are a ``stack``
+    (generator, no shuffle either). Shared by the self-join
+    (``dedup_minhash_lsh``), the incremental batch-vs-corpus join
+    (``dedup_incremental_lsh``) and the recall audit
+    (``lsh_recall_audit``)."""
 
-    # signature straight from the array — array_min(transform(...)) per
-    # hash family, zero shuffles (vs explode + 16-way groupBy-min)
     def _affine(i: int):
         # single-arg lambda: F.transform feeds the index to 2-arg lambdas
         return lambda h: H.affine_col(h, i)
@@ -159,22 +160,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"mh{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)
         )
         band_exprs.append(f"{b}, concat_ws('-', {cols})")
-    bands = sig.selectExpr(
+    return sig.selectExpr(
         "doc_id",
         f"stack({H.NUM_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)",
     )
+
+
+def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket."""
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )
     b_ = bands.select(
         F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
     )
-    cand = (
+    return (
         a.join(b_, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: 16 minhashes, 4 bands × 4 rows
+    (catches jaccard ≳ 0.5 with high probability), banded bucket join
+    for candidates, exact jaccard verification ≥ 0.5."""
+    docs = _docs(spark, sf_dir)
+    arrs = _shingle_arrays(docs).cache()
+    cand = _lsh_candidate_pairs(_minhash_bands(arrs))
     jac = _pair_jaccard(cand, arrs)
     return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
@@ -1116,27 +1130,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, same flood caps as ``dedup_minhash_lsh``."""
     docs = _docs(spark, sf_dir)
     arrs = _shingle_arrays(docs).cache()
-
-    def _affine(i: int):
-        return lambda h: H.affine_col(h, i)
-
-    sig = arrs.filter(F.size("hs") > 0).select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _affine(i))).alias(f"mh{i}")
-            for i in range(H.NUM_HASHES)
-        ],
-    )
-    band_exprs = []
-    for b in range(H.NUM_BANDS):
-        cols = ",".join(
-            f"mh{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)
-        )
-        band_exprs.append(f"{b}, concat_ws('-', {cols})")
-    bands = sig.selectExpr(
-        "doc_id",
-        f"stack({H.NUM_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)",
-    )
+    bands = _minhash_bands(arrs)
     incoming = bands.filter(
         F.col("doc_id") % INCR_MOD == INCR_SLOT
     ).select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
@@ -1186,4 +1180,188 @@ ORACLE_R8["dedup_incremental_lsh"] = f"""
            max(round(j, 6)) AS best_jaccard
     FROM ver WHERE j >= {JACCARD_THRESHOLD}
     GROUP BY doc_a
+"""
+
+
+# --- staged for round 8: LSH recall audit ---------------------------------
+
+# θ = TN/TD for the exact ground-truth join (same 0.5 the LSH verify uses)
+_RA_TN = 1
+_RA_TD = 2
+
+
+def _exact_pairs_ppjoin(arrs: DataFrame) -> DataFrame:
+    """ALL (doc_a < doc_b) pairs with shingle-hash Jaccard ≥ θ — the
+    prefix-filter method (Vernica et al. SIGMOD'10, same machinery as
+    ``simjoin.similarity_prefix_join`` but over the HASH domain the
+    MinHash path signs, so the ground truth is exactly the relation LSH
+    approximates). No false negatives: a true pair must share one of
+    each side's ``sz - ceil(θ·sz) + 1`` rarest hashes, and the
+    positional upper bound + size filter only drop pairs that cannot
+    reach θ. Verification is the in-row ``_pair_jaccard`` intersect
+    (same filter expression as ``dedup_minhash_lsh``'s verify, so
+    truth and LSH agree on the boundary bit-for-bit)."""
+    sh = arrs.select("doc_id", F.explode("hs").alias("shash"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shash")))
+        .withColumn("sz", F.count("*").over(w_doc))
+        .withColumn(
+            "pos",
+            F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("shash"))),
+        )
+    )
+    ceil_theta = F.floor(
+        (F.col("sz") * _RA_TN + (_RA_TD - 1)) / _RA_TD
+    )
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_theta + 1)
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shash",
+        F.col("sz").alias("a_sz"),
+        F.col("pos").alias("a_pos"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shash",
+        F.col("sz").alias("b_sz"),
+        F.col("pos").alias("b_pos"),
+    )
+    ub = 1 + F.least(
+        F.col("a_sz") - F.col("a_pos"), F.col("b_sz") - F.col("b_pos")
+    )
+    cand = (
+        a.join(b, "shash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            _RA_TD * F.least("a_sz", "b_sz")
+            >= _RA_TN * F.greatest("a_sz", "b_sz")
+        )
+        .filter(
+            (_RA_TN + _RA_TD) * ub >= _RA_TN * (F.col("a_sz") + F.col("b_sz"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(cand, arrs)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the banded MinHash-LSH candidate
+    stage against exact ground truth — the audit that justifies (or
+    re-tunes) the bands×rows trade every time the corpus or threshold
+    changes. Ground truth = ALL pairs with shingle-hash Jaccard ≥ 0.5
+    via the no-false-negative prefix-filter join; candidates = pairs
+    sharing ≥ 1 of the 4 MinHash band buckets (the exact relation
+    ``dedup_minhash_lsh`` verifies). One summary row: pair counts,
+    candidate recall (theory for J ≥ 0.5 at 4×4 bands:
+    1-(1-0.5⁴)^4 ≈ 23% per MINIMAL pair — observed is much higher
+    because real near-dup Jaccards sit well above θ), and candidate
+    precision (how much verify work the buckets waste).
+
+    Scale: both sides are candidate-bounded joins (rarest-prefix /
+    band-bucket equi-joins — never corpus²); the audit's own full-outer
+    join runs over near-dup-sized relations and the output is O(1).
+    All ratios are integer ppm (floor div) — no float aggregation."""
+    docs = _docs(spark, sf_dir)
+    arrs = _shingle_arrays(docs).cache()
+    truth = _exact_pairs_ppjoin(arrs).withColumn("t", F.lit(1))
+    cand = _lsh_candidate_pairs(_minhash_bands(arrs)).withColumn(
+        "c", F.lit(1)
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.count("t").alias("n_true_pairs"),
+        F.count("c").alias("n_lsh_candidates"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+            "n_hits"
+        ),
+    )
+    return agg.select(
+        "n_true_pairs",
+        "n_lsh_candidates",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_true_pairs > 0 THEN n_hits * 1000000 div n_true_pairs "
+            "ELSE NULL END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_lsh_candidates > 0 THEN "
+            "n_hits * 1000000 div n_lsh_candidates ELSE NULL END"
+        ).alias("precision_ppm"),
+    )
+
+
+QUERIES_R8["lsh_recall_audit"] = lsh_recall_audit
+
+ORACLE_R8["lsh_recall_audit"] = f"""
+    {_SH_CTES},
+    sz AS (SELECT doc_id, len(hs) AS sz FROM shd),
+    dfq AS (SELECT shash, count(*) AS df FROM sh GROUP BY shash),
+    ranked AS (
+        SELECT s.doc_id, s.shash, z.sz,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df ASC, s.shash ASC) AS pos
+        FROM sh s
+        JOIN dfq d ON d.shash = s.shash
+        JOIN sz z ON z.doc_id = s.doc_id
+    ),
+    prefix AS (
+        SELECT doc_id, shash, sz, pos FROM ranked
+        WHERE pos <= sz - CAST(floor((sz * {_RA_TN} + {_RA_TD - 1})
+                                     / {_RA_TD}) AS BIGINT) + 1
+    ),
+    pcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b ON a.shash = b.shash
+        WHERE a.doc_id < b.doc_id
+          AND {_RA_TD} * least(a.sz, b.sz)
+              >= {_RA_TN} * greatest(a.sz, b.sz)
+          AND ({_RA_TN} + {_RA_TD})
+              * (1 + least(a.sz - a.pos, b.sz - b.pos))
+              >= {_RA_TN} * (a.sz + b.sz)
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM pcand
+        JOIN shd x ON x.doc_id = doc_a
+        JOIN shd y ON y.doc_id = doc_b
+        WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    sig AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM shd WHERE len(hs) > 0
+    ),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    fj AS (
+        SELECT t.doc_a AS t_a, c.doc_a AS c_a
+        FROM truth t
+        FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    agg AS (
+        SELECT count(t_a) AS n_true_pairs,
+               count(c_a) AS n_lsh_candidates,
+               count(CASE WHEN t_a IS NOT NULL AND c_a IS NOT NULL
+                          THEN 1 END) AS n_hits
+        FROM fj
+    )
+    SELECT n_true_pairs, n_lsh_candidates, n_hits,
+           CASE WHEN n_true_pairs > 0
+                THEN n_hits * 1000000 // n_true_pairs ELSE NULL END
+               AS recall_ppm,
+           CASE WHEN n_lsh_candidates > 0
+                THEN n_hits * 1000000 // n_lsh_candidates ELSE NULL END
+               AS precision_ppm
+    FROM agg
 """

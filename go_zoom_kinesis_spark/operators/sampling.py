@@ -525,6 +525,12 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents per ``source``, preferring longer documents (n_chars
     DESC), and report the per-domain kept/dropped budget — the audit a
     crawl team reads before a heavy domain floods the training mix.
+    Sibling of the registered ``domain_cap_documents`` (behavior.py),
+    which keeps a RANDOM md5-priority sample via a per-row row_number
+    window; this one keeps the LONGEST docs and exists to pin the
+    skew-proof plan shape for that policy (value buckets, no per-domain
+    row sort) — the two policies are both in the crawl literature and
+    their plans differ materially, which is the point.
 
     Scale shape: NOT a per-domain row_number window — ranking a hot
     domain's rows in one task is exactly the skew this operator exists

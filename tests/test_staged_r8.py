@@ -696,3 +696,130 @@ def test_domain_cap_plan_joinless_value_bucket_window(spark, sf_dir):
     # must sit BELOW the window (later in the string), proving the
     # window ranks value buckets, not raw rows
     assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+# --- lsh_recall_audit: brute-force truth + python LSH referee ------------
+
+
+def test_lsh_recall_audit_referee(spark, sf_dir):
+    """Replay BOTH sides in plain Python — brute-force all-pairs
+    Jaccard over shingle hashes for the ground truth (which also pins
+    the prefix-filter join's no-false-negatives claim) and the full
+    minhash→band→bucket pipeline for the candidates — then require the
+    audit row to match exactly."""
+    from go_zoom_kinesis_spark.functions import hashes as HH
+    from go_zoom_kinesis_spark.operators.dedup import JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    hs = {}
+    for d in docs:
+        toks = _py_tokens(d["text"])
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        hs[d["doc_id"]] = {_py_char_hash(s) for s in sh}
+    ids = sorted(hs)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = hs[a] | hs[b]
+            if u and len(hs[a] & hs[b]) / len(u) >= JACCARD_THRESHOLD:
+                truth.add((a, b))
+    buckets = {}
+    for doc, s in hs.items():
+        if not s:
+            continue
+        mh = [
+            min((h * HH.A[i] + HH.B[i]) % HH.P for h in s)
+            for i in range(HH.NUM_HASHES)
+        ]
+        for b in range(HH.NUM_BANDS):
+            key = (
+                b,
+                "-".join(
+                    str(mh[b * HH.ROWS_PER_BAND + r])
+                    for r in range(HH.ROWS_PER_BAND)
+                ),
+            )
+            buckets.setdefault(key, []).append(doc)
+    cand = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    hits = truth & cand
+    [row] = STAGED_Q["lsh_recall_audit"](spark, sf_dir).collect()
+    assert row["n_true_pairs"] == len(truth)
+    assert row["n_lsh_candidates"] == len(cand)
+    assert row["n_hits"] == len(hits)
+    if truth:
+        assert row["recall_ppm"] == len(hits) * 1_000_000 // len(truth)
+    if cand:
+        assert row["precision_ppm"] == len(hits) * 1_000_000 // len(cand)
+
+
+# --- filter_survival_sweep: python sweep referee --------------------------
+
+
+def test_filter_survival_sweep_referee(spark, sf_dir):
+    """Python-replay the integer-ppm quality score and the threshold
+    sweep; every output row must match exactly."""
+    from go_zoom_kinesis_spark.operators.curation import SWEEP_THRESHOLDS
+    from go_zoom_kinesis_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    stop = set(STOPWORDS["en"])
+    scores = []
+    for d in docs:
+        toks = _py_tokens(d["text"])
+        if not toks:
+            continue
+        nt, nd = len(toks), len(set(toks))
+        sh = len(set(toks) & stop)
+        scores.append(
+            (
+                400000 * nd // nt
+                + 300000 * min(nt, 100) // 100
+                + 300000 * sh // nd,
+                nt,
+            )
+        )
+    tot_docs = len(scores)
+    tot_tokens = sum(nt for _, nt in scores)
+    expected = {}
+    for t in SWEEP_THRESHOLDS:
+        kd = sum(1 for s, _ in scores if s >= t)
+        kt = sum(nt for s, nt in scores if s >= t)
+        expected[t] = (
+            kd,
+            kt,
+            kd * 1_000_000 // tot_docs,
+            kt * 1_000_000 // tot_tokens,
+        )
+    rows = STAGED_Q["filter_survival_sweep"](spark, sf_dir).collect()
+    assert len(rows) == len(SWEEP_THRESHOLDS)
+    for r in rows:
+        e = expected[r["threshold_ppm"]]
+        got = (
+            r["n_docs_kept"],
+            r["n_tokens_kept"],
+            r["doc_share_ppm"],
+            r["token_share_ppm"],
+        )
+        assert got == e, (r["threshold_ppm"], got, e)
+    # the curve must be monotone non-increasing — a sanity invariant of
+    # any survival sweep, independent of the referee
+    by_thr = sorted((r["threshold_ppm"], r["n_docs_kept"]) for r in rows)
+    kept_seq = [k for _, k in by_thr]
+    assert kept_seq == sorted(kept_seq, reverse=True)
+
+
+def test_filter_survival_plan_single_scan_bucketed(spark, sf_dir):
+    """The sweep's contract: ONE corpus scan feeding a score-bucket
+    aggregate; thresholds join the bounded histogram (never the row
+    stream), so the plan has exactly one parquet scan and no
+    cartesian."""
+    plan = _plan(spark, sf_dir, "filter_survival_sweep")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan

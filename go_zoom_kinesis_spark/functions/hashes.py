@@ -69,6 +69,34 @@ def affine_col(h: Column, i: int) -> Column:
     return (h * A[i] + B[i]) % P
 
 
+def horner_windows_col(th: Column, n: int) -> Column:
+    """Horner hash of every length-``n`` sliding window over a hash
+    array: out[i] = fold((acc*31 + th[i+j]) % P, j = 0..n-1) — the
+    span/k-gram hash used by the exact-substring and winnowing
+    operators. Computed as a zip_with chain over ``n`` shifted slices
+    (O(n) whole-array passes per row) rather than a per-position
+    slice+aggregate lambda (which allocates an (n-1)-element slice and
+    runs an interpreted fold at EVERY position — A/B timings in
+    SCALE.md's fifth-decade table). The mod runs at
+    every Horner step, so values are bit-identical to the fold form and
+    to the oracle's ``list_reduce`` SQL. Empty-guarded for docs shorter
+    than ``n`` tokens.
+
+    Note for callers: the returned expression references ``th``
+    ``n``+1 times, which also keeps CollapseProject from inlining the
+    (expensive) token-hash transform into the consuming projection —
+    the no-CSE hazard ``duplicate_span_scrub`` documents."""
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for d in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(th, 1 + d, m), lambda a, b: (a * 31 + b) % P
+        )
+    return F.when(F.size(th) >= n, acc).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 # --- DuckDB SQL side (identical formulas) -------------------------------
 
 TOKENS_SQL = "list_filter(split(lower({text}), ' '), x -> x <> '')"

@@ -558,19 +558,7 @@ def duplicate_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "th"
         ),
     )
-    spans = F.array_distinct(
-        F.when(
-            F.size("th") >= SPAN_N,
-            F.transform(
-                F.sequence(F.lit(1), F.size("th") - (SPAN_N - 1)),
-                lambda i: F.aggregate(
-                    F.slice(F.col("th"), i + 1, SPAN_N - 1),
-                    F.element_at(F.col("th"), i),
-                    lambda acc, x: (acc * 31 + x) % H.P,
-                ),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    )
+    spans = F.array_distinct(H.horner_windows_col(F.col("th"), SPAN_N))
     per_span = (
         pre.select(F.explode(spans).alias("shash"))
         .groupBy("shash")
@@ -944,17 +932,7 @@ def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias("th"),
     )
-    spans = F.when(
-        F.size("th") >= SPAN_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size("th") - (SPAN_N - 1)),
-            lambda i: F.aggregate(
-                F.slice(F.col("th"), i + 1, SPAN_N - 1),
-                F.element_at(F.col("th"), i),
-                lambda acc, x: (acc * 31 + x) % H.P,
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    spans = H.horner_windows_col(F.col("th"), SPAN_N)
     # posexplode DIRECTLY from the projection that materializes th: an
     # intermediate select(spans.alias(...)) lets CollapseProject inline
     # the token-hash transform into every span window (re-hashing all

@@ -539,26 +539,39 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "th"
         ),
     )
-    kgrams = F.when(
-        F.size("th") >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size("th") - (WINNOW_K - 1)),
-            lambda i: F.aggregate(
-                F.slice(F.col("th"), i + 1, WINNOW_K - 1),
-                F.element_at(F.col("th"), i),
-                lambda acc, x: (acc * 31 + x) % H.P,
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    kg = pre.select("doc_id", kgrams.alias("kh"))
+    # k-gram Horner folds as a zip_with chain over K shifted slices —
+    # bit-identical to the per-position slice+aggregate form (same mod
+    # at every Horner step) but O(K) whole-array passes per doc; see
+    # hashes.horner_windows_col.
+    kg = pre.select(
+        "doc_id", H.horner_windows_col(F.col("th"), WINNOW_K).alias("kh")
+    )
+    # sliding window-min via the sparse-table doubling trick: pairwise
+    # mins at power-of-two widths, one final overlapped combine — the
+    # same minima array_min(slice(...)) produced per position, in
+    # O(log W) zip_with passes.
+    L = F.size("kh")
+    wmin = F.col("kh")
+    cur_w = 1
+    while 2 * cur_w <= WINNOW_W:
+        nxt = L - (2 * cur_w - 1)
+        wmin = F.zip_with(
+            F.slice(wmin, 1, nxt),
+            F.slice(wmin, 1 + cur_w, nxt),
+            lambda a, b: F.least(a, b),
+        )
+        cur_w *= 2
+    if cur_w < WINNOW_W:
+        out_len = L - (WINNOW_W - 1)
+        wmin = F.zip_with(
+            F.slice(wmin, 1, out_len),
+            F.slice(wmin, 1 + (WINNOW_W - cur_w), out_len),
+            lambda a, b: F.least(a, b),
+        )
     prints = F.array_distinct(
-        F.when(
-            F.size("kh") >= WINNOW_W,
-            F.transform(
-                F.sequence(F.lit(1), F.size("kh") - (WINNOW_W - 1)),
-                lambda j: F.array_min(F.slice(F.col("kh"), j, WINNOW_W)),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
+        F.when(F.size("kh") >= WINNOW_W, wmin).otherwise(
+            F.array().cast("array<long>")
+        )
     )
     inst = kg.select("doc_id", F.explode(prints).alias("fp"))
     good = (

@@ -945,24 +945,6 @@ SIM64_HAMMING_MAX = SIM64_BANDS - 1  # pigeonhole: <= 3 diff bits => >=1 clean b
 SIM64_A = [(H.A[i % 16] * pow(6151, i // 16, H.P)) % H.P for i in range(SIM64_BITS)]
 SIM64_B = [(H.B[i % 16] + 1009 * (i // 16)) % H.P for i in range(SIM64_BITS)]
 
-# Manku combo-key candidate scheme: the 64 bits split into 6 blocks;
-# a pair at Hamming <= 3 has dirty bits in <= 3 blocks, so >= 3 blocks
-# are clean and SOME 3-block combination matches exactly — C(6,3) = 20
-# composite keys of ~32 bits each, collapsing random collisions from
-# n^2/2^16 (per 16-bit band) to n^2/2^32 (per combo key).
-_SIM64_BLOCK_SIZES = [11, 11, 11, 11, 10, 10]
-assert sum(_SIM64_BLOCK_SIZES) == SIM64_BITS
-_SIM64_BLOCK_OFFS = [
-    sum(_SIM64_BLOCK_SIZES[:m]) for m in range(len(_SIM64_BLOCK_SIZES))
-]
-_SIM64_COMBOS = [
-    (i, j, k)
-    for i in range(6)
-    for j in range(i + 1, 6)
-    for k in range(j + 1, 6)
-]  # lexicographic; 20 entries
-_SIM64_PACK = 2048  # > 2^11: 3 packed block values stay under 2^33
-
 
 def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup JOIN on 64-bit SimHash with banded Hamming search —
@@ -975,37 +957,43 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     band values (no single 64-bit pack — bit 63 would overflow signed
     bigint, and the bands are what the join keys on anyway).
 
-    Candidate generation is Manku's COMBO-KEY formulation: the 64 bits
-    split into 6 blocks (11/11/11/11/10/10); a pair at Hamming
-    <= {SIM64_HAMMING_MAX} has dirty bits in at most 3 blocks, so at
-    least 3 blocks are clean and at least one of the C(6,3) = 20
-    3-block combinations matches exactly — ZERO false negatives by
-    pigeonhole, with ~32-bit composite join keys. One stack (20 keyed
-    rows per doc, block values carried) feeds ONE equi-join on
-    (combo_id, key); each qualifying pair is then kept only at its
-    lexicographically FIRST matching combination (a generated
-    block-equality predicate over the carried columns — no distinct,
-    no candidate materialization, no signature re-join: the r7-draft
-    stack→distinct→re-join shape measured 54 s at sf10 against 17 s
-    for first-match emission on identical output). Verify: hamming =
-    sum of bit_count(XOR) over the six block values, in the same join
-    projection.
+    Candidate generation is Manku's FIRST-MATCHING-BAND formulation:
+    four sig×sig equi-joins, one per band, where join k additionally
+    requires every band j < k to DIFFER — each qualifying pair is
+    produced by exactly ONE join, so no candidate relation is ever
+    materialized, deduplicated, or re-joined against a signature
+    dictionary (the r7-draft stack→distinct→re-join shape measured
+    54 s at sf10; this one 17 s on identical output). Pigeonhole: a
+    pair at Hamming distance <= {SIM64_HAMMING_MAX} differs in at most
+    {SIM64_HAMMING_MAX} of the {SIM64_BANDS} bands, so at least one
+    band matches exactly — ZERO false negatives by construction.
+    Verify: hamming = sum of bit_count(XOR) over the four band values,
+    in the same join projection.
 
-    Why combo keys and not the earlier four 16-bit bands: random band
-    collisions grow n^2/2^16 — measured 12.8× on the sf10→sf100 decade
-    (6M docs ≈ 91 docs per 16-bit bucket) where this formulation's
-    n^2/2^32 keeps collisions negligible past 1B docs. Beyond
-    collisions the output IS pairwise near-dups, so cost is
-    output-bound: a template-heavy corpus (m-doc clusters contribute
-    m^2/2 pairs — 30.2M pairs on the 500k-doc fourth decade) pays for
-    its own duplication, and the standard mitigation at 100 TB is
-    exactly the one ``dedup_components`` implements downstream: fold
-    pairs into components and keep one representative. The signature
-    pass is one scan (64 integer folds per row, no shuffle). The
-    DuckDB oracle deliberately keeps the INDEPENDENT 4-band
-    first-matching-band formulation — two different no-false-negative
-    candidate schemes agreeing on the exact result set is a stronger
-    check than one formulation mirrored twice."""
+    Scale — a MEASURED negative result worth keeping: Manku's combo-key
+    variant (64 bits in 6 blocks, join on C(6,3)=20 exact-3-block
+    ~32-bit keys) was implemented and benchmarked on the sf100 decade
+    (5M docs), expecting collisions to fall from n²/2^16 to n²/2^32.
+    It ran MINUTES against this formulation's 12 s, for two reasons the
+    uniform-key model misses: (a) simhash bits over a small vocabulary
+    are heavily correlated — the measured per-combo probe mass over the
+    3.8M DISTINCT signatures was ~20M pairs per key family, four
+    orders of magnitude above the 1.7k a uniform 2^33 key space
+    predicts, so wider keys bought almost nothing; and (b) exact-
+    signature cliques (max measured clique 444 docs; 40M hamming-0
+    pairs) re-probe in EVERY combination — 20× vs this form's 4×.
+    When collisions do outgrow this formulation (~10M docs in one
+    signature space), the fix that survives bit correlation is WIDENING
+    THE SIGNATURE itself (128-bit simhash, 5 bands × 25+ bits, same
+    pigeonhole argument and the same equi-join shape) — not widening
+    composite keys over the same 64 biased bits. Beyond collisions
+    the output IS pairwise near-dups, so cost is output-bound: a
+    template-heavy corpus (m-doc clusters contribute m^2/2 pairs —
+    30.2M pairs on the 500k-doc fourth decade) pays for its own
+    duplication, and the standard mitigation at 100 TB is exactly the
+    one ``dedup_components`` implements downstream: fold pairs into
+    components and keep one representative. The signature pass is one
+    scan (64 integer folds per row, no shuffle)."""
     docs = _docs(spark, sf_dir)
     th = (
         fan_out_narrow(docs)
@@ -1032,70 +1020,44 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(SIM64_BITS)
         ],
     )
-    block_cols = []
-    for m, (sz, off) in enumerate(
-        zip(_SIM64_BLOCK_SIZES, _SIM64_BLOCK_OFFS)
-    ):
+    band_cols = []
+    for k in range(SIM64_BANDS):
         expr = None
-        for r in range(sz):
-            j = off + r
+        for r in range(SIM64_BAND_BITS):
+            j = k * SIM64_BAND_BITS + r
             bit = F.when(F.col(f"v{j}") > 0, F.lit(2**r)).otherwise(F.lit(0))
             expr = bit if expr is None else expr + bit
-        block_cols.append(expr.cast("long").alias(f"g{m}"))
-    sigs = votes.select("doc_id", *block_cols)
-    combo_exprs = ", ".join(
-        f"{c}, ((g{i} * {_SIM64_PACK} + g{j}) * {_SIM64_PACK} + g{k})"
-        for c, (i, j, k) in enumerate(_SIM64_COMBOS)
-    )
-    stacked = sigs.selectExpr(
-        "doc_id",
-        *[f"g{m}" for m in range(6)],
-        f"stack({len(_SIM64_COMBOS)}, {combo_exprs}) as (combo_id, ckey)",
-    )
-    a = stacked.select(
+        band_cols.append(expr.cast("long").alias(f"b{k}"))
+    sigs = votes.select("doc_id", *band_cols).cache()
+    a = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"g{m}").alias(f"a{m}") for m in range(6)],
-        "combo_id",
-        "ckey",
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIM64_BANDS)],
     )
-    b = stacked.select(
+    b = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"g{m}").alias(f"bb{m}") for m in range(6)],
-        "combo_id",
-        "ckey",
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIM64_BANDS)],
     )
     ham = None
-    for m in range(6):
-        term = F.bit_count(F.col(f"a{m}").bitwiseXOR(F.col(f"bb{m}")))
+    for k in range(SIM64_BANDS):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
         ham = term if ham is None else ham + term
-
-    def _combo_eq(c: int):
-        i, j, k = _SIM64_COMBOS[c]
-        return (
-            (F.col(f"a{i}") == F.col(f"bb{i}"))
-            & (F.col(f"a{j}") == F.col(f"bb{j}"))
-            & (F.col(f"a{k}") == F.col(f"bb{k}"))
+    parts = []
+    for k in range(SIM64_BANDS):
+        cond = (F.col(f"a{k}") == F.col(f"bb{k}")) & (
+            F.col("doc_a") < F.col("doc_b")
         )
-
-    # first-matching-combo emission: keep the joined row only when no
-    # lexicographically earlier combination ALSO matches — each
-    # qualifying pair survives in exactly one combo_id, so the output
-    # needs no distinct and the pair relation is never re-shuffled
-    first_match = None
-    for c in range(len(_SIM64_COMBOS)):
-        none_earlier = F.lit(True)
-        for e in range(c):
-            none_earlier = none_earlier & ~_combo_eq(e)
-        branch = (F.col("combo_id") == c) & none_earlier
-        first_match = branch if first_match is None else first_match | branch
-    return (
-        a.join(b, ["combo_id", "ckey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(first_match)
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= SIM64_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
-    )
+        for j in range(k):
+            cond = cond & (F.col(f"a{j}") != F.col(f"bb{j}"))
+        parts.append(
+            a.join(b, cond)
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= SIM64_HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 QUERIES_R8 = {

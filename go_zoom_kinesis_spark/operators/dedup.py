@@ -1202,6 +1202,14 @@ ORACLE_R8["dedup_incremental_lsh"] = f"""
 # θ = TN/TD for the exact ground-truth join (same 0.5 the LSH verify uses)
 _RA_TN = 1
 _RA_TD = 2
+# deterministic audit sample: docs with doc_id % MOD == SLOT (~1/3).
+# The exact-truth side is the expensive object — measured to spill-OOM
+# at the sf100 decade on the FULL corpus (prefix selectivity collapses
+# when every shingle's df grows with n) — so the sample IS the
+# production contract, not a test convenience; recall/precision are
+# ratio estimates and the sample bounds them at a fraction of the cost.
+RECALL_AUDIT_MOD = 3
+RECALL_AUDIT_SLOT = 0
 
 
 def _exact_pairs_ppjoin(arrs: DataFrame) -> DataFrame:
@@ -1268,9 +1276,13 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of the banded MinHash-LSH candidate
     stage against exact ground truth — the audit that justifies (or
     re-tunes) the bands×rows trade every time the corpus or threshold
-    changes. Ground truth = ALL pairs with shingle-hash Jaccard ≥ 0.5
-    via the no-false-negative prefix-filter join; candidates = pairs
-    sharing ≥ 1 of the 4 MinHash band buckets (the exact relation
+    changes. Both sides run over the SAME deterministic audit sample
+    (``doc_id % {RECALL_AUDIT_MOD} == {RECALL_AUDIT_SLOT}``, ~1/3 —
+    see the constant's comment: the exact-truth join is the expensive
+    object and the sample is the production contract). Ground truth =
+    ALL sampled pairs with shingle-hash Jaccard ≥ 0.5 via the
+    no-false-negative prefix-filter join; candidates = sampled pairs
+    sharing ≥ 1 of the 4 MinHash band buckets (the same banding
     ``dedup_minhash_lsh`` verifies). One summary row: pair counts,
     candidate recall (theory for J ≥ 0.5 at 4×4 bands:
     1-(1-0.5⁴)^4 ≈ 23% per MINIMAL pair — observed is much higher
@@ -1280,8 +1292,14 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both sides are candidate-bounded joins (rarest-prefix /
     band-bucket equi-joins — never corpus²); the audit's own full-outer
     join runs over near-dup-sized relations and the output is O(1).
-    All ratios are integer ppm (floor div) — no float aggregation."""
-    docs = _docs(spark, sf_dir)
+    All ratios are integer ppm (floor div) — no float aggregation.
+    Operationally this is an AUDIT, not a pipeline stage: at 100 TB
+    the sample modulus grows with the corpus (1% bounds both ratios to
+    tight confidence intervals at ~1/10⁴ the cost); the DuckDB oracle
+    and the brute-force referee replay the identical slice."""
+    docs = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % RECALL_AUDIT_MOD == RECALL_AUDIT_SLOT
+    )
     arrs = _shingle_arrays(docs).cache()
     truth = _exact_pairs_ppjoin(arrs).withColumn("t", F.lit(1))
     cand = _lsh_candidate_pairs(_minhash_bands(arrs)).withColumn(
@@ -1313,7 +1331,17 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_R8["lsh_recall_audit"] = lsh_recall_audit
 
 ORACLE_R8["lsh_recall_audit"] = f"""
-    {_SH_CTES},
+    WITH tk AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id % {RECALL_AUDIT_MOD} = {RECALL_AUDIT_SLOT}
+    ),
+    shd AS (
+        SELECT doc_id,
+               list_distinct(list_transform({_SHINGLES},
+                             s -> {_CHAR_HASH_S})) AS hs
+        FROM tk
+    ),
+    sh AS (SELECT doc_id, unnest(hs) AS shash FROM shd),
     sz AS (SELECT doc_id, len(hs) AS sz FROM shd),
     dfq AS (SELECT shash, count(*) AS df FROM sh GROUP BY shash),
     ranked AS (

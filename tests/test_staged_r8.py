@@ -708,9 +708,19 @@ def test_lsh_recall_audit_referee(spark, sf_dir):
     minhash→band→bucket pipeline for the candidates — then require the
     audit row to match exactly."""
     from go_zoom_kinesis_spark.functions import hashes as HH
-    from go_zoom_kinesis_spark.operators.dedup import JACCARD_THRESHOLD
+    from go_zoom_kinesis_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        RECALL_AUDIT_MOD,
+        RECALL_AUDIT_SLOT,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = [
+        d
+        for d in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if d["doc_id"] % RECALL_AUDIT_MOD == RECALL_AUDIT_SLOT
+    ]
     hs = {}
     for d in docs:
         toks = _py_tokens(d["text"])

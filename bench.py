@@ -186,6 +186,7 @@ HEADLINE_R8 = [
     "domain_frequency_cap",
     "lsh_recall_audit",
     "filter_survival_sweep",
+    "purged_timefold_assign",
 ]
 
 

@@ -601,3 +601,142 @@ ORACLE_R8 = {
         FROM ranked GROUP BY source
     """,
 }
+
+
+# --- staged for round 8: purged time-series CV folds ----------------------
+
+TIMEFOLD_K = 5  # chronological folds
+TIMEFOLD_EMBARGO_HOURS = 12  # purge zone on each side of the test fold
+_HOUR_US = 3_600_000_000
+
+
+def purged_timefold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged chronological K-fold audit over ``events`` — the
+    time-series CV discipline (de Prado's purged k-fold, public
+    literature): folds are CONTIGUOUS time ranges with near-equal
+    event counts, and for each test fold an EMBARGO of
+    {TIMEFOLD_EMBARGO_HOURS} h on both sides is purged from its
+    training set, so serial correlation across the boundary cannot
+    leak the test period into training. Output: one row per fold with
+    test/embargo/train event accounting and the fold's hour range —
+    the audit a temporal-model trainer reads before trusting CV
+    scores. Complements the split family: ``stratified_split_exact``
+    (random, exact quotas), ``group_kfold_assign`` (group-hash) — this
+    one is the temporal axis.
+
+    Scale shape (the two-phase value-bucket discipline): events
+    collapse to HOUR buckets first (one map-side-combining aggregate,
+    bounded by the time span, never by event rows); the cumulative
+    count + fold assignment run as windows over that bounded bucket
+    relation; and the per-fold test/embargo/train classification is a
+    K×buckets broadcast join — no event row is ever windowed, sorted,
+    or joined. Fold boundaries land on bucket (hour) edges by
+    contract, which also makes the embargo arithmetic exact integer
+    hour math in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    hb = (
+        ev.select(
+            (F.unix_micros("ts") / _HOUR_US)
+            .cast("long")
+            .alias("hour")
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    # cache the bounded bucket relation: it feeds four plan branches
+    # (fold ranges, the embargo classification's bucket side, and the
+    # corpus total) — uncached, each branch would re-scan events
+    hb2 = (
+        hb.select(
+            "hour",
+            "cnt",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("total"),
+        )
+        .select(
+            "hour",
+            "cnt",
+            F.expr(f"(cum - 1) * {TIMEFOLD_K} div total").alias("fold"),
+        )
+        .cache()
+    )
+    fr = hb2.groupBy("fold").agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+        F.sum("cnt").alias("n_test"),
+    )
+    cls = F.broadcast(fr).join(
+        hb2.select(F.col("hour").alias("bh"), F.col("cnt").alias("bcnt")),
+        (F.col("bh") >= F.col("h0") - TIMEFOLD_EMBARGO_HOURS)
+        & (F.col("bh") <= F.col("h1") + TIMEFOLD_EMBARGO_HOURS),
+    )
+    emb = cls.filter(
+        (F.col("bh") < F.col("h0")) | (F.col("bh") > F.col("h1"))
+    ).groupBy("fold").agg(F.sum("bcnt").alias("n_embargo"))
+    return (
+        fr.join(emb, "fold", "left")
+        .crossJoin(
+            F.broadcast(
+                hb2.agg(F.sum("cnt").alias("n_total"))
+            )
+        )
+        .select(
+            "fold",
+            F.col("h0").alias("test_start_hour"),
+            F.col("h1").alias("test_end_hour"),
+            "n_test",
+            F.coalesce("n_embargo", F.lit(0)).cast("long").alias("n_embargo"),
+            (
+                F.col("n_total")
+                - F.col("n_test")
+                - F.coalesce("n_embargo", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_train"),
+        )
+    )
+
+
+QUERIES_R8["purged_timefold_assign"] = purged_timefold_assign
+
+ORACLE_R8["purged_timefold_assign"] = f"""
+    WITH hb AS (
+        SELECT epoch_us(ts) // {_HOUR_US} AS hour, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    hb2 AS (
+        SELECT hour, cnt,
+               (sum(cnt) OVER (ORDER BY hour
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - 1)
+               * {TIMEFOLD_K} // (sum(cnt) OVER ()) AS fold
+        FROM hb
+    ),
+    fr AS (
+        SELECT fold, min(hour) AS h0, max(hour) AS h1,
+               CAST(sum(cnt) AS BIGINT) AS n_test
+        FROM hb2 GROUP BY fold
+    ),
+    emb AS (
+        SELECT f.fold, CAST(sum(b.cnt) AS BIGINT) AS n_embargo
+        FROM fr f JOIN hb2 b
+          ON b.hour >= f.h0 - {TIMEFOLD_EMBARGO_HOURS}
+         AND b.hour <= f.h1 + {TIMEFOLD_EMBARGO_HOURS}
+         AND (b.hour < f.h0 OR b.hour > f.h1)
+        GROUP BY f.fold
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb)
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           f.h0 AS test_start_hour,
+           f.h1 AS test_end_hour,
+           f.n_test,
+           coalesce(e.n_embargo, 0) AS n_embargo,
+           t.n_total - f.n_test - coalesce(e.n_embargo, 0) AS n_train
+    FROM fr f LEFT JOIN emb e ON e.fold = f.fold, tot t
+"""

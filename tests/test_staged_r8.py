@@ -833,3 +833,78 @@ def test_filter_survival_plan_single_scan_bucketed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "filter_survival_sweep")
     assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+# --- purged_timefold_assign: python temporal-CV referee -------------------
+
+
+def test_purged_timefold_referee(spark, sf_dir):
+    """Replay the hour-bucket fold assignment, embargo purge, and
+    train accounting in plain Python; every fold row must match."""
+    from go_zoom_kinesis_spark.operators.sampling import (
+        TIMEFOLD_EMBARGO_HOURS,
+        TIMEFOLD_K,
+        _HOUR_US,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(f"unix_micros(ts) div {_HOUR_US} as hour")
+        .collect()
+    )
+    cnt = Counter(r["hour"] for r in rows)
+    total = sum(cnt.values())
+    hours = sorted(cnt)
+    cum = 0
+    fold_of = {}
+    for h in hours:
+        cum += cnt[h]
+        fold_of[h] = (cum - 1) * TIMEFOLD_K // total
+    franges = {}
+    for h, f in fold_of.items():
+        lo, hi, n = franges.get(f, (h, h, 0))
+        franges[f] = (min(lo, h), max(hi, h), n + cnt[h])
+    expected = {}
+    for f, (h0, h1, n_test) in franges.items():
+        n_emb = sum(
+            c
+            for h, c in cnt.items()
+            if (h0 - TIMEFOLD_EMBARGO_HOURS <= h < h0)
+            or (h1 < h <= h1 + TIMEFOLD_EMBARGO_HOURS)
+        )
+        expected[f] = (h0, h1, n_test, n_emb, total - n_test - n_emb)
+    out = STAGED_Q["purged_timefold_assign"](spark, sf_dir).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        e = expected[r["fold"]]
+        got = (
+            r["test_start_hour"],
+            r["test_end_hour"],
+            r["n_test"],
+            r["n_embargo"],
+            r["n_train"],
+        )
+        assert got == e, (r["fold"], got, e)
+    # temporal-CV invariants independent of the referee: folds are
+    # contiguous and ordered, and every event is accounted exactly once
+    # per fold row (test + embargo + train == total)
+    byf = sorted(out, key=lambda r: r["fold"])
+    for a, b in zip(byf, byf[1:]):
+        assert a["test_end_hour"] < b["test_start_hour"]
+    for r in out:
+        assert r["n_test"] + r["n_embargo"] + r["n_train"] == total
+
+
+def test_purged_timefold_plan_bucketed(spark, sf_dir):
+    """Contract: event rows are never windowed or joined — every
+    window and join input is the bounded hour-bucket relation, cached
+    once (the plan shows InMemoryTableScans over one materialized
+    bucket aggregate; at most that single parquet scan materializes),
+    and there is no cartesian."""
+    plan = _plan(spark, sf_dir, "purged_timefold_assign")
+    # every branch reads the cached bucket relation (plan text repeats
+    # the InMemoryRelation's child scan under each InMemoryTableScan —
+    # and nests deeper when a prior execution's cache is reused — so
+    # the pin is branch count, not raw scan-string count)
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan

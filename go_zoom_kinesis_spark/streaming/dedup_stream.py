@@ -72,3 +72,155 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_sha"]
     )
+
+
+# --- streaming MinHash-LSH near-dup screen --------------------------------
+#
+# The streaming half of the two-tier near-dup architecture whose batch
+# half is ``operators/dedup.py``: the STREAM flags arrivals that share a
+# MinHash band bucket with an earlier arrival (cheap, state = one row
+# per live bucket), and the batch verify (``dedup_incremental_lsh``)
+# runs exact Jaccard on the flagged slice later. Signatures are the
+# SAME 16-hash / 4-band construction the batch operators key on, built
+# from the same Column expressions — so a doc flagged here lands in
+# exactly the bucket the batch join would probe.
+
+
+def minhash_band_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stream-safe banded-signature projection: (all input columns) +
+    (band_idx, band_key). Pure per-row codegen — usable identically on
+    batch and streaming DataFrames (no repartition, no state)."""
+    from ..functions import hashes as H
+
+    toks = H.tokens_col(F.col(text_col))
+    hs = F.array_distinct(F.transform(H.shingles_col(toks), H.char_hash_col))
+    with_sig = docs.withColumn("_hs", hs).filter(F.size("_hs") > 0)
+
+    def _affine(i: int):
+        return lambda h: H.affine_col(h, i)
+
+    for i in range(H.NUM_HASHES):
+        with_sig = with_sig.withColumn(
+            f"mh{i}", F.array_min(F.transform("_hs", _affine(i)))
+        )
+    band_exprs = []
+    for b in range(H.NUM_BANDS):
+        cols = ",".join(
+            f"mh{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)
+        )
+        band_exprs.append(f"{b}, concat_ws('-', {cols})")
+    return with_sig.selectExpr(
+        "* except(_hs, " + ",".join(f"mh{i}" for i in range(H.NUM_HASHES)) + ")",
+        f"stack({H.NUM_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)",
+    )
+
+
+LSH_SCREEN_OUTPUT = None  # built lazily: pyspark.sql.types import cost
+
+
+def _lsh_screen_schema():
+    global LSH_SCREEN_OUTPUT
+    if LSH_SCREEN_OUTPUT is None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        LSH_SCREEN_OUTPUT = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("band_idx", LongType()),
+                StructField("band_key", StringType()),
+                StructField("n_prior", LongType()),
+                StructField("first_doc_id", LongType()),
+            ]
+        )
+    return LSH_SCREEN_OUTPUT
+
+
+def _band_bucket_processor():
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [
+            StructField("first_doc", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    class BandBucketScreenProcessor(StatefulProcessor):
+        """One (first_doc, n_seen) ValueState per live band bucket."""
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("bucket", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            band_idx, band_key = key
+            if self._state.exists():
+                first_doc, n_seen = self._state.get()
+            else:
+                first_doc, n_seen = None, 0
+            out = {
+                "doc_id": [],
+                "band_idx": [],
+                "band_key": [],
+                "n_prior": [],
+                "first_doc_id": [],
+            }
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                # doc_id order makes "earlier" deterministic in-batch
+                for doc in sorted(int(x) for x in pdf["doc_id"]):
+                    out["doc_id"].append(doc)
+                    out["band_idx"].append(int(band_idx))
+                    out["band_key"].append(str(band_key))
+                    out["n_prior"].append(n_seen)
+                    out["first_doc_id"].append(
+                        first_doc if first_doc is not None else doc
+                    )
+                    if first_doc is None:
+                        first_doc = doc
+                    n_seen += 1
+            self._state.update((first_doc, n_seen))
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return BandBucketScreenProcessor()
+
+
+def streaming_lsh_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrival-time near-dup screening: every (doc, band) row reports
+    how many earlier docs already occupy its band bucket and which doc
+    arrived there first. Keyed state = ONE (first_doc, n_seen) row per
+    live bucket — bounded by distinct buckets in the horizon, never by
+    corpus history (production sets a state TTL on the bucket store;
+    the screen is probabilistic anyway, so expiring a bucket only
+    reverts its docs to unflagged).
+
+    Within one micro-batch, rows are processed in doc_id order, so
+    "earlier" is deterministic (arrival order across batches, doc_id
+    within a batch) and the batch==stream pin in the tests is exact.
+    Downstream, ``n_prior > 0`` rows go to the exact-verify tier
+    (``operators/dedup.dedup_incremental_lsh``'s batch join)."""
+    bands = minhash_band_stream(docs, text_col).select(
+        "doc_id", "band_idx", "band_key"
+    )
+    docs.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return bands.groupBy("band_idx", "band_key").transformWithStateInPandas(
+        statefulProcessor=_band_bucket_processor(),
+        outputStructType=_lsh_screen_schema(),
+        outputMode="Append",
+        timeMode="None",
+    )

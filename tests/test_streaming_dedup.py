@@ -196,3 +196,77 @@ def test_streaming_dedup_rocksdb_provider_parity(spark, tmp_path):
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, old)
+
+
+# --- streaming MinHash-LSH screen: batch==stream band accounting ----------
+
+
+def test_streaming_lsh_screen_matches_batch_banding(spark, tmp_path):
+    """The stream's per-(doc, band) collision accounting must equal the
+    batch referee: same banded signatures (shared Column expressions),
+    buckets ordered by (arrival batch, doc_id)."""
+    import datetime as dt
+
+    from go_zoom_kinesis_spark.streaming.dedup_stream import (
+        minhash_band_stream,
+        streaming_lsh_screen,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # last token differs
+    other = "one two three four five six seven eight"
+    batch1 = [(10, t0, base), (11, t0, other)]
+    batch2 = [
+        (20, t0, base),   # exact dup of 10 -> all 4 buckets collide
+        (21, t0, near),   # near dup -> some buckets collide
+        (22, t0, "unrelated tokens entirely different words here now"),
+    ]
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, batch1)
+    _write_batch(spark, src, batch2)
+
+    # batch referee: same banding projection, arrival order =
+    # (batch, doc_id)
+    arrival = {d: 0 for d, _, _ in batch1} | {d: 1 for d, _, _ in batch2}
+    bdf = minhash_band_stream(
+        spark.createDataFrame(batch1 + batch2, DOC_SCHEMA)
+    ).select("doc_id", "band_idx", "band_key")
+    buckets = {}
+    for r in bdf.collect():
+        buckets.setdefault((r["band_idx"], r["band_key"]), []).append(
+            r["doc_id"]
+        )
+    expected = set()
+    for (bi, bk), docs in buckets.items():
+        docs.sort(key=lambda d: (arrival[d], d))
+        for i, d in enumerate(docs):
+            expected.add((d, bi, bk, i, docs[0]))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_lsh_screen(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_screen_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["band_idx"], r["band_key"], r["n_prior"], r["first_doc_id"])
+        for r in spark.sql("select * from lsh_screen_t").collect()
+    }
+    assert got == expected
+    # the exact duplicate must be flagged in EVERY band; the unrelated
+    # doc in none — invariants independent of the referee
+    flagged = {}
+    for d, bi, bk, n_prior, first in got:
+        flagged[d] = flagged.get(d, 0) + (1 if n_prior > 0 else 0)
+    assert flagged[20] == 4
+    assert flagged[22] == 0

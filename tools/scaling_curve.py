@@ -48,7 +48,7 @@ SF10_DIR = os.path.join(
     "sf10",
 )
 # optional FIFTH decade: documents/embeddings-only 10× amplification of
-# sf10 (~6M docs / 6.4M vectors); growth_10x_d reports the 10→100 step.
+# sf10 (measured 5.0M docs / 6.4M vectors); growth_10x_d reports the 10→100 step.
 SF100_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scratch",

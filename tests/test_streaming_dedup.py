@@ -270,3 +270,69 @@ def test_streaming_lsh_screen_matches_batch_banding(spark, tmp_path):
         flagged[d] = flagged.get(d, 0) + (1 if n_prior > 0 else 0)
     assert flagged[20] == 4
     assert flagged[22] == 0
+
+
+def test_two_tier_screen_covers_batch_verify(spark, tmp_path, sf_dir):
+    """Two-tier architecture pin: every document the batch verify tier
+    (dedup_incremental_lsh: incoming slice vs standing corpus, exact
+    Jaccard) reports MUST have been flagged by the streaming screen
+    when the corpus arrives as (existing batch, incoming batch) — the
+    screen's band buckets are the same relation the verify join
+    probes, so a verify hit without a screen flag is impossible."""
+    from go_zoom_kinesis_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_SLOT,
+        dedup_incremental_lsh,
+    )
+    from go_zoom_kinesis_spark.streaming.dedup_stream import (
+        streaming_lsh_screen,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    existing = [
+        (r["doc_id"], t0, r["text"])
+        for r in docs
+        if r["doc_id"] % INCR_MOD != INCR_SLOT
+    ]
+    incoming = [
+        (r["doc_id"], t0, r["text"])
+        for r in docs
+        if r["doc_id"] % INCR_MOD == INCR_SLOT
+    ]
+    src = str(tmp_path / "src2")
+    _write_batch(spark, src, existing)
+    _write_batch(spark, src, incoming)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_lsh_screen(stream)
+        .writeStream.format("memory")
+        .queryName("two_tier_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flagged = {
+        r["doc_id"]
+        for r in spark.sql(
+            "select doc_id from two_tier_t where n_prior > 0"
+        ).collect()
+    }
+    verified = {
+        r["doc_id"] for r in dedup_incremental_lsh(spark, sf_dir).collect()
+    }
+    assert verified, "verify tier found nothing - pin is vacuous"
+    assert verified <= flagged

@@ -573,7 +573,11 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<long>")
         )
     )
-    inst = kg.select("doc_id", F.explode(prints).alias("fp"))
+    # cache: inst (the full HOF chain's output) feeds BOTH the df
+    # aggregate and the posting join — uncached, the token-hash →
+    # k-gram → window-min pipeline runs twice; posting feeds both
+    # self-join sides the same way
+    inst = kg.select("doc_id", F.explode(prints).alias("fp")).cache()
     good = (
         inst.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -582,7 +586,7 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fp")
     )
-    posting = inst.join(good, "fp")
+    posting = inst.join(good, "fp").cache()
     a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
     b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -1236,7 +1236,11 @@ def _exact_pairs_ppjoin(arrs: DataFrame) -> DataFrame:
     ceil_theta = F.floor(
         (F.col("sz") * _RA_TN + (_RA_TD - 1)) / _RA_TD
     )
-    prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_theta + 1)
+    # cache: both candidate-join sides read the prefix relation — the
+    # same discipline simjoin.similarity_prefix_join applies
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - ceil_theta + 1
+    ).cache()
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "shash",

@@ -170,8 +170,8 @@ HEADLINE_R7 = [
     "sample_neyman_allocation",
 ]
 
-# round-8 staging area (registry.staged_queries): benched as -1.0 until
-# the r8 merge moves them into the registered surface
+# the round-7 staging cohort, registered at round 8 — benched like any
+# other headline set since the merge
 HEADLINE_R8 = [
     "simhash_hamming_join",
     "duplicate_span_scrub",

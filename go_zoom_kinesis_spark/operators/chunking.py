@@ -295,9 +295,6 @@ def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     weighted = top.select("token", "c", w.alias("w"))
     total = weighted.agg(F.sum("w").alias("total_w"))
-    cum_w = Window.orderBy(F.desc("c"), F.asc("token")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
         weighted.crossJoin(F.broadcast(total))
         .withColumn(
@@ -485,12 +482,20 @@ def _bpe_ctes() -> str:
             f"b{k} AS (SELECT l, r, pc FROM p{k} "
             f"ORDER BY pc DESC, l ASC, r ASC LIMIT 1)"
         )
+        # coalesce the scalar subqueries: if step k found no candidate
+        # pair (degenerate corpus — every word already one symbol),
+        # b{k} is empty and a bare scalar subquery yields NULL, making
+        # replace(seq, NULL, NULL) NULL out every row. chr(2)||chr(3)
+        # (an empty-symbol wrapper) can never occur in a sequence, so
+        # the coalesced replace is the identity — matching the Spark
+        # side, which simply stops merging when no pair remains.
         ctes.append(
             f"""w{k} AS (
             SELECT w, replace(seq,
-                (SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3)
-                 FROM b{k}),
-                (SELECT chr(2) || l || r || chr(3) FROM b{k})) AS seq, c
+                coalesce((SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3)
+                 FROM b{k}), chr(2) || chr(3)),
+                coalesce((SELECT chr(2) || l || r || chr(3) FROM b{k}), ''))
+                AS seq, c
             FROM {prev}
         )"""
         )
@@ -613,3 +618,13 @@ ORACLE_R8["tokenizer_apply_bpe"] = (
     FROM joined GROUP BY lang
 """
 )
+
+
+# --- round-8 merge (VERDICT r7 task 1) ----------------------------------
+# The r7 registration freeze is over: every staged QUERIES_R8/ORACLE_R8
+# entry joins the registered driver surface and earns CORRECTNESS rows
+# like any other query. The staged dicts are deleted so
+# registry.staged_queries() reports an empty staging area.
+QUERIES.update(QUERIES_R8)
+ORACLE.update(ORACLE_R8)
+del QUERIES_R8, ORACLE_R8

@@ -723,3 +723,13 @@ ORACLE_R8 = {
         FROM kept
     """,
 }
+
+
+# --- round-8 merge (VERDICT r7 task 1) ----------------------------------
+# The r7 registration freeze is over: every staged QUERIES_R8/ORACLE_R8
+# entry joins the registered driver surface and earns CORRECTNESS rows
+# like any other query. The staged dicts are deleted so
+# registry.staged_queries() reports an empty staging area.
+QUERIES.update(QUERIES_R8)
+ORACLE.update(ORACLE_R8)
+del QUERIES_R8, ORACLE_R8

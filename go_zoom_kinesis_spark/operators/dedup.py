@@ -936,64 +936,78 @@ ORACLE["bloom_novelty_filter"] = f"""
 # NOT enter the driver registry until the round-8 merge (the round-7
 # registration freeze keeps the driver window on tier-3 re-checks).
 
-SIM64_BITS = 64
-SIM64_BANDS = 4
-SIM64_BAND_BITS = SIM64_BITS // SIM64_BANDS  # 16
-SIM64_HAMMING_MAX = SIM64_BANDS - 1  # pigeonhole: <= 3 diff bits => >=1 clean band
-# 64 affine families derived deterministically from the base 16 (both
+# r8 widening (VERDICT r7 task 2): the r7 64-bit / 4×16-bit-band form
+# went super-linear on the fifth decade (12.77×/decade at sf100 — band
+# collision onset at ~76 docs per 16-bit bucket over 5M docs). Per its
+# own designed fix, the signature itself is widened: 125 bits packed as
+# FIVE 25-bit bands. Each band key now draws from a 2^25 space (512×
+# the old 2^16), so expected bucket occupancy at 5M docs falls from
+# ~76 to ~0.15; the pigeonhole guarantee is unchanged in form
+# (hamming <= bands-1 => at least one clean band).
+SIMW_BITS = 125
+SIMW_BANDS = 5
+SIMW_BAND_BITS = SIMW_BITS // SIMW_BANDS  # 25
+SIMW_HAMMING_MAX = SIMW_BANDS - 1  # pigeonhole: <= 4 diff bits => >=1 clean band
+# 125 affine families derived deterministically from the base 16 (both
 # engines see the same literal constants via the f-string oracle)
-SIM64_A = [(H.A[i % 16] * pow(6151, i // 16, H.P)) % H.P for i in range(SIM64_BITS)]
-SIM64_B = [(H.B[i % 16] + 1009 * (i // 16)) % H.P for i in range(SIM64_BITS)]
+SIMW_A = [(H.A[i % 16] * pow(6151, i // 16, H.P)) % H.P for i in range(SIMW_BITS)]
+SIMW_B = [(H.B[i % 16] + 1009 * (i // 16)) % H.P for i in range(SIMW_BITS)]
 
 
 def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup JOIN on 64-bit SimHash with banded Hamming search —
-    Charikar's simhash taken from per-doc signature (``dedup_simhash``)
-    to an actual pair-finding join, the web-scale near-dup algorithm of
-    Manku/Jain/Sarma (WWW'07, public literature).
+    """Near-dup JOIN on a wide ({SIMW_BITS}-bit) SimHash with banded
+    Hamming search — Charikar's simhash taken from per-doc signature
+    (``dedup_simhash``) to an actual pair-finding join, the web-scale
+    near-dup algorithm of Manku/Jain/Sarma (WWW'07, public literature).
 
-    Signature: 64 sign-bits, each the majority vote of the doc's
-    distinct token hashes under an affine family; packed as FOUR 16-bit
-    band values (no single 64-bit pack — bit 63 would overflow signed
-    bigint, and the bands are what the join keys on anyway).
+    Signature: {SIMW_BITS} sign-bits, each the majority vote of the
+    doc's distinct token hashes under an affine family; packed as FIVE
+    {SIMW_BAND_BITS}-bit band values (no single wide pack — >63 bits
+    overflows signed bigint, and the bands are what the join keys on
+    anyway).
 
     Candidate generation is Manku's FIRST-MATCHING-BAND formulation:
-    four sig×sig equi-joins, one per band, where join k additionally
+    five sig×sig equi-joins, one per band, where join k additionally
     requires every band j < k to DIFFER — each qualifying pair is
     produced by exactly ONE join, so no candidate relation is ever
     materialized, deduplicated, or re-joined against a signature
     dictionary (the r7-draft stack→distinct→re-join shape measured
     54 s at sf10; this one 17 s on identical output). Pigeonhole: a
-    pair at Hamming distance <= {SIM64_HAMMING_MAX} differs in at most
-    {SIM64_HAMMING_MAX} of the {SIM64_BANDS} bands, so at least one
+    pair at Hamming distance <= {SIMW_HAMMING_MAX} differs in at most
+    {SIMW_HAMMING_MAX} of the {SIMW_BANDS} bands, so at least one
     band matches exactly — ZERO false negatives by construction.
-    Verify: hamming = sum of bit_count(XOR) over the four band values,
+    Verify: hamming = sum of bit_count(XOR) over the five band values,
     in the same join projection.
 
-    Scale — a MEASURED negative result worth keeping: Manku's combo-key
+    Scale — the r8 widening and the MEASURED negative result behind it.
+    The r7 form (64 bits, 4×16-bit bands) went super-linear on the
+    fifth decade (12.77×/decade at sf100 — ~76 docs per 16-bit bucket
+    at 5M docs). Two fixes were on the table. Manku's combo-key
     variant (64 bits in 6 blocks, join on C(6,3)=20 exact-3-block
     ~32-bit keys) was implemented and benchmarked on the sf100 decade
     (5M docs), expecting collisions to fall from n²/2^16 to n²/2^32.
-    It ran MINUTES against this formulation's 12 s, for two reasons the
+    It ran MINUTES against the banded form's 12 s, for two reasons the
     uniform-key model misses: (a) simhash bits over a small vocabulary
     are heavily correlated — the measured per-combo probe mass over the
     3.8M DISTINCT signatures was ~20M pairs per key family, four
     orders of magnitude above the 1.7k a uniform 2^33 key space
-    predicts, so wider keys bought almost nothing; and (b) exact-
-    signature cliques (max measured clique 444 docs; 40M hamming-0
-    pairs) re-probe in EVERY combination — 20× vs this form's 4×.
-    When collisions do outgrow this formulation (~10M docs in one
-    signature space), the fix that survives bit correlation is WIDENING
-    THE SIGNATURE itself (128-bit simhash, 5 bands × 25+ bits, same
-    pigeonhole argument and the same equi-join shape) — not widening
-    composite keys over the same 64 biased bits. Beyond collisions
-    the output IS pairwise near-dups, so cost is output-bound: a
-    template-heavy corpus (m-doc clusters contribute m^2/2 pairs —
-    30.2M pairs on the 500k-doc fourth decade) pays for its own
-    duplication, and the standard mitigation at 100 TB is exactly the
-    one ``dedup_components`` implements downstream: fold pairs into
-    components and keep one representative. The signature pass is one
-    scan (64 integer folds per row, no shuffle)."""
+    predicts, so wider COMPOSITE keys over the same 64 biased bits
+    bought almost nothing; and (b) exact-signature cliques (max
+    measured clique 444 docs; 40M hamming-0 pairs) re-probe in EVERY
+    combination — 20× vs the banded form's 4×. The fix that survives
+    bit correlation is WIDENING THE SIGNATURE itself — this version:
+    {SIMW_BITS} fresh sign-bits, {SIMW_BANDS} bands of
+    {SIMW_BAND_BITS} bits, so each band key draws on {SIMW_BAND_BITS}
+    INDEPENDENT majority votes (a 512×-larger key space per band with
+    new information in it, not a recombination of old bits), same
+    pigeonhole argument and the same equi-join shape. Beyond
+    collisions the output IS pairwise near-dups, so cost is
+    output-bound: a template-heavy corpus (m-doc clusters contribute
+    m^2/2 pairs) pays for its own duplication, and the standard
+    mitigation at 100 TB is exactly the one ``dedup_components``
+    implements downstream: fold pairs into components and keep one
+    representative. The signature pass is one scan ({SIMW_BITS}
+    integer folds per row, no shuffle)."""
     docs = _docs(spark, sf_dir)
     th = (
         fan_out_narrow(docs)
@@ -1007,7 +1021,7 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _vote64(j: int):
-        return lambda t: ((t * SIM64_A[j] + SIM64_B[j]) % H.P % 2) * 2 - 1
+        return lambda t: ((t * SIMW_A[j] + SIMW_B[j]) % H.P % 2) * 2 - 1
 
     votes = th.select(
         "doc_id",
@@ -1017,32 +1031,32 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ).alias(f"v{j}")
-            for j in range(SIM64_BITS)
+            for j in range(SIMW_BITS)
         ],
     )
     band_cols = []
-    for k in range(SIM64_BANDS):
+    for k in range(SIMW_BANDS):
         expr = None
-        for r in range(SIM64_BAND_BITS):
-            j = k * SIM64_BAND_BITS + r
+        for r in range(SIMW_BAND_BITS):
+            j = k * SIMW_BAND_BITS + r
             bit = F.when(F.col(f"v{j}") > 0, F.lit(2**r)).otherwise(F.lit(0))
             expr = bit if expr is None else expr + bit
         band_cols.append(expr.cast("long").alias(f"b{k}"))
     sigs = votes.select("doc_id", *band_cols).cache()
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIM64_BANDS)],
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIMW_BANDS)],
     )
     b = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIM64_BANDS)],
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIMW_BANDS)],
     )
     ham = None
-    for k in range(SIM64_BANDS):
+    for k in range(SIMW_BANDS):
         term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
         ham = term if ham is None else ham + term
     parts = []
-    for k in range(SIM64_BANDS):
+    for k in range(SIMW_BANDS):
         cond = (F.col(f"a{k}") == F.col(f"bb{k}")) & (
             F.col("doc_a") < F.col("doc_b")
         )
@@ -1051,7 +1065,7 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             a.join(b, cond)
             .withColumn("hamming", ham.cast("long"))
-            .filter(F.col("hamming") <= SIM64_HAMMING_MAX)
+            .filter(F.col("hamming") <= SIMW_HAMMING_MAX)
             .select("doc_a", "doc_b", "hamming")
         )
     out = parts[0]
@@ -1064,21 +1078,21 @@ QUERIES_R8 = {
     "simhash_hamming_join": simhash_hamming_join,
 }
 
-_V64_COLS = ",\n                   ".join(
-    f"sum((thash * {SIM64_A[j]} + {SIM64_B[j]}) % {H.P} % 2 * 2 - 1) AS v{j}"
-    for j in range(SIM64_BITS)
+_VW_COLS = ",\n                   ".join(
+    f"sum((thash * {SIMW_A[j]} + {SIMW_B[j]}) % {H.P} % 2 * 2 - 1) AS v{j}"
+    for j in range(SIMW_BITS)
 )
-_B64_COLS = ",\n                   ".join(
+_BW_COLS = ",\n                   ".join(
     "CAST("
     + " + ".join(
-        f"CASE WHEN v{k * SIM64_BAND_BITS + r} > 0 THEN {2**r} ELSE 0 END"
-        for r in range(SIM64_BAND_BITS)
+        f"CASE WHEN v{k * SIMW_BAND_BITS + r} > 0 THEN {2**r} ELSE 0 END"
+        for r in range(SIMW_BAND_BITS)
     )
     + f" AS BIGINT) AS b{k}"
-    for k in range(SIM64_BANDS)
+    for k in range(SIMW_BANDS)
 )
-_HAM64 = " + ".join(
-    f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(SIM64_BANDS)
+_HAMW = " + ".join(
+    f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(SIMW_BANDS)
 )
 
 ORACLE_R8 = {
@@ -1091,28 +1105,28 @@ ORACLE_R8 = {
         ),
         votes AS (
             SELECT doc_id,
-                   {_V64_COLS}
+                   {_VW_COLS}
             FROM th GROUP BY doc_id
         ),
         sigs AS (
             SELECT doc_id,
-                   {_B64_COLS}
+                   {_BW_COLS}
             FROM votes
         ),
         pairs AS (
             {" UNION ALL ".join(
                 "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                f"CAST({_HAM64} AS BIGINT) AS hamming "
+                f"CAST({_HAMW} AS BIGINT) AS hamming "
                 "FROM sigs x JOIN sigs y ON x.b%d = y.b%d "
                 "AND x.doc_id < y.doc_id%s" % (
                     k, k,
                     "".join(f" AND x.b{j} <> y.b{j}" for j in range(k)),
                 )
-                for k in range(SIM64_BANDS)
+                for k in range(SIMW_BANDS)
             )}
         )
         SELECT doc_a, doc_b, hamming FROM pairs
-        WHERE hamming <= {SIM64_HAMMING_MAX}
+        WHERE hamming <= {SIMW_HAMMING_MAX}
     """,
 }
 
@@ -1411,3 +1425,13 @@ ORACLE_R8["lsh_recall_audit"] = f"""
                AS precision_ppm
     FROM agg
 """
+
+
+# --- round-8 merge (VERDICT r7 task 1) ----------------------------------
+# The r7 registration freeze is over: every staged QUERIES_R8/ORACLE_R8
+# entry joins the registered driver surface and earns CORRECTNESS rows
+# like any other query. The staged dicts are deleted so
+# registry.staged_queries() reports an empty staging area.
+QUERIES.update(QUERIES_R8)
+ORACLE.update(ORACLE_R8)
+del QUERIES_R8, ORACLE_R8

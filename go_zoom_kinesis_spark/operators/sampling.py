@@ -634,11 +634,15 @@ def purged_timefold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, which also makes the embargo arithmetic exact integer
     hour math in both engines."""
     ev = _t(spark, sf_dir, "events")
+    # exact integer FLOOR division (a - pmod(a, h)) div h, matching
+    # DuckDB's // for negative (pre-1970) timestamps too — double
+    # division + cast-to-long truncates toward zero instead
     hb = (
         ev.select(
-            (F.unix_micros("ts") / _HOUR_US)
-            .cast("long")
-            .alias("hour")
+            F.expr(
+                f"(unix_micros(ts) - pmod(unix_micros(ts), {_HOUR_US}))"
+                f" div {_HOUR_US}"
+            ).alias("hour")
         )
         .groupBy("hour")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -740,3 +744,13 @@ ORACLE_R8["purged_timefold_assign"] = f"""
            t.n_total - f.n_test - coalesce(e.n_embargo, 0) AS n_train
     FROM fr f LEFT JOIN emb e ON e.fold = f.fold, tot t
 """
+
+
+# --- round-8 merge (VERDICT r7 task 1) ----------------------------------
+# The r7 registration freeze is over: every staged QUERIES_R8/ORACLE_R8
+# entry joins the registered driver surface and earns CORRECTNESS rows
+# like any other query. The staged dicts are deleted so
+# registry.staged_queries() reports an empty staging area.
+QUERIES.update(QUERIES_R8)
+ORACLE.update(ORACLE_R8)
+del QUERIES_R8, ORACLE_R8

@@ -172,21 +172,25 @@ def _band_bucket_processor():
                 "n_prior": [],
                 "first_doc_id": [],
             }
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
-                # doc_id order makes "earlier" deterministic in-batch
-                for doc in sorted(int(x) for x in pdf["doc_id"]):
-                    out["doc_id"].append(doc)
-                    out["band_idx"].append(int(band_idx))
-                    out["band_key"].append(str(band_key))
-                    out["n_prior"].append(n_seen)
-                    out["first_doc_id"].append(
-                        first_doc if first_doc is not None else doc
-                    )
-                    if first_doc is None:
-                        first_doc = doc
-                    n_seen += 1
+            # accumulate ALL Arrow chunks first, then walk one sorted
+            # list: a bucket's rows may span multiple pandas chunks,
+            # and per-chunk sorting would make n_prior/first_doc_id
+            # follow chunk arrival order, breaking the "doc_id order
+            # within a batch" determinism pin
+            batch_docs = sorted(
+                int(x) for pdf in rows for x in pdf["doc_id"]
+            )
+            for doc in batch_docs:
+                out["doc_id"].append(doc)
+                out["band_idx"].append(int(band_idx))
+                out["band_key"].append(str(band_key))
+                out["n_prior"].append(n_seen)
+                out["first_doc_id"].append(
+                    first_doc if first_doc is not None else doc
+                )
+                if first_doc is None:
+                    first_doc = doc
+                n_seen += 1
             self._state.update((first_doc, n_seen))
             yield pd.DataFrame(out)
 
@@ -209,7 +213,15 @@ def streaming_lsh_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
     "earlier" is deterministic (arrival order across batches, doc_id
     within a batch) and the batch==stream pin in the tests is exact.
     Downstream, ``n_prior > 0`` rows go to the exact-verify tier
-    (``operators/dedup.dedup_incremental_lsh``'s batch join)."""
+    (``operators/dedup.dedup_incremental_lsh``'s batch join).
+
+    SESSION-CONF SIDE EFFECT (contract): building this query SETS
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider on the caller's SparkSession — ``transformWithState``
+    requires it (same rule as ``streaming/stateful_v2``), and the
+    setting persists for every later streaming query on the session.
+    Callers that need the default HDFS-backed provider elsewhere must
+    restore the conf themselves after building this query."""
     bands = minhash_band_stream(docs, text_col).select(
         "doc_id", "band_idx", "band_key"
     )

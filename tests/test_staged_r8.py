@@ -1,8 +1,7 @@
-"""Round-8 staging area: the operators finished during the round-7
-registration freeze (``registry.staged_queries``) get the SAME oracle
-parity gate as the registered surface, plus pure-Python referees for
-their algorithmic invariants — so the round-8 merge is a dict move, not
-a verification event.
+"""The round-7 staging cohort, now REGISTERED (round-8 merge): the 14
+operators finished during the r7 registration freeze keep their oracle
+parity gate and pure-Python referees here, running against the
+registered surface they merged into.
 """
 
 from __future__ import annotations
@@ -18,8 +17,27 @@ from tests.util import assert_matches_oracle, duck_connection
 
 P = 2_147_483_647
 
-STAGED_Q = registry.staged_queries()
-STAGED_O = registry.staged_oracle_sql()
+# the r7 staging cohort, merged into the registered surface at round 8
+R8_NAMES = (
+    "simhash_hamming_join",
+    "duplicate_span_scrub",
+    "retrieval_mrr_eval",
+    "feature_hash_vectorize",
+    "negative_sampling_unigram",
+    "ts_linear_interpolate",
+    "bpe_train_merges",
+    "tokenizer_apply_bpe",
+    "winnow_fingerprint_overlap",
+    "dedup_incremental_lsh",
+    "domain_frequency_cap",
+    "lsh_recall_audit",
+    "filter_survival_sweep",
+    "purged_timefold_assign",
+)
+_ALL_Q = registry.all_queries()
+_ALL_O = registry.all_oracle_sql()
+STAGED_Q = {n: _ALL_Q[n] for n in R8_NAMES}
+STAGED_O = {n: _ALL_O[n] for n in R8_NAMES}
 
 
 @pytest.fixture(scope="module")
@@ -43,16 +61,17 @@ def _py_char_hash(s):
 # --- the same gate the registered surface gets ---------------------------
 
 
-def test_staging_area_is_nonempty_and_fully_oracled():
-    assert STAGED_Q
-    assert sorted(STAGED_O) == sorted(STAGED_Q)
-
-
-def test_staged_names_not_registered():
+def test_r8_cohort_registered_and_staging_area_empty():
+    """The round-8 merge happened: every cohort name is on the live
+    driver surface (queries + oracle) and nothing is left staged."""
     import __spark_entry__ as entrymod
 
-    live = set(entrymod.queries())
-    assert not (set(STAGED_Q) & live)
+    live_q = entrymod.queries()
+    live_o = entrymod.oracle_sql()
+    assert set(R8_NAMES) <= set(live_q)
+    assert set(R8_NAMES) <= set(live_o)
+    assert not registry.staged_queries()
+    assert not registry.staged_oracle_sql()
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_Q))
@@ -64,36 +83,36 @@ def test_staged_matches_oracle(spark, sf_dir, duck, name):
 # --- simhash_hamming_join: pigeonhole no-false-negatives -----------------
 
 
-def _py_sim64_bands(ths):
+def _py_simw_bands(ths):
     from go_zoom_kinesis_spark.operators.dedup import (
-        SIM64_A,
-        SIM64_B,
-        SIM64_BAND_BITS,
-        SIM64_BANDS,
-        SIM64_BITS,
+        SIMW_A,
+        SIMW_B,
+        SIMW_BAND_BITS,
+        SIMW_BANDS,
+        SIMW_BITS,
     )
 
-    votes = [0] * SIM64_BITS
+    votes = [0] * SIMW_BITS
     for t in ths:
-        for j in range(SIM64_BITS):
-            votes[j] += ((t * SIM64_A[j] + SIM64_B[j]) % P % 2) * 2 - 1
+        for j in range(SIMW_BITS):
+            votes[j] += ((t * SIMW_A[j] + SIMW_B[j]) % P % 2) * 2 - 1
     bands = []
-    for k in range(SIM64_BANDS):
+    for k in range(SIMW_BANDS):
         v = 0
-        for r in range(SIM64_BAND_BITS):
-            if votes[k * SIM64_BAND_BITS + r] > 0:
+        for r in range(SIMW_BAND_BITS):
+            if votes[k * SIMW_BAND_BITS + r] > 0:
                 v |= 1 << r
         bands.append(v)
     return bands
 
 
 def test_simhash_hamming_join_no_false_negatives(spark, sf_dir):
-    """Brute-force referee: every pair at Hamming distance <= 3 in the
-    full 64-bit signature space MUST appear (pigeonhole over the 4
-    bands), and every reported hamming must match the exact XOR
-    popcount."""
+    """Brute-force referee: every pair at Hamming distance <=
+    SIMW_HAMMING_MAX in the full wide signature space MUST appear
+    (pigeonhole over the SIMW_BANDS bands), and every reported hamming
+    must match the exact XOR popcount."""
     from go_zoom_kinesis_spark.operators.dedup import (
-        SIM64_HAMMING_MAX,
+        SIMW_HAMMING_MAX,
         simhash_hamming_join,
     )
 
@@ -102,7 +121,7 @@ def test_simhash_hamming_join_no_false_negatives(spark, sf_dir):
     for d in docs:
         ths = sorted({_py_char_hash(t) for t in _py_tokens(d["text"])})
         if ths:
-            sigs[d["doc_id"]] = _py_sim64_bands(ths)
+            sigs[d["doc_id"]] = _py_simw_bands(ths)
     expected = {}
     ids = sorted(sigs)
     for i, a in enumerate(ids):
@@ -110,7 +129,7 @@ def test_simhash_hamming_join_no_false_negatives(spark, sf_dir):
             ham = sum(
                 bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
             )
-            if ham <= SIM64_HAMMING_MAX:
+            if ham <= SIMW_HAMMING_MAX:
                 expected[(a, b)] = ham
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
@@ -338,11 +357,11 @@ def test_duck_list_reduce_conditional_hazard():
 
     from go_zoom_kinesis_spark.operators.relational4 import (
         GREEDY_ENC,
-        ORACLE_R8,
+        ORACLE,
         SPAN_N,
     )
 
-    sql = ORACLE_R8["duplicate_span_scrub"]
+    sql = ORACLE["duplicate_span_scrub"]
     fold = sql[sql.index("folded AS") : sql.index("nrem")]
     assert "CASE" not in fold, "greedy fold must stay branch-free (see docstring)"
 

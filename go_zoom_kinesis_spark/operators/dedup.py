@@ -1427,6 +1427,158 @@ ORACLE_R8["lsh_recall_audit"] = f"""
 """
 
 
+# --- round-8: the two-tier near-dup ARCHITECTURE, composed ---------------
+
+
+def dedup_two_tier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-tier near-dup architecture composed END-TO-END as one
+    batch query (VERDICT r7 task 6): screen-flag → exact-verify →
+    survivor decision, one row per document.
+
+    Tier 1 — SCREEN: the batch twin of the streaming band-bucket
+    screen (``streaming/dedup_stream.streaming_lsh_screen``; the
+    stream processes arrivals in doc_id order within a batch, so
+    doc_id IS the batch-expressible arrival order). A doc is flagged
+    iff some band bucket it occupies contains an EARLIER doc — bucket
+    min + per-doc flag, two aggregates over the band relation, no
+    pairs materialized at this tier.
+
+    Tier 2 — VERIFY: only flagged docs are joined against their
+    earlier bucket-mates (the ``dedup_incremental_lsh`` shape), then
+    exact-jaccard verified at the shared {JACCARD_THRESHOLD}
+    threshold via the same ``_pair_jaccard`` semi-join reduction.
+    Restricting verification to flagged docs loses NOTHING: a
+    verified pair shares a band by construction, so the later doc of
+    any qualifying pair is always screen-flagged (screen ⊇ verify —
+    the architecture pin of `tests/test_streaming_dedup.py`, here
+    made a property the driver grades).
+
+    Decision: a doc SURVIVES iff no earlier near-dup verified;
+    otherwise its canonical is the smallest verified earlier match.
+
+    Scale: screen cost is two shuffles of the (doc, band) relation
+    (∝ corpus, never pairs); verify cost is ∝ flagged docs × bucket
+    collision rate (the incremental-LSH bound); the decision is a
+    per-doc left join. At 100 TB the screen tier runs as the always-on
+    stream, verify as the batch job over its flags — this query is
+    that architecture with the tiers glued, so one driver hash covers
+    the composition."""
+    docs = _docs(spark, sf_dir)
+    arrs = _shingle_arrays(docs).cache()
+    # cache: bands feeds the bucket-min aggregate, the per-doc flag
+    # join, and both candidate sides — uncached it would re-minhash
+    # the corpus four times
+    bands = _minhash_bands(arrs).cache()
+    bmin = bands.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    screen = (
+        bands.join(bmin, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                (F.col("doc_id") > F.col("first_doc")).cast("int")
+            ).alias("hit")
+        )
+    )
+    flagged = screen.filter(F.col("hit") == 1).select("doc_id")
+    later = bands.join(flagged, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    earlier = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    cand = (
+        later.join(earlier, ["band_idx", "band_key"])
+        .filter(F.col("doc_b") < F.col("doc_a"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ver = _pair_jaccard(cand, arrs).filter(
+        F.col("jaccard_raw") >= JACCARD_THRESHOLD
+    )
+    perdoc = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_verified"),
+        F.min("doc_b").alias("canonical_id"),
+        F.max(F.round("jaccard_raw", 6)).alias("best_jaccard"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(screen.withColumnRenamed("hit", "s_hit"), "doc_id", "left")
+        .join(
+            perdoc.select(
+                "doc_id",
+                F.col("n_verified").alias("p_n"),
+                F.col("canonical_id").alias("p_canon"),
+                F.col("best_jaccard").alias("p_j"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("s_hit"), F.lit(0)) == 1).alias("screen_hit"),
+            F.coalesce(F.col("p_n"), F.lit(0)).cast("long").alias("n_verified"),
+            F.coalesce(F.col("p_canon"), F.col("doc_id")).alias("canonical_id"),
+            F.coalesce(F.col("p_j"), F.lit(0.0)).alias("best_jaccard"),
+            F.col("p_n").isNull().alias("is_survivor"),
+        )
+    )
+
+
+QUERIES["dedup_two_tier_pipeline"] = dedup_two_tier_pipeline
+
+ORACLE["dedup_two_tier_pipeline"] = f"""
+    {_SH_CTES},
+    sig AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM shd WHERE len(hs) > 0
+    ),
+    bands AS ({_BAND_SELECTS}),
+    bmin AS (
+        SELECT band_idx, band_key, min(doc_id) AS first_doc
+        FROM bands GROUP BY band_idx, band_key
+    ),
+    screen AS (
+        SELECT b.doc_id,
+               max(CASE WHEN b.doc_id > m.first_doc THEN 1 ELSE 0 END) AS hit
+        FROM bands b JOIN bmin m
+          ON m.band_idx = b.band_idx AND m.band_key = b.band_key
+        GROUP BY b.doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND b.doc_id < a.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM screen WHERE hit = 1)
+    ),
+    ver AS (
+        SELECT doc_a, doc_b, {_JACCARD_SQL} AS j
+        FROM cand
+        JOIN shd x ON x.doc_id = doc_a
+        JOIN shd y ON y.doc_id = doc_b
+    ),
+    perdoc AS (
+        SELECT doc_a AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_verified,
+               min(doc_b) AS canonical_id,
+               max(round(j, 6)) AS best_jaccard
+        FROM ver WHERE j >= {JACCARD_THRESHOLD}
+        GROUP BY doc_a
+    )
+    SELECT d.doc_id,
+           coalesce(s.hit, 0) = 1 AS screen_hit,
+           coalesce(p.n_verified, 0) AS n_verified,
+           coalesce(p.canonical_id, d.doc_id) AS canonical_id,
+           coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+           p.doc_id IS NULL AS is_survivor
+    FROM documents d
+    LEFT JOIN screen s ON s.doc_id = d.doc_id
+    LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+
 # --- round-8 merge (VERDICT r7 task 1) ----------------------------------
 # The r7 registration freeze is over: every staged QUERIES_R8/ORACLE_R8
 # entry joins the registered driver surface and earns CORRECTNESS rows

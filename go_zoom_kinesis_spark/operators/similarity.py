@@ -281,6 +281,42 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_bucket_fold(key, pdf):
+    """Per-bucket M-step kernel (applyInPandas): members sorted by
+    vec_id, per-dimension sums via numpy's axis-0 reduction over the
+    (N, DIM) float64 matrix — which accumulates SEQUENTIALLY in row
+    order (numpy's pairwise summation applies only to the innermost
+    contiguous axis), so the sums are bit-identical to the
+    0.0-seeded sequential fold / DuckDB list_reduce contract. The
+    kernel re-proves that property on its own first 512 rows every
+    run (a Python-loop fold vs the numpy reduction) and refuses to
+    emit if a numpy version ever changes the reduction order."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    a = np.stack(pdf["emb"].to_numpy()).astype(np.float64, copy=False)
+    head = a[: min(len(a), 512)]
+    acc = np.zeros(a.shape[1], dtype=np.float64)
+    for row in head:
+        acc = acc + row
+    if not np.array_equal(acc, head.sum(axis=0)):
+        raise AssertionError(
+            "numpy axis-0 reduction is no longer sequential; the "
+            "kmeans M-step ordered-fold contract needs the catalyst "
+            "fold fallback"
+        )
+    s = a.sum(axis=0)
+    return pd.DataFrame(
+        {
+            "bucket": np.full(a.shape[1], key[0], dtype=np.int64),
+            "pos": np.arange(a.shape[1], dtype=np.int32),
+            "dim_sum": s,
+            "n_members": np.full(a.shape[1], len(a), dtype=np.int64),
+        }
+    )
+
+
 def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd's-iteration M-step: element-wise mean of every
     cluster's member vectors (E-step assignment = the IVF coarse
@@ -288,44 +324,63 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering primitive of a training-data pipeline (corpus
     bucketing, diversity sampling).
 
-    Shape: posexplode to (bucket, dim) then one shuffle agg — 16×64
-    output rows regardless of corpus size. Determinism: per-dimension
-    sums fold sequentially over members ordered by vec_id (collect_list
-    → array_sort → fold), bit-identical to the DuckDB oracle's
-    list(ORDER BY) + list_reduce. At 100 TB the fold becomes a plain
-    `sum()` (mathematically identical, order-free) — the ordered fold
-    is the oracle-parity harness, not the scale path."""
+    Shape (the r8 constant-factor pass — VERDICT r7 task 4; output
+    bits unchanged, 16×64 rows regardless of corpus size):
+
+    - E-step IN-ROW: the {IVF_CENTROIDS} centroids are O(1) driver
+      rows, so each one becomes a LITERAL double array and the argmax
+      is a single map-side projection — greatest() over the per-
+      centroid cosines, first-match-wins on ties (== row_number's
+      cos DESC, c_id ASC with finite cosines). The r7 form built the
+      same assignment as a vectors×centroids broadcast cross join
+      (6.4M×16 = 102M rows at sf100) followed by a row_number window
+      shuffle over all of it, then joined the winners BACK to the
+      vectors — three shuffles of blown-up relations for a per-row
+      decision. Cosines are bit-identical: same _dot sequential fold
+      over the same double arrays, same double multiply/divide.
+    - M-step: ONE shuffle of the vectors keyed on bucket, then an
+      Arrow-vectorized per-bucket kernel (applyInPandas) sums
+      dimensions over members ordered by vec_id — numpy's axis-0
+      reduction is row-sequential, bit-identical to the previous
+      collect_list → array_sort → catalyst fold and to the DuckDB
+      oracle's list(ORDER BY) + list_reduce (the kernel referees
+      itself per run; `tests` pin parity end-to-end). The r7 form
+      posexploded BEFORE the shuffle — 410M (bucket, dim, x) rows at
+      sf100 vs 6.4M vector rows here.
+
+    Measured at sf100 (6.4M vectors): 40.7 s → see SCALE.md (the r8
+    row). At 100 TB the per-bucket groups parallelize with k; the
+    ordered fold stays the oracle-parity harness — production uses a
+    plain order-free sum() as documented since r6."""
     emb = _with_norm(_emb(spark, sf_dir))
-    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_CENTROIDS)
+        .select("vec_id", "emb", "norm")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    assign = (
-        emb.join(F.broadcast(cent))
-        .withColumn(
-            "c_cos",
-            _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")),
-        )
-        .withColumn(
-            "c_rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-            ),
-        )
-        .filter(F.col("c_rk") == 1)
-        .select("vec_id", F.col("c_id").alias("bucket"))
+    ids = [int(r["vec_id"]) for r in cents]
+    cos_cols = [
+        (
+            _dot(
+                F.col("emb"),
+                F.array(*[F.lit(float(x)) for x in r["emb"]]),
+            )
+            / (F.col("norm") * F.lit(float(r["norm"])))
+        ).alias(f"c{int(r['vec_id'])}")
+        for r in cents
+    ]
+    scored = emb.select("vec_id", "emb", *cos_cols)
+    best = F.greatest(*[F.col(f"c{i}") for i in ids])
+    bucket = F.when(F.col(f"c{ids[0]}") == best, F.lit(ids[0]))
+    for i in ids[1:]:
+        bucket = bucket.when(F.col(f"c{i}") == best, F.lit(i))
+    assign = scored.select(
+        bucket.cast("long").alias("bucket"), "vec_id", "emb"
     )
-    ex = assign.join(emb.select("vec_id", "emb"), "vec_id").select(
-        "bucket", "vec_id", F.posexplode("emb").alias("pos", "x")
-    )
-    agg = ex.groupBy("bucket", "pos").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("vec_id", "x"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["x"],
-        ).alias("dim_sum"),
-        F.count("*").alias("n_members"),
+    agg = assign.groupBy("bucket").applyInPandas(
+        _kmeans_bucket_fold,
+        "bucket long, pos int, dim_sum double, n_members long",
     )
     return agg.select(
         "bucket",

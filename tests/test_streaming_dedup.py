@@ -336,3 +336,33 @@ def test_two_tier_screen_covers_batch_verify(spark, tmp_path, sf_dir):
     }
     assert verified, "verify tier found nothing - pin is vacuous"
     assert verified <= flagged
+
+def test_two_tier_pipeline_composes_screen_and_verify(spark, sf_dir):
+    """The registered composed query (``dedup_two_tier_pipeline``) IS
+    the two-tier architecture, end to end: no verified doc escapes the
+    screen tier, and the verify tier reproduces the FULL LSH pair
+    relation (``dedup_minhash_lsh``) restricted to earlier partners —
+    i.e. restricting verification to screen-flagged docs loses
+    nothing."""
+    from collections import defaultdict
+
+    from go_zoom_kinesis_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_two_tier_pipeline,
+    )
+
+    rows = dedup_two_tier_pipeline(spark, sf_dir).collect()
+    assert all(r["screen_hit"] for r in rows if r["n_verified"] > 0)
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    n = defaultdict(int)
+    canon = {}
+    for p in pairs:
+        n[p["doc_b"]] += 1
+        canon[p["doc_b"]] = min(
+            canon.get(p["doc_b"], p["doc_a"]), p["doc_a"]
+        )
+    assert any(r["n_verified"] for r in rows), "verify tier empty - vacuous"
+    for r in rows:
+        assert r["n_verified"] == n.get(r["doc_id"], 0)
+        assert r["canonical_id"] == canon.get(r["doc_id"], r["doc_id"])
+        assert r["is_survivor"] == (r["n_verified"] == 0)

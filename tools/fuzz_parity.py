@@ -178,8 +178,9 @@ def main() -> None:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="fuzz the round-8 staging area (registry.staged_queries) "
-        "instead of the registered surface",
+        help="fuzz the staging area (registry.staged_queries) instead "
+        "of the registered surface (empty since the r8 merge; kept for "
+        "future staging cycles)",
     )
     args = ap.parse_args()
 

@@ -103,8 +103,9 @@ def main():
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check the round-8 staging area (registry.staged_queries) "
-        "instead of the registered surface",
+        help="check the staging area (registry.staged_queries) instead "
+        "of the registered surface (empty since the r8 merge; kept for "
+        "future staging cycles)",
     )
     args = ap.parse_args()
 

@@ -188,7 +188,10 @@ HEADLINE_R8 = [
     "filter_survival_sweep",
     "purged_timefold_assign",
     # built IN round 8: the composed two-tier near-dup architecture
+    # and the KMV mergeable distinct sketches
     "dedup_two_tier_pipeline",
+    "kmv_distinct_sketch",
+    "kmv_sketch_overlap",
 ]
 
 

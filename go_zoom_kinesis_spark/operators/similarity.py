@@ -348,10 +348,14 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       posexploded BEFORE the shuffle — 410M (bucket, dim, x) rows at
       sf100 vs 6.4M vector rows here.
 
-    Measured at sf100 (6.4M vectors): 40.7 s → see SCALE.md (the r8
-    row). At 100 TB the per-bucket groups parallelize with k; the
-    ordered fold stays the oracle-parity harness — production uses a
-    plain order-free sum() as documented since r6."""
+    Measured at sf100 (6.4M vectors): 40.7 s → 17.1 s, and every
+    decade 2.4–3.7× down (SCALE.md). The remaining ~11×/decade on the
+    fifth decade is the full-corpus scan floor (every vector is read
+    and folded exactly once) amplified by the 16-bucket fold
+    parallelism cap on 32 local cores; at 100 TB the per-bucket groups
+    parallelize with k, and the ordered fold stays the oracle-parity
+    harness — production uses a plain order-free sum() as documented
+    since r6."""
     emb = _with_norm(_emb(spark, sf_dir))
     cents = sorted(
         emb.filter(F.col("vec_id") < IVF_CENTROIDS)

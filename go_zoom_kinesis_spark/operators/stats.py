@@ -491,3 +491,320 @@ ORACLE = {
         FROM agg
     """,
 }
+
+
+# --- round 8: KMV (k-minimum-values) distinct sketches -------------------
+#
+# The mergeable cardinality sketch of Bar-Yossef et al. (RANDOM'02,
+# public literature), the exact-integer cousin of HyperLogLog: keep the
+# K smallest values of a uniform hash of the key; the K-th minimum m
+# over a hash space of size S estimates distinct count as
+# (K-1)·S / m. Every quantity is a 64-bit integer on both engines —
+# no harmonic means, no floating point, no libm.
+
+KMV_K = 12  # sketch size per group — small enough that the estimator
+# ENGAGES (k_used == K) even at the smallest shipped corpus (sf0.001:
+# 15 distinct users per event type); production uses K ≥ 1024 for
+# ~3% standard error, and nothing in the plan shape depends on K
+KMV_HEX = 14  # 14 hex digits = 56-bit hash space; (K-1)·2^56 < 2^63
+KMV_SPACE = 1 << (4 * KMV_HEX)
+KMV_BUCKET_DIV = 1 << 40  # 65536 value buckets for the two-phase top-K
+
+
+def _kmv_hash(key) -> F.Column:
+    """56-bit integer from the md5 hex of the key's decimal string —
+    the same engine-portable construction as sampling's hash bucket,
+    widened so the estimator's integer division has resolution."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, KMV_HEX), 16, 10
+    ).cast("bigint")
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality via a KMV sketch,
+    self-audited against the exact distinct count.
+
+    Scale shape: ONE dedup shuffle of (event_type, h) pairs (∝ distinct
+    keys — the cost any exact distinct pays once), then the K smallest
+    hashes per type are found with the two-phase VALUE-BUCKET
+    discipline (the round-5 pattern): per-(type, high-16-bits) bucket
+    counts, a cumulative window over that ≤65536-row bounded relation
+    picks the cutoff bucket where the running count reaches K, and the
+    per-type rank runs only over rows at-or-below the cutoff (≈ K +
+    one bucket's width) — never a full per-group sort. At 100 TB the
+    sketch rows (K per group) are what a daily job persists; sketches
+    MERGE by keeping the K smallest of a union, which is exactly how
+    ``kmv_sketch_overlap`` composes them. The exact_distinct column is
+    the audit harness (same role as ``lsh_recall_audit``'s truth
+    side); production trusts the sketch and drops that branch.
+
+    Estimator: with k_used = K and m = K-th minimum over the 2^{56}
+    space, est = (K-1)·2^{56} div m (integer floor); with fewer than K
+    distinct hashes the sketch IS the exact set, so est = exact."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dh = (
+        ev.select("event_type", _kmv_hash(F.col("user_id")).alias("h"))
+        .distinct()
+        .withColumn("bucket", F.expr(f"h div {KMV_BUCKET_DIV}"))
+        .cache()
+    )
+    bc = dh.groupBy("event_type", "bucket").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    cutoff = (
+        bc.withColumn("cum", F.sum("c").over(w_cum))
+        .filter(F.col("cum") >= KMV_K)
+        .groupBy("event_type")
+        .agg(F.min("bucket").alias("cut"))
+    )
+    kept = dh.join(F.broadcast(cutoff), "event_type", "left").filter(
+        F.col("cut").isNull() | (F.col("bucket") <= F.col("cut"))
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        kept.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_min_hash"))
+    )
+    exact = dh.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "k_used",
+            "kth_min_hash",
+            F.when(F.col("k_used") < KMV_K, F.col("exact_distinct"))
+            .otherwise(
+                F.expr(f"(k_used - 1) * {KMV_SPACE} div kth_min_hash")
+            )
+            .cast("long")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000000"
+                " div exact_distinct"
+            ),
+        )
+    )
+
+
+def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-segment audience overlap from MERGED KMV sketches — the
+    set-operation payoff of KMV (Beyer et al. SIGMOD'07): for each
+    event-type pair, merge the two K-row sketches by keeping the K
+    smallest hashes of their union; the fraction of merged entries
+    present in BOTH input sketches estimates Jaccard(users_a, users_b).
+    Reported in exact integer ppm beside the TRUE Jaccard (the audit
+    branch — a join over distinct user hashes, which at 100 TB is
+    precisely the cost the sketch exists to avoid; production keeps
+    the sketch side only).
+
+    Scale shape: the sketches come from the same two-phase value-bucket
+    top-K as ``kmv_distinct_sketch`` (one dedup shuffle, bounded
+    windows); everything pairwise happens on K-row relations
+    (T·K rows total; T = event types), so the pair stage is
+    O(T²·K) — driver-free and independent of corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dh = (
+        ev.select("event_type", _kmv_hash(F.col("user_id")).alias("h"))
+        .distinct()
+        .withColumn("bucket", F.expr(f"h div {KMV_BUCKET_DIV}"))
+        .cache()
+    )
+    bc = dh.groupBy("event_type", "bucket").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    cutoff = (
+        bc.withColumn("cum", F.sum("c").over(w_cum))
+        .filter(F.col("cum") >= KMV_K)
+        .groupBy("event_type")
+        .agg(F.min("bucket").alias("cut"))
+    )
+    kept = dh.join(F.broadcast(cutoff), "event_type", "left").filter(
+        F.col("cut").isNull() | (F.col("bucket") <= F.col("cut"))
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        kept.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("event_type", "h")
+        .cache()
+    )
+    # union of the two sketches per ordered pair, flagged by membership
+    pairs = (
+        sk.select(F.col("event_type").alias("type_a"))
+        .distinct()
+        .join(
+            sk.select(F.col("event_type").alias("type_b")).distinct(),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pa = pairs.join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"))
+    pb = pairs.join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_b"))
+    merged = (
+        pa.join(pb, ["type_a", "type_b", "h"], "full_outer")
+        .select(
+            "type_a",
+            "type_b",
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    w_m = Window.partitionBy("type_a", "type_b").orderBy("h")
+    est = (
+        merged.withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("k_merged"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    # exact-truth audit branch over the distinct-hash relation
+    da = dh.select(F.col("event_type").alias("type_a"), "h")
+    db = dh.select(F.col("event_type").alias("type_b"), "h")
+    inter = (
+        da.join(db, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = dh.groupBy("event_type").agg(F.count("*").alias("n"))
+    truth = (
+        est.join(inter, ["type_a", "type_b"], "left")
+        .join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")),
+            "type_b",
+        )
+    )
+    return truth.select(
+        "type_a",
+        "type_b",
+        "k_merged",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.expr("n_both * 1000000 div k_merged").alias("jaccard_est_ppm"),
+        F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter_true"),
+        F.expr(
+            "coalesce(n_inter, 0) * 1000000"
+            " div (n_a + n_b - coalesce(n_inter, 0))"
+        ).alias("jaccard_true_ppm"),
+    )
+
+
+QUERIES["kmv_distinct_sketch"] = kmv_distinct_sketch
+QUERIES["kmv_sketch_overlap"] = kmv_sketch_overlap
+
+_KMV_H = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, "
+    f"{KMV_HEX})) AS BIGINT)"
+)
+
+_KMV_CTES = f"""
+    WITH dh AS (
+        SELECT DISTINCT event_type, {_KMV_H} AS h
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rk
+        FROM dh
+    ),
+    sk AS (SELECT event_type, h FROM rk WHERE rk <= {KMV_K})
+"""
+
+ORACLE["kmv_distinct_sketch"] = f"""
+    {_KMV_CTES},
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k_used,
+               max(h) AS kth_min_hash
+        FROM sk GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM dh GROUP BY event_type
+    )
+    SELECT a.event_type, a.k_used, a.kth_min_hash,
+           CAST(CASE WHEN a.k_used < {KMV_K} THEN e.exact_distinct
+                ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
+                END AS BIGINT) AS est_distinct,
+           e.exact_distinct,
+           CAST(abs(CASE WHEN a.k_used < {KMV_K} THEN e.exact_distinct
+                    ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
+                    END - e.exact_distinct) * 1000000
+                // e.exact_distinct AS BIGINT) AS err_ppm
+    FROM agg a JOIN ex e ON e.event_type = a.event_type
+"""
+
+ORACLE["kmv_sketch_overlap"] = f"""
+    {_KMV_CTES},
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM sk) a
+        JOIN (SELECT DISTINCT event_type FROM sk) b
+          ON a.event_type < b.event_type
+    ),
+    uni AS (
+        SELECT p.type_a, p.type_b, s.h,
+               max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM pairs p JOIN sk s
+          ON s.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b, s.h
+    ),
+    mrk AS (
+        SELECT type_a, type_b, h, in_a, in_b,
+               row_number() OVER (PARTITION BY type_a, type_b
+                                  ORDER BY h) AS rk
+        FROM uni
+    ),
+    est AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS k_merged,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM mrk WHERE rk <= {KMV_K}
+        GROUP BY type_a, type_b
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM dh a JOIN dh b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    ),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM dh GROUP BY event_type
+    )
+    SELECT e.type_a, e.type_b, e.k_merged, e.n_both,
+           CAST(e.n_both * 1000000 // e.k_merged AS BIGINT)
+               AS jaccard_est_ppm,
+           coalesce(i.n_inter, 0) AS n_inter_true,
+           CAST(coalesce(i.n_inter, 0) * 1000000
+                // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS BIGINT)
+               AS jaccard_true_ppm
+    FROM est e
+    LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    JOIN sizes sa ON sa.event_type = e.type_a
+    JOIN sizes sb ON sb.event_type = e.type_b
+"""

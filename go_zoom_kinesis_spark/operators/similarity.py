@@ -363,6 +363,14 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["vec_id"],
     )
+    if not cents:
+        # empty corpus → no centroids → empty result with the
+        # contract schema (the join-based r7 plan produced this
+        # through its joins; the literal-centroid plan must short-
+        # circuit because greatest() needs at least one cosine)
+        return spark.createDataFrame(
+            [], "bucket long, pos int, centroid_val double, n_members long"
+        )
     ids = [int(r["vec_id"]) for r in cents]
     cos_cols = [
         (

@@ -104,3 +104,78 @@ def test_kmv_sketch_overlap_referee(spark, sf_dir):
         union = len(set(full[a]) | set(full[b]))
         assert r["n_inter_true"] == inter
         assert r["jaccard_true_ppm"] == inter * 1_000_000 // union
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path, sf_dir):
+    """Batch==stream pin for the mergeable-sketch architecture: the
+    stream tier (streaming_kmv_sketch — one K-row ListState per type,
+    merged per micro-batch) must land on EXACTLY the batch operator's
+    sketch columns when the corpus arrives as two micro-batches. The
+    final state per type is identified order-free: k_used is monotone
+    non-decreasing and, at k_used == K, kth_min_hash is monotone
+    non-increasing, so (max k_used, min kth) is the last emission."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from go_zoom_kinesis_spark.streaming.kmv_stream import (
+        streaming_kmv_sketch,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    half = len(rows) // 2
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    src = str(tmp_path / "kmv_src")
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(
+            [(r["event_type"], r["user_id"]) for r in chunk], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_kmv_sketch(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_stream_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "kmv_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from kmv_stream_t").collect()
+    assert emitted, "stream emitted nothing - pin is vacuous"
+    final = {}
+    for r in emitted:
+        t = r["event_type"]
+        cur = final.get(t)
+        if cur is None or (r["k_used"], -r["kth_min_hash"]) > (
+            cur["k_used"],
+            -cur["kth_min_hash"],
+        ):
+            final[t] = r
+    batch = {
+        r["event_type"]: r
+        for r in kmv_distinct_sketch(spark, sf_dir).collect()
+    }
+    assert sorted(final) == sorted(batch)
+    for t, b in batch.items():
+        s = final[t]
+        assert s["k_used"] == b["k_used"]
+        assert s["kth_min_hash"] == b["kth_min_hash"]
+        assert s["est_distinct"] == b["est_distinct"]

@@ -192,6 +192,7 @@ HEADLINE_R8 = [
     "dedup_two_tier_pipeline",
     "kmv_distinct_sketch",
     "kmv_sketch_overlap",
+    "coreset_kcenter_sample",
 ]
 
 

@@ -1560,3 +1560,111 @@ ORACLE_R8 = {
 QUERIES.update(QUERIES_R8)
 ORACLE.update(ORACLE_R8)
 del QUERIES_R8, ORACLE_R8
+
+
+# --- round 8: k-center coreset (Gonzalez greedy) -------------------------
+
+CORESET_K = 8  # centers selected; K scans, one O(1) driver row each
+
+
+def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset over the embedding table: Gonzalez's greedy
+    k-center (the classic 2-approximation, public literature) —
+    repeatedly select the vector FARTHEST (cosine distance) from the
+    already-selected set. The selected ids are the maximally-diverse
+    K-subset a curation team uses to seed labeling, eval slices, or
+    cluster initialization, and each step's ``radius`` (the chosen
+    vector's distance to the prior set) is a certified coverage bound:
+    after k centers every vector is within radius_k of some center.
+
+    Plan shape (the kmeans-r8 discipline): centers are O(1) driver
+    rows, so each round's min-distance is an IN-ROW chained least()
+    over literal center arrays — no join, no window, no shuffle; the
+    argmax is a TakeOrdered(1) over one scan. K rounds = K scans of a
+    cached projection with 1 collected row each (the same O(1)-per-
+    round driver discipline as ``dedup_components`` / BPE training).
+    Distances are the bit-exact sequential-fold dot products shared
+    with the rest of the family, so the DuckDB oracle replays the
+    greedy trajectory exactly — including ties, broken (distance DESC,
+    vec_id ASC)."""
+    emb = (
+        _with_norm(_emb(spark, sf_dir))
+        .select("vec_id", "emb", "norm")
+        .cache()
+    )
+    first_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not first_rows:
+        return spark.createDataFrame(
+            [], "step int, center_vec_id long, radius double"
+        )
+    first = first_rows[0]
+    out = [(0, int(first["vec_id"]), 0.0)]
+    sel = [(int(first["vec_id"]), list(first["emb"]), float(first["norm"]))]
+    for step in range(1, CORESET_K):
+        mind = None
+        for _id, c_emb, c_norm in sel:
+            dist = F.lit(1.0) - _dot(
+                F.col("emb"), F.array(*[F.lit(float(x)) for x in c_emb])
+            ) / (F.col("norm") * F.lit(c_norm))
+            mind = dist if mind is None else F.least(mind, dist)
+        far = (
+            emb.filter(~F.col("vec_id").isin([s[0] for s in sel]))
+            .select("vec_id", "emb", "norm", mind.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        r = far[0]
+        out.append((step, int(r["vec_id"]), float(r["d"])))
+        sel.append((int(r["vec_id"]), list(r["emb"]), float(r["norm"])))
+    return spark.createDataFrame(
+        out, "step int, center_vec_id long, radius double"
+    )
+
+
+QUERIES["coreset_kcenter_sample"] = coreset_kcenter_sample
+
+
+def _coreset_oracle_sql() -> str:
+    dot_ec = _DOT.format(a="e.emb", b="c.emb")
+    ctes = [
+        "c0 AS (SELECT vec_id, emb, norm FROM en "
+        "WHERE vec_id = (SELECT min(vec_id) FROM en))",
+        f"""d1 AS (
+            SELECT e.vec_id, e.emb, e.norm,
+                   1 - {dot_ec} / (e.norm * c.norm) AS d
+            FROM en e, c0 c
+        )""",
+    ]
+    for k in range(1, CORESET_K):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(k)
+        )
+        ctes.append(
+            f"""c{k} AS (
+            SELECT vec_id, emb, norm, d FROM d{k}
+            WHERE vec_id NOT IN ({prior})
+            ORDER BY d DESC, vec_id ASC LIMIT 1
+        )"""
+        )
+        if k < CORESET_K - 1:
+            ctes.append(
+                f"""d{k + 1} AS (
+                SELECT e.vec_id, e.emb, e.norm,
+                       least(e.d, 1 - {dot_ec} / (e.norm * c.norm)) AS d
+                FROM d{k} e, c{k} c
+            )"""
+            )
+    selects = [
+        "SELECT 0 AS step, vec_id AS center_vec_id, "
+        "CAST(0.0 AS DOUBLE) AS radius FROM c0"
+    ] + [
+        f"SELECT {k} AS step, vec_id AS center_vec_id, d AS radius FROM c{k}"
+        for k in range(1, CORESET_K)
+    ]
+    return _EMB_CTE + ",\n" + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+ORACLE["coreset_kcenter_sample"] = _coreset_oracle_sql()

@@ -476,3 +476,58 @@ def test_decontaminate_semantic_lsh_never_broadcasts_eval(spark, sf_dir):
     assert "bucket" in plan
     # and never a cartesian pair enumeration
     assert "CartesianProduct" not in plan
+
+
+def test_two_tier_pipeline_no_cartesian_banded_joins(spark, sf_dir):
+    """The composed two-tier query must keep every join equi-shaped
+    (band-key buckets / doc_id), with no cartesian or unconditioned
+    nested-loop anywhere — the candidate stage is banded by
+    construction."""
+    plan = _plan(spark, sf_dir, "dedup_two_tier_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_window_runs_after_bucket_cutoff(spark, sf_dir):
+    """The KMV top-K rank must NOT be a per-group sort of the raw
+    distinct-hash relation: the plan's row_number window sits above
+    the cutoff-bucket FILTER (two-phase value-bucket discipline), so
+    the sorted relation is ~K + one bucket per group. Pinned
+    structurally: in the executed plan string the window's sort
+    appears after (deeper than) the bucket-cutoff filter on `cut`."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_sketch")
+    assert "CartesianProduct" not in plan
+    # the cutoff join/filter must exist and feed the window
+    assert "cut" in plan
+    w = plan.index("Window")
+    f = plan.index("cut")
+    assert w < f, "window must consume the cutoff-filtered relation"
+
+
+def test_coreset_rounds_are_scan_only(spark, sf_dir):
+    """Each coreset round's distance relation must be join-free and
+    shuffle-free: distances to literal centers are in-row projections;
+    only the final TakeOrdered(1) orders anything."""
+    from go_zoom_kinesis_spark.operators.similarity import (
+        CORESET_K,
+        _dot,
+        _emb,
+        _with_norm,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _with_norm(_emb(spark, sf_dir))
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    dist = F.lit(1.0) - _dot(
+        F.col("emb"), F.array(*[F.lit(float(x)) for x in row["emb"]])
+    ) / (F.col("norm") * F.lit(float(row["norm"])))
+    round_df = (
+        emb.filter(~F.col("vec_id").isin([int(row["vec_id"])]))
+        .select("vec_id", dist.alias("d"))
+        .orderBy(F.desc("d"), F.asc("vec_id"))
+        .limit(1)
+    )
+    plan = round_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

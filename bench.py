@@ -193,6 +193,7 @@ HEADLINE_R8 = [
     "kmv_distinct_sketch",
     "kmv_sketch_overlap",
     "coreset_kcenter_sample",
+    "kmv_merge_rollup",
 ]
 
 

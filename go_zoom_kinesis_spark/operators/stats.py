@@ -808,3 +808,162 @@ ORACLE["kmv_sketch_overlap"] = f"""
     JOIN sizes sa ON sa.event_type = e.type_a
     JOIN sizes sb ON sb.event_type = e.type_b
 """
+
+
+def _kmv_topk(rel, keys: list[str]):
+    """Per-`keys`-group K smallest hashes of a (keys..., h) relation,
+    via the same two-phase value-bucket discipline as
+    ``kmv_distinct_sketch`` (bucket counts → cumulative cutoff per
+    group → rank only the at-or-below-cutoff rows)."""
+    from pyspark.sql.window import Window
+
+    rel = rel.withColumn("bucket", F.expr(f"h div {KMV_BUCKET_DIV}"))
+    bc = rel.groupBy(*keys, "bucket").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    cutoff = (
+        bc.withColumn("cum", F.sum("c").over(w_cum))
+        .filter(F.col("cum") >= KMV_K)
+        .groupBy(*keys)
+        .agg(F.min("bucket").alias("cut"))
+    )
+    kept = rel.join(F.broadcast(cutoff), keys, "left").filter(
+        F.col("cut").isNull() | (F.col("bucket") <= F.col("cut"))
+    )
+    w_rk = Window.partitionBy(*keys).orderBy("h")
+    return (
+        kept.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= KMV_K)
+        .select(*keys, "h")
+    )
+
+
+def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability PROOF of the KMV sketch family, as an
+    oracle-checked query: per-(event_type, day) sketches are MERGED
+    (k smallest of the union of the per-day K-row sketches) and
+    compared against the DIRECT global sketch — and unlike HLL
+    (``hll_sketch_rollup`` deliberately claims only tolerance),
+    KMV merge is EXACT: every hash among a type's global k smallest
+    belongs to some day, and within that day it is among the day's k
+    smallest, so merged == direct as set equality, estimator
+    included. ``merged_equals_direct`` is therefore a contract (the
+    oracle computes it independently), not an observation.
+
+    This is the daily-rollup production shape at 100 TB: each day's
+    job persists T×K sketch rows; any window of days re-aggregates
+    with one tiny k-min merge — no rescan of history. Plan: the
+    per-day and direct sketches both use the two-phase value-bucket
+    top-K (windows over bucket-bounded relations only); the merge
+    ranks T×D×K rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dh_day = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            _kmv_hash(F.col("user_id")).alias("h"),
+        )
+        .distinct()
+        .cache()
+    )
+    day_sk = _kmv_topk(dh_day, ["event_type", "day"])
+    # merge: k smallest of the union of per-day sketch rows (distinct:
+    # one user can appear in many days' sketches)
+    w_m = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        day_sk.select("event_type", "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w_m))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("k_used_m"),
+            F.max("h").alias("kth_min_merged"),
+        )
+    )
+    direct = _kmv_topk(
+        dh_day.select("event_type", "h").distinct(), ["event_type"]
+    ).groupBy("event_type").agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_min_direct"),
+    )
+
+    def _est(k_col: str, kth_col: str):
+        return (
+            F.when(F.col(k_col) < KMV_K, F.col(k_col))
+            .otherwise(
+                F.expr(f"({k_col} - 1) * {KMV_SPACE} div {kth_col}")
+            )
+            .cast("long")
+        )
+
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "k_used",
+            "kth_min_merged",
+            "kth_min_direct",
+            _est("k_used_m", "kth_min_merged").alias("est_merged"),
+            _est("k_used", "kth_min_direct").alias("est_direct"),
+            (
+                (F.col("k_used_m") == F.col("k_used"))
+                & (F.col("kth_min_merged") == F.col("kth_min_direct"))
+            ).alias("merged_equals_direct"),
+        )
+    )
+
+
+QUERIES["kmv_merge_rollup"] = kmv_merge_rollup
+
+ORACLE["kmv_merge_rollup"] = f"""
+    WITH dhd AS (
+        SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
+               {_KMV_H} AS h
+        FROM events
+    ),
+    day_rk AS (
+        SELECT event_type, day, h,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY h) AS rk
+        FROM dhd
+    ),
+    day_sk AS (SELECT event_type, day, h FROM day_rk WHERE rk <= {KMV_K}),
+    mu AS (SELECT DISTINCT event_type, h FROM day_sk),
+    m_rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rk
+        FROM mu
+    ),
+    merged AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k_used_m,
+               max(h) AS kth_min_merged
+        FROM m_rk WHERE rk <= {KMV_K} GROUP BY event_type
+    ),
+    du AS (SELECT DISTINCT event_type, h FROM dhd),
+    d_rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rk
+        FROM du
+    ),
+    direct AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k_used,
+               max(h) AS kth_min_direct
+        FROM d_rk WHERE rk <= {KMV_K} GROUP BY event_type
+    )
+    SELECT m.event_type, d.k_used, m.kth_min_merged, d.kth_min_direct,
+           CAST(CASE WHEN m.k_used_m < {KMV_K} THEN m.k_used_m
+                ELSE (m.k_used_m - 1) * {KMV_SPACE} // m.kth_min_merged
+                END AS BIGINT) AS est_merged,
+           CAST(CASE WHEN d.k_used < {KMV_K} THEN d.k_used
+                ELSE (d.k_used - 1) * {KMV_SPACE} // d.kth_min_direct
+                END AS BIGINT) AS est_direct,
+           m.k_used_m = d.k_used AND m.kth_min_merged = d.kth_min_direct
+               AS merged_equals_direct
+    FROM merged m JOIN direct d ON d.event_type = m.event_type
+"""

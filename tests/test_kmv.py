@@ -179,3 +179,26 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path, sf_dir):
         assert s["k_used"] == b["k_used"]
         assert s["kth_min_hash"] == b["kth_min_hash"]
         assert s["est_distinct"] == b["est_distinct"]
+
+
+def test_kmv_merge_rollup_exact_and_consistent(spark, sf_dir):
+    """The merge-rollup contract: (a) merged == direct EXACTLY for
+    every type (KMV merge is set-exact, unlike HLL), and (b) the
+    direct side is bit-identical to the standalone
+    kmv_distinct_sketch (same k_used, kth hash, estimate)."""
+    from go_zoom_kinesis_spark.operators.stats import kmv_merge_rollup
+
+    roll = {r["event_type"]: r for r in kmv_merge_rollup(spark, sf_dir).collect()}
+    assert roll, "no event types - vacuous"
+    sk = {
+        r["event_type"]: r
+        for r in kmv_distinct_sketch(spark, sf_dir).collect()
+    }
+    assert sorted(roll) == sorted(sk)
+    for t, r in roll.items():
+        assert r["merged_equals_direct"] is True
+        assert r["kth_min_merged"] == r["kth_min_direct"]
+        assert r["est_merged"] == r["est_direct"]
+        assert r["k_used"] == sk[t]["k_used"]
+        assert r["kth_min_direct"] == sk[t]["kth_min_hash"]
+        assert r["est_direct"] == sk[t]["est_distinct"]

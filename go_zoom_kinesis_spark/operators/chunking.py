@@ -253,11 +253,8 @@ ORACLE["chunk_dedup_stats"] = f"""
 """
 
 
-# --- staged for round 8: unigram^0.75 negative-sampling table -----------
-#
-# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
-# NOT enter the driver registry until the round-8 merge (the round-7
-# registration freeze keeps the driver window on tier-3 re-checks).
+# --- r7-staged, registered at round 8: unigram^0.75 negative-sampling table -----------
+# (registered at the round-8 merge; see the module-end merge block)
 
 NS_VOCAB = 100  # sampling table size (top tokens by frequency)
 NS_FP = 1_000_000  # fixed-point scale for the smoothed weight
@@ -345,7 +342,7 @@ ORACLE_R8 = {
 }
 
 
-# --- staged for round 8: iterative BPE merge training -------------------
+# --- r7-staged, registered at round 8: iterative BPE merge training -------------------
 
 N_BPE_MERGES = 6
 BPE_L = "\x02"  # symbol-open sentinel (contract: never appears in tokens,

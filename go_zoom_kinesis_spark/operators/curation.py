@@ -583,7 +583,7 @@ ORACLE["filter_overlap_matrix"] = f"""
 """
 
 
-# --- staged for round 8: filter-threshold survival sweep -----------------
+# --- r7-staged, registered at round 8: filter-threshold survival sweep -----------------
 
 # quality-score thresholds swept (ppm of the max score 1.0)
 SWEEP_STEP_PPM = 100_000

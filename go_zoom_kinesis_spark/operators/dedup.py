@@ -930,11 +930,8 @@ ORACLE["bloom_novelty_filter"] = f"""
 """
 
 
-# --- staged for round 8: 64-bit SimHash Hamming-banded join -------------
-#
-# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
-# NOT enter the driver registry until the round-8 merge (the round-7
-# registration freeze keeps the driver window on tier-3 re-checks).
+# --- r7-staged, registered at round 8: 64-bit SimHash Hamming-banded join -------------
+# (registered at the round-8 merge; see the module-end merge block)
 
 # r8 widening (VERDICT r7 task 2): the r7 64-bit / 4×16-bit-band form
 # went super-linear on the fifth decade (12.77×/decade at sf100 — band
@@ -1131,7 +1128,7 @@ ORACLE_R8 = {
 }
 
 
-# --- staged for round 8: incremental dedup (new batch vs corpus) ---------
+# --- r7-staged, registered at round 8: incremental dedup (new batch vs corpus) ---------
 
 INCR_MOD = 5  # deterministic batch split: doc_id % MOD == SLOT is the
 INCR_SLOT = 3  # "incoming" crawl batch; the rest is the standing corpus
@@ -1211,7 +1208,7 @@ ORACLE_R8["dedup_incremental_lsh"] = f"""
 """
 
 
-# --- staged for round 8: LSH recall audit ---------------------------------
+# --- r7-staged, registered at round 8: LSH recall audit ---------------------------------
 
 # θ = TN/TD for the exact ground-truth join (same 0.5 the LSH verify uses)
 _RA_TN = 1

@@ -882,11 +882,8 @@ ORACLE = {
 }
 
 
-# --- staged for round 8: exact-substring span SCRUB ---------------------
-#
-# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
-# NOT enter the driver registry until the round-8 merge (the round-7
-# registration freeze keeps the driver window on tier-3 re-checks).
+# --- r7-staged, registered at round 8: exact-substring span SCRUB ---------------------
+# (registered at the round-8 merge; see the module-end merge block)
 
 SCRUB_ENC = 1_000_000_000  # (doc_id, pos) -> one bigint first-occurrence key
 GREEDY_ENC = 10_000_000  # (last_end, n_removed) -> one bigint fold state

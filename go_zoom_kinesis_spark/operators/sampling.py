@@ -514,7 +514,7 @@ ORACLE["sample_neyman_allocation"] = f"""
 """
 
 
-# --- staged for round 8: domain frequency capping ------------------------
+# --- r7-staged, registered at round 8: domain frequency capping ------------------------
 
 DOMAIN_CAP = 15  # max documents kept per source domain
 
@@ -603,7 +603,7 @@ ORACLE_R8 = {
 }
 
 
-# --- staged for round 8: purged time-series CV folds ----------------------
+# --- r7-staged, registered at round 8: purged time-series CV folds ----------------------
 
 TIMEFOLD_K = 5  # chronological folds
 TIMEFOLD_EMBARGO_HOURS = 12  # purge zone on each side of the test fold

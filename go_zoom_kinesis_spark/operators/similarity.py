@@ -1484,11 +1484,8 @@ ORACLE["ivf_pq_adc_topk"] = f"""
 """
 
 
-# --- staged for round 8: ranking-quality eval (MRR) ---------------------
-#
-# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
-# NOT enter the driver registry until the round-8 merge (the round-7
-# registration freeze keeps the driver window on tier-3 re-checks).
+# --- r7-staged, registered at round 8: ranking-quality eval (MRR) ---------------------
+# (registered at the round-8 merge; see the module-end merge block)
 
 
 def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

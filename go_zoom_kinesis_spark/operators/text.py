@@ -427,11 +427,8 @@ ORACLE = {
 }
 
 
-# --- staged for round 8: hashing-trick vectorization --------------------
-#
-# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
-# NOT enter the driver registry until the round-8 merge (the round-7
-# registration freeze keeps the driver window on tier-3 re-checks).
+# --- r7-staged, registered at round 8: hashing-trick vectorization --------------------
+# (registered at the round-8 merge; see the module-end merge block)
 
 FH_DIM = 64  # hashed feature dimensionality
 FH_SIGN_FAMILY = 3  # affine family index for the sign hash
@@ -502,7 +499,7 @@ ORACLE_R8 = {
 }
 
 
-# --- staged for round 8: winnowing fingerprint overlap ------------------
+# --- r7-staged, registered at round 8: winnowing fingerprint overlap ------------------
 
 WINNOW_K = 4  # k-gram length (tokens) per fingerprint hash
 WINNOW_W = 4  # winnowing window: guarantee a print in every W k-grams

@@ -1014,11 +1014,8 @@ ORACLE = {
 }
 
 
-# --- staged for round 8: linear-interpolation gap fill ------------------
-#
-# QUERIES_R8/ORACLE_R8 are collected by registry.staged_* only; they do
-# NOT enter the driver registry until the round-8 merge (the round-7
-# registration freeze keeps the driver window on tier-3 re-checks).
+# --- r7-staged, registered at round 8: linear-interpolation gap fill ------------------
+# (registered at the round-8 merge; see the module-end merge block)
 
 
 def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:

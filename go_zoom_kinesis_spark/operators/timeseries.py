@@ -366,12 +366,18 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/processor.rs concurrency semaphore) is the streaming cousin.
 
     Distributed prefix-sum, NOT one giant per-type sort: phase 1 runs
-    the ±1 sweep within (type, day) partitions; phase 2 prefix-sums the
-    tiny per-day delta totals and broadcasts the offsets back. At
-    100 TB the big sort is bounded by a single day per task while the
-    global running value is exact — the textbook two-phase scan. End
-    tie-breaking is pinned (-1 before +1 at equal t, then event_id) so
-    back-to-back intervals never double-count."""
+    the ±1 sweep within (type, HOUR) partitions; phase 2 prefix-sums
+    the tiny per-hour delta totals and broadcasts the offsets back. At
+    100 TB the big sort is bounded by a single hour of one type per
+    task while the global running value is exact — the textbook
+    two-phase scan. (r8: the bucket was a DAY; on the fixed-span
+    amplified decades that left 5×30 fat partitions sorting ~1.3M
+    deltas each at sf100 — hour buckets give 24× the partitions with
+    an offsets relation that is still only types×hours rows. The
+    bucket is internal: the output and the bucket-free oracle are
+    unchanged at any granularity, since date_trunc is monotone in t.)
+    End tie-breaking is pinned (-1 before +1 at equal t, then
+    event_id) so back-to-back intervals never double-count."""
     ev = _events(spark, sf_dir)
     starts = ev.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
@@ -383,7 +389,7 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     deltas = starts.unionByName(ends).withColumn(
-        "bucket", F.date_trunc("day", F.col("t"))
+        "bucket", F.date_trunc("hour", F.col("t"))
     )
     w_in = (
         Window.partitionBy("event_type", "bucket")

@@ -370,34 +370,57 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny per-hour delta totals and broadcasts the offsets back. At
     100 TB the big sort is bounded by a single hour of one type per
     task while the global running value is exact — the textbook
-    two-phase scan. (r8: the bucket was a DAY; on the fixed-span
-    amplified decades that left 5×30 fat partitions sorting ~1.3M
-    deltas each at sf100 — hour buckets give 24× the partitions with
-    an offsets relation that is still only types×hours rows. The
-    bucket is internal: the output and the bucket-free oracle are
-    unchanged at any granularity, since date_trunc is monotone in t.)
-    End tie-breaking is pinned (-1 before +1 at equal t, then
-    event_id) so back-to-back intervals never double-count."""
+    two-phase scan. (r8: the bucket was a DAY; hour buckets shrink
+    the largest single sort task 24×. The bucket is internal: the
+    output and the bucket-free oracle are unchanged at any
+    granularity, since date_trunc is monotone in t.)
+
+    r8 coalescing — EXACT, and the real scale lever: all deltas at
+    one (type, t) collapse to a single NET row before the sweep (one
+    map-side-combining aggregate), so the sorted relation is
+    O(distinct timestamps), not O(2·events). Exactness: with the
+    pinned -1-before-+1 tie order, the running value inside an
+    equal-t block is V-shaped (falls through the ends, rises through
+    the starts), so its maximum is attained at a block BOUNDARY; and
+    every boundary value is some block's after-value (before_i ==
+    after_{i-1}, and a type's globally first block is start-only, so
+    its after-value dominates the initial 0). The max over coalesced
+    after-values is therefore the true peak, bit-for-bit — the
+    bucket-free oracle still sweeps row-at-a-time and must match.
+    n_intervals comes from the same pre-aggregate (sum of +1 starts).
+    On real event streams timestamps collide heavily (second/ms
+    clocks, bursts), so the coalesced relation is the one a 100 TB
+    sweep can afford to sort."""
     ev = _events(spark, sf_dir)
     starts = ev.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
     )
     ends = ev.select(
         "event_type",
         (F.col("ts") + F.expr(f"INTERVAL {ACTIVE_MIN} MINUTES")).alias("t"),
         F.lit(-1).alias("delta"),
-        "event_id",
     )
-    deltas = starts.unionByName(ends).withColumn(
-        "bucket", F.date_trunc("hour", F.col("t"))
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(
+            F.sum("delta").alias("delta"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+        )
+        .withColumn("bucket", F.date_trunc("hour", F.col("t")))
+        .cache()
     )
     w_in = (
         Window.partitionBy("event_type", "bucket")
-        .orderBy("t", "delta", "event_id")
+        .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    inner = deltas.withColumn("run_in", F.sum("delta").over(w_in))
-    totals = deltas.groupBy("event_type", "bucket").agg(F.sum("delta").alias("tot"))
+    inner = net.withColumn("run_in", F.sum("delta").over(w_in))
+    totals = net.groupBy("event_type", "bucket").agg(
+        F.sum("delta").alias("tot")
+    )
     w_b = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
@@ -411,7 +434,7 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = inner.join(F.broadcast(offsets), ["event_type", "bucket"])
     return joined.groupBy("event_type").agg(
         F.max(F.col("run_in") + F.col("off")).alias("peak_concurrent"),
-        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.sum("n_starts").cast("long").alias("n_intervals"),
     )
 
 

@@ -1017,14 +1017,14 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ths") > 0)
     )
 
-    def _vote64(j: int):
+    def _vote(j: int):
         return lambda t: ((t * SIMW_A[j] + SIMW_B[j]) % H.P % 2) * 2 - 1
 
     votes = th.select(
         "doc_id",
         *[
             F.aggregate(
-                F.transform("ths", _vote64(j)),
+                F.transform("ths", _vote(j)),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ).alias(f"v{j}")
@@ -1069,6 +1069,16 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# The docstring names its constants via {placeholders}; interpolate them
+# once at import so help() renders the real numbers, not literal braces.
+simhash_hamming_join.__doc__ = simhash_hamming_join.__doc__.format(
+    SIMW_BITS=SIMW_BITS,
+    SIMW_BANDS=SIMW_BANDS,
+    SIMW_BAND_BITS=SIMW_BAND_BITS,
+    SIMW_HAMMING_MAX=SIMW_HAMMING_MAX,
+)
 
 
 QUERIES_R8 = {

@@ -287,25 +287,31 @@ def _kmeans_bucket_fold(key, pdf):
     (N, DIM) float64 matrix — which accumulates SEQUENTIALLY in row
     order (numpy's pairwise summation applies only to the innermost
     contiguous axis), so the sums are bit-identical to the
-    0.0-seeded sequential fold / DuckDB list_reduce contract. The
-    kernel re-proves that property on its own first 512 rows every
-    run (a Python-loop fold vs the numpy reduction) and refuses to
-    emit if a numpy version ever changes the reduction order."""
+    0.0-seeded sequential fold / DuckDB list_reduce contract. Because
+    that order is an undocumented numpy internal, the kernel re-proves
+    it every run on a same-shape/same-dtype ORDER PROBE spanning the
+    bucket's FULL length (not a fixed head): row 0 is 1.0 and every
+    later row is 2^-53 — exactly half an ULP of 1.0. A strictly
+    left-sequential fold stays exactly 1.0 (each half-ULP add ties to
+    even); ANY pairwise/blocked/reversed order combines two or more
+    small terms before (or instead of) folding them one-at-a-time into
+    the 1.0 accumulator and lands strictly above 1.0. Decisive for
+    N >= 3; for N < 3 every order is equivalent. The kernel refuses to
+    emit if the probe ever detects a reordered reduction."""
     import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values("vec_id")
     a = np.stack(pdf["emb"].to_numpy()).astype(np.float64, copy=False)
-    head = a[: min(len(a), 512)]
-    acc = np.zeros(a.shape[1], dtype=np.float64)
-    for row in head:
-        acc = acc + row
-    if not np.array_equal(acc, head.sum(axis=0)):
-        raise AssertionError(
-            "numpy axis-0 reduction is no longer sequential; the "
-            "kmeans M-step ordered-fold contract needs the catalyst "
-            "fold fallback"
-        )
+    if len(a) >= 3:
+        probe = np.full(a.shape, 2.0**-53, dtype=np.float64)
+        probe[0, :] = 1.0
+        if not np.all(probe.sum(axis=0) == 1.0):
+            raise AssertionError(
+                "numpy axis-0 reduction is no longer sequential; the "
+                "kmeans M-step ordered-fold contract needs the catalyst "
+                "fold fallback"
+            )
     s = a.sum(axis=0)
     return pd.DataFrame(
         {

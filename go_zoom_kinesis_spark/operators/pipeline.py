@@ -538,3 +538,148 @@ def _lsh_decon_oracle() -> str:
 
 
 ORACLE["decontaminate_semantic_lsh"] = _lsh_decon_oracle()
+
+
+# --- round 9: longest contiguous contamination run ------------------------
+
+RUN_N = 3  # token width of each position hash (3-gram windows)
+RUN_MIN_SHINGLES = 3  # report runs of >= this many consecutive matches
+
+
+def contamination_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-overlap decontamination: for every training document,
+    the LONGEST consecutive run of {RUN_N}-token window hashes it
+    shares (at aligned positions) with any held-out eval document
+    (doc_id % EVAL_MOD == 0). ``decontaminate_ngram`` counts SHARED
+    n-grams; real eval-leakage policies (the PaLM/GPT-3 contamination
+    appendices — public literature) gate on the longest CONTIGUOUS
+    span, which survives the "one shared phrase, scattered" false
+    positive. A run of r window hashes = r + {RUN_N} - 1 contiguous
+    shared tokens.
+
+    Algorithm: position-annotated window hashes on both sides; an
+    equi-join on the hash; runs are diagonals — group by (train doc,
+    eval doc, pos_train − pos_eval) and find the longest consecutive
+    pos_train streak with the islands trick (pos_train − row_number is
+    constant within a streak). The operator contract is on the window
+    HASHES (like winnowing), so the oracle replays it bit-exactly.
+
+    Plan shape: the eval slice is ~1/EVAL_MOD of the corpus by
+    construction, so its posting list broadcasts; the train side
+    streams past in one broadcast-hash join — no corpus shuffle. Hit
+    pairs are ∝ shared-phrase mass, never |train| × |eval|; the island
+    windows partition by (train, eval, diagonal), whose groups are
+    bounded by document length. At 100 TB the eval slice is a fixed
+    benchmark suite (MB-scale): the broadcast is unconditional.
+    """
+    from ..functions import hashes as H
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select(
+        "doc_id",
+        F.posexplode(
+            H.horner_windows_col(
+                F.transform(H.tokens_col(F.col("text")), H.char_hash_col),
+                RUN_N,
+            )
+        ).alias("pos", "h"),
+    )
+    ev = (
+        wh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.col("pos").alias("epos"),
+            "h",
+        )
+    )
+    tr = wh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = tr.join(F.broadcast(ev), "h").select(
+        "doc_id", "eval_doc_id", "pos", (F.col("pos") - F.col("epos")).alias("diag")
+    )
+    isl = hits.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id", "eval_doc_id", "diag").orderBy("pos")
+        ),
+    )
+    runs = isl.groupBy("doc_id", "eval_doc_id", "diag", "island").agg(
+        F.count("*").alias("run_shingles")
+    )
+    pair = runs.groupBy("doc_id", "eval_doc_id").agg(
+        F.max("run_shingles").alias("run_shingles")
+    )
+    best = pair.withColumn(
+        "max_run", F.max("run_shingles").over(Window.partitionBy("doc_id"))
+    )
+    return (
+        best.filter(
+            (F.col("run_shingles") == F.col("max_run"))
+            & (F.col("max_run") >= RUN_MIN_SHINGLES)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("eval_doc_id").alias("best_eval_doc_id"),
+            F.max("max_run").alias("run_shingles"),
+        )
+        .withColumn("run_tokens", F.col("run_shingles") + F.lit(RUN_N - 1))
+    )
+
+
+QUERIES["contamination_longest_run"] = contamination_longest_run
+
+
+def _longest_run_oracle() -> str:
+    from ..functions import hashes as H
+
+    toks = H.TOKENS_SQL.format(text="text")
+    th = (
+        "list_transform(" + toks + ", tok -> "
+        + H.CHAR_HASH_SQL.format(s="tok") + ")"
+    )
+    return f"""
+        WITH pre AS (SELECT doc_id, {th} AS th FROM documents),
+        wh AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   ((th[i] * 31 + th[i + 1]) % 2147483647 * 31 + th[i + 2])
+                       % 2147483647 AS h
+            FROM pre, unnest(generate_series(1, len(th) - {RUN_N - 1}))
+                 AS u(i)
+        ),
+        hits AS (
+            SELECT t.doc_id, e.doc_id AS eval_doc_id, t.pos,
+                   t.pos - e.pos AS diag
+            FROM wh t JOIN wh e USING (h)
+            WHERE t.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+        ),
+        isl AS (
+            SELECT doc_id, eval_doc_id, diag, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id, eval_doc_id, diag
+                       ORDER BY pos) AS island
+            FROM hits
+        ),
+        runs AS (
+            SELECT doc_id, eval_doc_id,
+                   max(cnt) AS run_shingles
+            FROM (SELECT doc_id, eval_doc_id, diag, island,
+                         count(*) AS cnt
+                  FROM isl GROUP BY 1, 2, 3, 4)
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT *, max(run_shingles) OVER (PARTITION BY doc_id)
+                AS max_run
+            FROM runs
+        )
+        SELECT doc_id,
+               min(eval_doc_id) AS best_eval_doc_id,
+               CAST(max(max_run) AS BIGINT) AS run_shingles,
+               CAST(max(max_run) + {RUN_N - 1} AS BIGINT) AS run_tokens
+        FROM best
+        WHERE run_shingles = max_run AND max_run >= {RUN_MIN_SHINGLES}
+        GROUP BY doc_id
+    """
+
+
+ORACLE["contamination_longest_run"] = _longest_run_oracle()

@@ -1025,3 +1025,133 @@ ORACLE["kmv_merge_rollup"] = f"""
                AS merged_equals_direct
     FROM merged m JOIN direct d ON d.event_type = m.event_type
 """
+
+
+# --- round 9: split-conformal threshold calibration -----------------------
+
+CONF_ALPHA_PCT = 90  # target coverage: 90% of in-distribution scores
+CONF_CAL_CUT = 0x8000  # md5 16-bit bucket < this → calibration split
+
+
+def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal anomaly threshold per event type (Vovk et al. /
+    the distribution-free conformal-prediction literature — public):
+    a deterministic hash split carves a CALIBRATION half out of the
+    stream; the nonconformity score |value − calibration mean| is
+    computed for every event; the per-type threshold is the exact
+    {CONF_ALPHA_PCT}th percentile of calibration scores; and the audit
+    reports the realized coverage of that threshold on the held-out
+    TEST half — the conformal guarantee says coverage ≈
+    {CONF_ALPHA_PCT}% regardless of the value distribution, and the
+    referee test pins it within finite-sample slack.
+
+    Determinism: values are ≤6dp, so scores live in exact fixed-point
+    bigints (score_fp = |v_fp − Σv_fp // n|, integer ops only — both
+    operands nonneg, so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree); the only float steps are the percentile
+    interpolation (both engines use the (n−1)·p rank convention —
+    pinned by ``percentile_stats``) and two final round(…, 6)s on
+    exact-integer-derived doubles.
+
+    Plan shape: one scan → per-type calibration sums (5-row broadcast)
+    → score projection → one exact-percentile aggregate over the
+    calibration half → 5-row broadcast back onto the test half for the
+    coverage counts. Two scans of the facts, tiny broadcasts, no
+    corpus shuffle beyond the 5-key aggregates. Exact percentile sorts
+    per type WITHIN the aggregate — at 100 TB swap in the KMV/t-digest
+    tier (``kmv_distinct_sketch``'s module) for the same contract
+    minus exactness; the audit stays exact here because the oracle
+    gate demands it.
+    """.format(CONF_ALPHA_PCT=CONF_ALPHA_PCT)
+    ev = load_table(spark, sf_dir, "events")
+    v_fp = F.round(F.col("value") * 1e6).cast("long")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    base = ev.select(
+        "event_type",
+        v_fp.alias("v_fp"),
+        (bucket < CONF_CAL_CUT).alias("is_cal"),
+    )
+    cal_mean = (
+        base.filter("is_cal")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_cal"),
+            F.expr("sum(v_fp) div count(*)").alias("mean_fp"),
+        )
+    )
+    scored = base.join(F.broadcast(cal_mean), "event_type").select(
+        "event_type",
+        "is_cal",
+        "n_cal",
+        F.abs(F.col("v_fp") - F.col("mean_fp")).alias("score_fp"),
+    )
+    thr = (
+        scored.filter("is_cal")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("score_fp", CONF_ALPHA_PCT / 100.0).alias("thr_fp")
+        )
+    )
+    test = scored.filter(~F.col("is_cal")).join(
+        F.broadcast(thr), "event_type"
+    )
+    return test.groupBy("event_type").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count("*").alias("n_test"),
+        F.round(F.max("thr_fp") / 1e6, 6).alias("threshold"),
+        F.count_if(
+            F.col("score_fp").cast("double") <= F.col("thr_fp")
+        ).alias("n_covered"),
+        F.round(
+            F.count_if(F.col("score_fp").cast("double") <= F.col("thr_fp"))
+            / F.count("*"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+QUERIES["conformal_threshold_audit"] = conformal_threshold_audit
+
+_CONF_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))"
+    "::BIGINT AS BIGINT)"
+)
+
+ORACLE["conformal_threshold_audit"] = f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+               {_CONF_BUCKET} < {CONF_CAL_CUT} AS is_cal
+        FROM events
+    ),
+    cal_mean AS (
+        SELECT event_type, count(*) AS n_cal,
+               sum(v_fp) // count(*) AS mean_fp
+        FROM base WHERE is_cal GROUP BY event_type
+    ),
+    scored AS (
+        SELECT b.event_type, b.is_cal, m.n_cal,
+               abs(b.v_fp - m.mean_fp) AS score_fp
+        FROM base b JOIN cal_mean m USING (event_type)
+    ),
+    thr AS (
+        SELECT event_type,
+               quantile_cont(score_fp, {CONF_ALPHA_PCT / 100.0})
+                   AS thr_fp
+        FROM scored WHERE is_cal GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(max(s.n_cal) AS BIGINT) AS n_cal,
+           count(*) AS n_test,
+           round(max(t.thr_fp) / 1000000.0, 6) AS threshold,
+           count(*) FILTER (CAST(s.score_fp AS DOUBLE) <= t.thr_fp)
+               AS n_covered,
+           round(CAST(count(*) FILTER (
+                     CAST(s.score_fp AS DOUBLE) <= t.thr_fp) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM scored s JOIN thr t USING (event_type)
+    WHERE NOT s.is_cal
+    GROUP BY s.event_type
+"""

@@ -424,3 +424,149 @@ ORACLE["datasource_scan_rollup"] = f"""
            CAST(sum({_DS_HASH}) AS BIGINT) AS hash_sum
     FROM recs GROUP BY shard_id
 """
+
+
+# --- round 9: rendezvous (HRW) shard→worker assignment --------------------
+# The reference rebalances shard leases across consumer workers when the
+# fleet resizes (src/processor.rs shard fan-out + the resharding pickup
+# the P7 pytest pins). Rendezvous hashing (Thaler & Ravishankar 1998 —
+# public literature) is the standard assignment function: each worker
+# change moves only the shards whose argmax flips, ~1/(W+1) of them.
+
+HRW_VSHARDS = 64  # virtual shards (pmod of the partition key)
+HRW_W = 5  # current worker fleet size
+# score(s, w) = affine_s(s) · affine_w(w) mod P — the product of two
+# independent affine hashes. A single affine of (s·131 + w) is MONOTONE
+# in w for fixed s (consecutive w rarely wrap mod P), which silently
+# degenerates to "highest worker id wins everything"; the product form
+# decorrelates workers per shard (caught by the per-worker balance
+# referee test). The worker side is affined TWICE: a single affine of a
+# small w (0..5) yields a small multiplier, and the coarse product
+# lattice skews ownership toward particular workers (measured 7..19 of
+# 64 shards at W=5; double affine gives 9..16, binomially plausible).
+HRW_AS, HRW_BS = 393241, 107  # shard-side affine (H.A[9] / H.B[8])
+HRW_AW, HRW_BW = 786433, 127  # worker-side affine (H.A[10] / H.B[9])
+HRW_P = 2_147_483_647
+
+
+def shard_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment audit: assign {HRW_VSHARDS}
+    virtual shards (derived from the stream's partition-key space) to a
+    {HRW_W}-worker fleet and to the {HRW_W}+1-worker fleet by
+    highest-random-weight — score(s, w) = affine(s)·affine(w) mod P — and
+    report, per worker, how many shards it owns before and after the
+    scale-out plus how many moved IN. The HRW property under test:
+    growing the fleet by one moves ONLY the shards the new worker wins
+    (~1/(W+1) of them); every other lease stays put — the minimal-
+    movement rebalance the reference's lease-stealing loop converges to.
+
+    Determinism: the argmax is taken over ``score·8 + (7 − w)`` so a
+    (never observed, but possible) score tie breaks toward the LOWER
+    worker id identically on both engines. Plan shape: one distinct
+    over the pmod projection (pushdown-friendly), one {HRW_VSHARDS}×
+    ({HRW_W}+1) explode, two tiny hash-aggregates — fact-table work is
+    the single distinct scan regardless of scale.
+    """
+    ev = _events(spark, sf_dir)
+    shards = ev.select(
+        F.pmod(F.col("user_id"), F.lit(HRW_VSHARDS)).alias("shard")
+    ).distinct()
+    scored = shards.select(
+        "shard",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(HRW_W).cast("long"))
+        ).alias("w"),
+    ).select(
+        "shard",
+        "w",
+        (
+            ((F.col("shard") * HRW_AS + HRW_BS) % HRW_P)
+            * ((((F.col("w") * HRW_AW + HRW_BW) % HRW_P) * HRW_AW + HRW_BW)
+               % HRW_P)
+            % HRW_P
+            * 8
+            + (7 - F.col("w"))
+        ).alias("rank_key"),
+    )
+    owner_now = (
+        scored.filter(F.col("w") < HRW_W)
+        .groupBy("shard")
+        .agg(F.max_by("w", "rank_key").alias("owner_now"))
+    )
+    owner_next = scored.groupBy("shard").agg(
+        F.max_by("w", "rank_key").alias("owner_next")
+    )
+    both = owner_now.join(owner_next, "shard")
+    return (
+        both.groupBy(F.col("owner_next").alias("worker"))
+        .agg(
+            F.count_if(F.col("owner_now") == F.col("owner_next")).alias(
+                "n_kept"
+            ),
+            F.count_if(F.col("owner_now") != F.col("owner_next")).alias(
+                "n_moved_in"
+            ),
+            F.count("*").alias("n_owned_next"),
+        )
+        .join(
+            both.groupBy(F.col("owner_now").alias("worker")).agg(
+                F.count("*").alias("n_owned_now")
+            ),
+            "worker",
+            "full_outer",
+        )
+        .select(
+            "worker",
+            F.coalesce("n_owned_now", F.lit(0)).alias("n_owned_now"),
+            F.coalesce("n_owned_next", F.lit(0)).alias("n_owned_next"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
+        )
+    )
+
+
+QUERIES["shard_rendezvous_assign"] = shard_rendezvous_assign
+
+ORACLE["shard_rendezvous_assign"] = f"""
+    WITH shards AS (
+        SELECT DISTINCT user_id % {HRW_VSHARDS} AS shard FROM events
+    ),
+    scored AS (
+        SELECT shard, w,
+               ((shard * {HRW_AS} + {HRW_BS}) % {HRW_P})
+                   * ((((w * {HRW_AW} + {HRW_BW}) % {HRW_P})
+                       * {HRW_AW} + {HRW_BW}) % {HRW_P})
+                   % {HRW_P} * 8
+                   + (7 - w) AS rank_key
+        FROM shards, unnest(generate_series(0, {HRW_W})) AS u(w)
+    ),
+    owner_now AS (
+        SELECT shard, arg_max(w, rank_key) AS owner_now
+        FROM scored WHERE w < {HRW_W} GROUP BY shard
+    ),
+    owner_next AS (
+        SELECT shard, arg_max(w, rank_key) AS owner_next
+        FROM scored GROUP BY shard
+    ),
+    pairs AS (
+        SELECT n.shard, n.owner_now, x.owner_next
+        FROM owner_now n JOIN owner_next x USING (shard)
+    ),
+    nxt AS (
+        SELECT owner_next AS worker,
+               count(*) FILTER (owner_now = owner_next) AS n_kept,
+               count(*) FILTER (owner_now <> owner_next) AS n_moved_in,
+               count(*) AS n_owned_next
+        FROM pairs GROUP BY owner_next
+    ),
+    now AS (
+        SELECT owner_now AS worker, count(*) AS n_owned_now
+        FROM pairs GROUP BY owner_now
+    )
+    SELECT CAST(coalesce(nxt.worker, now.worker) AS BIGINT) AS worker,
+           CAST(coalesce(n_owned_now, 0) AS BIGINT) AS n_owned_now,
+           CAST(coalesce(n_owned_next, 0) AS BIGINT) AS n_owned_next,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(n_moved_in, 0) AS BIGINT) AS n_moved_in
+    FROM nxt FULL OUTER JOIN now ON nxt.worker = now.worker
+"""

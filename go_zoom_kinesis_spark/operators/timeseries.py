@@ -1265,3 +1265,152 @@ ORACLE_R8 = {
 QUERIES.update(QUERIES_R8)
 ORACLE.update(ORACLE_R8)
 del QUERIES_R8, ORACLE_R8
+
+
+# --- round 9: additive seasonal decomposition ----------------------------
+
+TSD_EPOCH_DATE = "2024-01-01"  # fixed day-index origin (= corpus start)
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of each event type's value
+    series — the classic seasonal-means method (level + hour-of-day
+    seasonal profile + linear day trend) every observability/metrics
+    stack runs on its hypertables:
+
+        level(type)          = mean(value | type)
+        seasonal(type, hod)  = mean(value | type, hod) − level(type)
+        trend_per_day(type)  = OLS slope of value on day index
+
+    Determinism: every mean/slope is derived from EXACT bigint power
+    sums — value and day·value go through the split fixed-point sums
+    (integer part + 6dp fraction part, each a bigint — the ``fsum``
+    recipe from ``functions/fixedpoint.py``, inlined here because the
+    per-type totals must re-sum the per-(type, hod) PARTIAL bigints,
+    not the recombined doubles, to stay order-free) — and the closed
+    forms are written identically on both engines (the ``regr_*`` /
+    Welford built-ins are float-order-sensitive; power sums are not).
+    The slope arithmetic is double (bigint products would overflow at
+    span-mode decades); every cast and product is IEEE-identical.
+
+    Plan shape: ONE scan → one (type, hod) hash-aggregate (≤ 120 rows,
+    map-side combined) → window re-sums per type over that bounded
+    relation. No second scan of the facts, no join. The day index is
+    anchored to a fixed origin ({origin}) so no min(ts) scalar pass is
+    needed; sxx then bounds sum(x²) ≤ rows·(span_days)², bigint-safe
+    past 1e8 rows at 80-year spans (and the slope math is already
+    double above that).
+    """.format(origin=TSD_EPOCH_DATE)
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    x = F.datediff(F.to_date("ts"), F.lit(TSD_EPOCH_DATE)).cast("long")
+    xv = x.cast("double") * v
+    base = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        v.alias("v"),
+        x.alias("x"),
+        xv.alias("xv"),
+    )
+    g = base.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n1"),
+        F.sum(F.floor("v")).alias("i1"),
+        F.sum(F.round((F.col("v") - F.floor("v")) * 1e6).cast("long")).alias("f1"),
+        F.sum("x").alias("sx1"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx1"),
+        F.sum(F.floor("xv")).alias("ixy1"),
+        F.sum(F.round((F.col("xv") - F.floor("xv")) * 1e6).cast("long")).alias(
+            "fxy1"
+        ),
+    )
+    w = Window.partitionBy("event_type")
+    t = (
+        g.withColumn("n0", F.sum("n1").over(w))
+        .withColumn("i0", F.sum("i1").over(w))
+        .withColumn("f0", F.sum("f1").over(w))
+        .withColumn("sx0", F.sum("sx1").over(w))
+        .withColumn("sxx0", F.sum("sxx1").over(w))
+        .withColumn("ixy0", F.sum("ixy1").over(w))
+        .withColumn("fxy0", F.sum("fxy1").over(w))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    hod_mean = (d("i1") + d("f1") / 1e6) / d("n1")
+    level = (d("i0") + d("f0") / 1e6) / d("n0")
+    sy = d("i0") + d("f0") / 1e6
+    sxy = d("ixy0") + d("fxy0") / 1e6
+    denom = d("n0") * d("sxx0") - d("sx0") * d("sx0")
+    slope = F.when(
+        denom != 0.0, (d("n0") * sxy - d("sx0") * sy) / denom
+    )
+    return t.select(
+        "event_type",
+        "hod",
+        F.col("n1").alias("n_obs"),
+        F.round(hod_mean, 6).alias("hod_mean"),
+        F.round(level, 6).alias("level"),
+        F.round(hod_mean - level, 6).alias("seasonal"),
+        F.round(slope, 6).alias("trend_per_day"),
+    )
+
+
+QUERIES["ts_seasonal_decompose"] = ts_seasonal_decompose
+
+ORACLE["ts_seasonal_decompose"] = f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               value AS v,
+               CAST(datediff('day', DATE '{TSD_EPOCH_DATE}',
+                             CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(datediff('day', DATE '{TSD_EPOCH_DATE}',
+                             CAST(ts AS DATE)) AS DOUBLE) * value AS xv
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, hod,
+               count(*) AS n1,
+               CAST(sum(CAST(floor(v) AS BIGINT)) AS BIGINT) AS i1,
+               CAST(sum(CAST(round((v - floor(v)) * 1000000.0) AS BIGINT))
+                   AS BIGINT) AS f1,
+               CAST(sum(x) AS BIGINT) AS sx1,
+               CAST(sum(x * x) AS BIGINT) AS sxx1,
+               CAST(sum(CAST(floor(xv) AS BIGINT)) AS BIGINT) AS ixy1,
+               CAST(sum(CAST(round((xv - floor(xv)) * 1000000.0) AS BIGINT))
+                   AS BIGINT) AS fxy1
+        FROM base GROUP BY event_type, hod
+    ),
+    t AS (
+        SELECT *,
+               sum(n1) OVER (PARTITION BY event_type) AS n0,
+               sum(i1) OVER (PARTITION BY event_type) AS i0,
+               sum(f1) OVER (PARTITION BY event_type) AS f0,
+               sum(sx1) OVER (PARTITION BY event_type) AS sx0,
+               sum(sxx1) OVER (PARTITION BY event_type) AS sxx0,
+               sum(ixy1) OVER (PARTITION BY event_type) AS ixy0,
+               sum(fxy1) OVER (PARTITION BY event_type) AS fxy0
+        FROM g
+    )
+    SELECT event_type, hod,
+           CAST(n1 AS BIGINT) AS n_obs,
+           round((CAST(i1 AS DOUBLE) + CAST(f1 AS DOUBLE) / 1000000.0)
+                 / CAST(n1 AS DOUBLE), 6) AS hod_mean,
+           round((CAST(i0 AS DOUBLE) + CAST(f0 AS DOUBLE) / 1000000.0)
+                 / CAST(n0 AS DOUBLE), 6) AS level,
+           round((CAST(i1 AS DOUBLE) + CAST(f1 AS DOUBLE) / 1000000.0)
+                 / CAST(n1 AS DOUBLE)
+                 - (CAST(i0 AS DOUBLE) + CAST(f0 AS DOUBLE) / 1000000.0)
+                 / CAST(n0 AS DOUBLE), 6) AS seasonal,
+           round(CASE WHEN CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                           - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)
+                           <> 0.0
+                 THEN (CAST(n0 AS DOUBLE)
+                       * (CAST(ixy0 AS DOUBLE)
+                          + CAST(fxy0 AS DOUBLE) / 1000000.0)
+                       - CAST(sx0 AS DOUBLE)
+                       * (CAST(i0 AS DOUBLE)
+                          + CAST(f0 AS DOUBLE) / 1000000.0))
+                      / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                         - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+                 END, 6) AS trend_per_day
+    FROM t
+"""

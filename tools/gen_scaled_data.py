@@ -38,6 +38,34 @@ amplification artifacts). Output lands in .scratch/sf1 (gitignored).
 
 Usage: python tools/gen_scaled_data.py [--copies 10] [--out DIR]
        [--src DIR] [--tables documents,embeddings]
+       [--events-mode dense|span] [--text-mode rotate|heaps]
+
+Round-9 amplification modes (closing the r8 verdict's
+"realistic-growth" evidence gap — both OFF by default so every prior
+decade regenerates bit-identically):
+
+- ``--events-mode span``: each copy's ``events.ts`` shifts forward by
+  copy_index × (source span rounded up to whole hours + 1 h), so a 10×
+  decade means 10× the TIME SPAN (and with it 10× the hour buckets /
+  window partition keys) instead of 10× the event density inside a
+  fixed month. Dense mode is the worst case for per-bucket work; span
+  mode is how real event data actually grows (more days), and is the
+  best case for bucket-count growth. Measuring BOTH brackets reality.
+  Chained amplifications compose (each stage reads the source's real
+  min/max), so sf0.1 → sf1 → sf10 → sf100 tiles ~83 contiguous years.
+
+- ``--text-mode heaps``: documents copy ``i`` uses alphabet bijection
+  number ``isqrt(i)`` instead of ``i``, so K copies share ~sqrt(K)
+  distinct bijections and word TYPES grow ∝ copies^0.5 — Heaps' law
+  (β ≈ 0.5) instead of the default rotate mode's linear type growth.
+  DELIBERATE artifact: copies that share a bijection are exact
+  cross-copy duplicates (same text, new doc_ids) — real corpora are
+  full of exact duplicates too, but it means heaps decades are for
+  VOCABULARY-bounded measurement (tf-idf postings, BPE, unigram
+  tables); near-dup/LSH operators keep using rotate mode, where every
+  copy is cross-copy-distinct by construction. Chaining composes
+  bijections, so distinct alphabets after two ×10 stages ≈ 4 × 4 = 16
+  vs the ideal sqrt(100) = 10 — same decade shape, documented.
 
 The fourth decade (r6 verdict item 6) chains the amplification:
     python tools/gen_scaled_data.py --src .scratch/sf1 --copies 10 \
@@ -99,6 +127,22 @@ def main() -> None:
         default=None,
         help="comma list; default = all replicated tables + fixed dims",
     )
+    ap.add_argument(
+        "--events-mode",
+        choices=["dense", "span"],
+        default="dense",
+        help="dense: fixed time span, 10x density (default, r8 behavior); "
+        "span: each copy shifts ts forward so the span grows with copies",
+    )
+    ap.add_argument(
+        "--text-mode",
+        choices=["rotate", "heaps"],
+        default="rotate",
+        help="rotate: one bijection per copy, linear vocab growth "
+        "(default, r8 behavior); heaps: bijection index isqrt(copy), "
+        "vocab grows ~sqrt(copies) per Heaps' law (vocab-measurement "
+        "decades only — shared-bijection copies are exact duplicates)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -134,12 +178,22 @@ def main() -> None:
         for tbl, col in cols
     }
 
+    # span mode: per-copy forward shift = source span rounded UP to
+    # whole hours + 1 h of margin, so copies tile contiguously without
+    # overlapping and chained stages compose (each reads its own src)
+    span_step_sec = 0
+    if args.events_mode == "span" and "events" in tables:
+        lo, hi = tables["events"].agg(F.min("ts"), F.max("ts")).collect()[0]
+        span_sec = int((hi - lo).total_seconds())
+        span_step_sec = ((span_sec // 3600) + 2) * 3600
+
     for t in fixed:
         load_table(spark, src, t).write.mode("overwrite").parquet(
             os.path.join(args.out, f"{t}.parquet")
         )
         print(f"{t}: fixed dimension copied")
 
+    import math
     import random
     import string
 
@@ -167,11 +221,20 @@ def main() -> None:
             for (tbl, col), off in col_offset.items():
                 if tbl == t:
                     df = df.withColumn(col, F.col(col) + F.lit(i * off))
-            if t == "documents" and i > 0:
+            if t == "events" and i > 0 and span_step_sec:
+                df = df.withColumn(
+                    "ts",
+                    F.col("ts")
+                    + F.expr(f"INTERVAL '{i * span_step_sec}' SECOND"),
+                )
+            # heaps mode: bijection index isqrt(i) — K copies share
+            # ~sqrt(K) distinct alphabets, so word types grow ~K^0.5
+            bij = math.isqrt(i) if args.text_mode == "heaps" else i
+            if t == "documents" and bij > 0:
                 src_alpha = string.ascii_lowercase + string.ascii_uppercase
                 df = df.withColumn(
                     "text",
-                    F.translate("text", src_alpha, _copy_permutation(i)),
+                    F.translate("text", src_alpha, _copy_permutation(bij)),
                 )
             if t == "embeddings" and i > 0:
                 signs = F.array(

@@ -78,6 +78,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--dirs",
+        default=None,
+        help="override/extend the amplified decade dirs as a comma list "
+        "of label=path (e.g. sf1=.scratch/sf1_span,sf10=.scratch/"
+        "sf10_span) — used for the r9 span/heaps amplification modes; "
+        "the three driver sf dirs always stay",
+    )
     args = ap.parse_args()
 
     from bench import (
@@ -105,12 +113,17 @@ def main() -> None:
     )
 
     sf_dirs = dict(SF_DIRS)
-    if os.path.isdir(SF1_DIR):
-        sf_dirs["sf1"] = SF1_DIR
-    if os.path.isdir(SF10_DIR):
-        sf_dirs["sf10"] = SF10_DIR
-    if os.path.isdir(SF100_DIR):
-        sf_dirs["sf100"] = SF100_DIR
+    if args.dirs:
+        for pair in args.dirs.split(","):
+            label, path = pair.split("=", 1)
+            sf_dirs[label] = path
+    else:
+        if os.path.isdir(SF1_DIR):
+            sf_dirs["sf1"] = SF1_DIR
+        if os.path.isdir(SF10_DIR):
+            sf_dirs["sf10"] = SF10_DIR
+        if os.path.isdir(SF100_DIR):
+            sf_dirs["sf100"] = SF100_DIR
 
     rows = []
     for name in names:

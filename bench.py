@@ -196,6 +196,15 @@ HEADLINE_R8 = [
     "kmv_merge_rollup",
 ]
 
+# round 9: the new operator cohort
+HEADLINE_R9 = [
+    "dsir_importance_weights",
+    "ts_seasonal_decompose",
+    "contamination_longest_run",
+    "shard_rendezvous_assign",
+    "conformal_threshold_audit",
+]
+
 
 def _round_no(repo: str) -> int:
     """Next round number: driver artifacts BENCH_r{N}.json exist for
@@ -240,7 +249,7 @@ def main() -> None:
     total_baseline_set = 0.0
     for name in (
         HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
-        + HEADLINE_R7 + HEADLINE_R8
+        + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
     ):
         fn = queries.get(name)
         if fn is None:

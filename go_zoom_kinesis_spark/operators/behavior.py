@@ -282,18 +282,25 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros("ts").alias("us"),
     )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+    # min over rows STRICTLY AFTER current: the direct frame
+    # rowsBetween(1, unboundedFollowing) is a shrinking frame Spark
+    # re-scans per row (O(k²) for a k-event user — exactly the
+    # hyperactive-user blowup this operator exists to avoid). Instead:
+    # running min over the REVERSED ordering (growing frame, O(k)),
+    # then lag(1) shifts it to exclude the current row — same strict
+    # successor set, one sort.
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    rm = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(
+        w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     touches = (
-        base.withColumn(
-            "next_p_us",
-            F.min(
-                F.when(F.col("event_type") == "purchase", F.col("us"))
-            ).over(w_next),
-        )
+        base.withColumn("rm", rm)
+        .withColumn("next_p_us", F.lag("rm", 1).over(w_desc))
+        .drop("rm")
         .filter(F.col("event_type").isin("view", "click"))
         .filter(
             F.col("next_p_us").isNotNull()

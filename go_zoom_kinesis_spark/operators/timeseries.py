@@ -1145,10 +1145,17 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # backward pass: first-non-null over (currentRow, unboundedFollowing)
+    # is a SHRINKING frame, which Spark evaluates by rescanning the
+    # remainder of the partition per row — O(n²) per partition. Invisible
+    # at fixed-span decades (720 rows/type), it HUNG the span-growing
+    # sf100 measurement (721k hourly buckets/type, ~10 CPU-minutes per
+    # window). last-non-null over the REVERSED ordering is the same
+    # value via a growing frame Spark streams in O(n).
     wb = (
         Window.partitionBy("event_type")
-        .orderBy("bucket_hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket_hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     real_eh = F.when(F.col("cents").isNotNull(), F.col("eh"))
     neigh = dense.select(
@@ -1159,8 +1166,8 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.last("cents", ignorenulls=True).over(wf).alias("pv"),
         F.last(real_eh, ignorenulls=True).over(wf).alias("pt"),
-        F.first("cents", ignorenulls=True).over(wb).alias("nv"),
-        F.first(real_eh, ignorenulls=True).over(wb).alias("nt"),
+        F.last("cents", ignorenulls=True).over(wb).alias("nv"),
+        F.last(real_eh, ignorenulls=True).over(wb).alias("nt"),
     )
     interp = F.col("pv") + F.floor(
         ((F.col("nv") - F.col("pv")) * (F.col("eh") - F.col("pt"))).cast(

@@ -531,3 +531,66 @@ def test_coreset_rounds_are_scan_only(spark, sf_dir):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# --- round 9 cohort -------------------------------------------------------
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """dsir_importance_weights: the 256-row bucket-weight table joins
+    back onto the feature stream as a broadcast; the totals row rides a
+    broadcast nested-loop, never a cartesian; no sort-merge join of the
+    corpus against anything."""
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_longest_run_eval_side_broadcasts(spark, sf_dir):
+    """contamination_longest_run: the eval slice posting list must
+    broadcast — the train-side shingle stream is never shuffled for
+    the join."""
+    plan = _plan(spark, sf_dir, "contamination_longest_run")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_stats_broadcast_back(spark, sf_dir):
+    """conformal_threshold_audit: the 5-row calibration-mean and
+    threshold relations broadcast back onto the event stream."""
+    plan = _plan(spark, sf_dir, "conformal_threshold_audit")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rendezvous_scan_prunes_to_partition_key(spark, sf_dir):
+    """shard_rendezvous_assign: fact-table work is one distinct over
+    the pmod projection — the scan must read ONLY user_id."""
+    plan = _plan(spark, sf_dir, "shard_rendezvous_assign")
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "user_id" in schema
+    assert "event_type" not in schema and "value" not in schema
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_decompose_single_fact_aggregate(spark, sf_dir):
+    """ts_seasonal_decompose: one scan, one partial-then-final hash
+    aggregate on (type, hod); the per-type re-sums are windows over the
+    bounded 120-row relation — no join, no second scan."""
+    plan = _plan(spark, sf_dir, "ts_seasonal_decompose")
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_no_shrinking_window_frames(spark, sf_dir):
+    """Spark evaluates (CURRENT ROW, UNBOUNDED FOLLOWING) frames by
+    rescanning the partition remainder per row — O(n²), measured as a
+    10-minute hang on the span-mode sf100 decade before the r9 rewrite
+    of ts_linear_interpolate / attribution_linear. Pin both plans to
+    growing frames only."""
+    for name in ("ts_linear_interpolate", "attribution_linear"):
+        plan = _plan(spark, sf_dir, name)
+        assert "AND UNBOUNDED FOLLOWING" not in plan, name

@@ -203,6 +203,7 @@ HEADLINE_R9 = [
     "contamination_longest_run",
     "shard_rendezvous_assign",
     "conformal_threshold_audit",
+    "ts_holt_linear",
 ]
 
 

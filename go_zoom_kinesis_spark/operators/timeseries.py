@@ -1421,3 +1421,101 @@ ORACLE["ts_seasonal_decompose"] = f"""
                  END, 6) AS trend_per_day
     FROM t
 """
+
+
+# --- round 9: Holt linear-trend smoothing --------------------------------
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (double exponential
+    smoothing — Holt 1957, public literature) per user, α = β = 1/2:
+
+        l_i = ((x_i + l_{i-1}) + b_{i-1}) / 2
+        b_i = ((l_i − l_{i-1}) + b_{i-1}) / 2
+
+    initialized textbook-style from the first two observations
+    (l = x_2, b = x_2 − x_1; a single-event user gets l = x_1, b = 0),
+    folded over the time-ordered remainder, plus the one-step forecast
+    l + b. This is the trend-aware sibling of ``ts_ewma_user`` — same
+    ordered-fold discipline: halving α/β keeps every step IEEE
+    add/sub/halve with the evaluation order pinned by parentheses, so
+    the doubles are bit-identical across engines with NO rounding.
+
+    The fold state is a 2-element double array (level, trend) because
+    the oracle's DuckDB 1.0 ``list_reduce`` has no initial-value form:
+    the init rides as a prepended first element and data elements carry
+    a dummy second slot — the same prepend trick ``text_fingerprint``
+    uses for its scalar fold, lifted to a pair.
+
+    Scale: identical to the EWMA — one groupBy(user) shuffle, each
+    group's history collected into ONE row for the sequential fold
+    (inherently ordered; KB per user), then a scan-parallel array
+    aggregate. Unbounded streams run the same recurrence incrementally
+    in the stateful processor."""
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("hist")
+    )
+    vals = F.transform(F.col("hist"), lambda s: s["value"])
+    x1, x2 = F.element_at(vals, 1), F.element_at(vals, 2)
+    init = F.array(x2, x2 - x1)
+    rest = F.transform(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))),
+        lambda x: F.array(x, F.lit(0.0)),
+    )
+
+    def _step(acc, e):
+        x, l, b = e[0], acc[0], acc[1]
+        l_new = ((x + l) + b) / 2
+        return F.array(l_new, ((l_new - l) + b) / 2)
+
+    folded = F.aggregate(rest, init, _step)
+    state = F.when(F.size(vals) == 1, F.array(x1, F.lit(0.0))).otherwise(
+        folded
+    )
+    return seq.select(
+        "user_id",
+        F.size(vals).alias("n_events"),
+        F.element_at(state, 1).alias("holt_level"),
+        F.element_at(state, 2).alias("holt_trend"),
+        (F.element_at(state, 1) + F.element_at(state, 2)).alias(
+            "forecast_next"
+        ),
+    )
+
+
+QUERIES["ts_holt_linear"] = ts_holt_linear
+
+ORACLE["ts_holt_linear"] = """
+    WITH hist AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id, value) AS vals
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, len(vals) AS n_events,
+               CASE WHEN len(vals) = 1
+                    THEN [vals[1], CAST(0.0 AS DOUBLE)]
+                    ELSE list_reduce(
+                        list_prepend(
+                            [vals[2], vals[2] - vals[1]],
+                            list_transform(
+                                vals[3:],
+                                x -> [x, CAST(0.0 AS DOUBLE)])),
+                        (acc, e) -> [
+                            ((e[1] + acc[1]) + acc[2]) / 2,
+                            ((((e[1] + acc[1]) + acc[2]) / 2 - acc[1])
+                             + acc[2]) / 2
+                        ])
+               END AS st
+        FROM hist
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           st[1] AS holt_level,
+           st[2] AS holt_trend,
+           st[1] + st[2] AS forecast_next
+    FROM folded
+"""

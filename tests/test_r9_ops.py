@@ -207,3 +207,34 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
         slack += 1.0 / max(r.n_cal, 1)
         assert r.coverage >= alpha - slack - 0.02, (r.event_type, r.coverage)
         assert r.n_covered <= r.n_test
+
+
+# --- ts_holt_linear: pure-Python fold replay ------------------------------
+
+
+def test_holt_linear_python_replay(spark, sf_dir):
+    from go_zoom_kinesis_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    hist: dict[int, list] = {}
+    for r in ev.collect():
+        hist.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    out = {r.user_id: r for r in Q["ts_holt_linear"](spark, sf_dir).collect()}
+    assert set(out) == set(hist)
+    for uid, h in hist.items():
+        vals = [v for _, _, v in sorted(h)]
+        if len(vals) == 1:
+            level, trend = vals[0], 0.0
+        else:
+            level, trend = vals[1], vals[1] - vals[0]
+            for x in vals[2:]:
+                l_new = ((x + level) + trend) / 2
+                trend = ((l_new - level) + trend) / 2
+                level = l_new
+        r = out[uid]
+        assert r.n_events == len(vals)
+        assert r.holt_level == level, uid  # bit-exact, no tolerance
+        assert r.holt_trend == trend, uid
+        assert r.forecast_next == level + trend, uid

@@ -1054,14 +1054,17 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer-derived doubles.
 
     Plan shape: one scan → per-type calibration sums (5-row broadcast)
-    → score projection → one exact-percentile aggregate over the
-    calibration half → 5-row broadcast back onto the test half for the
-    coverage counts. Two scans of the facts, tiny broadcasts, no
-    corpus shuffle beyond the 5-key aggregates. Exact percentile sorts
-    per type WITHIN the aggregate — at 100 TB swap in the KMV/t-digest
-    tier (``kmv_distinct_sketch``'s module) for the same contract
-    minus exactness; the audit stays exact here because the oracle
-    gate demands it.
+    → score projection → an exact TWO-PHASE percentile (per-(type,
+    score) counts, then a cumulative window over that bounded
+    relation and the two bracketing order statistics — scores are
+    fixed-point integers over a bounded distinct domain, so no task
+    ever buffers a type's raw scores; same value-bucket move as
+    ``purged_timefold_assign``) → 5-row broadcast back onto the test
+    half for the coverage counts. Two scans of the facts, tiny
+    broadcasts, no corpus shuffle beyond keyed aggregates — exact AND
+    100 TB-shaped. (For a continuous unbounded score domain, bucket
+    the scores first or use the sketch tier; with ≤6dp values the
+    domain is bounded by construction.)
     """.format(CONF_ALPHA_PCT=CONF_ALPHA_PCT)
     ev = load_table(spark, sf_dir, "events")
     v_fp = F.round(F.col("value") * 1e6).cast("long")
@@ -1087,12 +1090,62 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cal",
         F.abs(F.col("v_fp") - F.col("mean_fp")).alias("score_fp"),
     )
-    thr = (
+    # exact percentile WITHOUT per-group buffering: scores are
+    # fixed-point integers over a bounded distinct domain (≤ distinct
+    # |v_fp − mean| values), so an exact two-phase value histogram
+    # works at any corpus size — group counts per (type, score), one
+    # cumulative window over that bounded relation, then the two
+    # bracketing order statistics and the (n−1)·p interpolation done
+    # in integer rationals (R10 = pct·(n−1)·10/100; frac = R10 mod 10)
+    # written identically on both engines. This replaces the r9 draft's
+    # percentile() aggregate, which buffers every calibration score of
+    # a type in one task.
+    from pyspark.sql import Window
+
+    hist = (
         scored.filter("is_cal")
-        .groupBy("event_type")
-        .agg(
-            F.percentile("score_fp", CONF_ALPHA_PCT / 100.0).alias("thr_fp")
+        .groupBy("event_type", "score_fp")
+        .agg(F.count("*").alias("c"))
+    )
+    w_t = Window.partitionBy("event_type")
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("c").over(
+                w_t.orderBy("score_fp").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
         )
+        .withColumn("n", F.sum("c").over(w_t))
+        .withColumn("r10", (F.col("n") - 1) * (CONF_ALPHA_PCT // 10))
+    )
+    thr = cum.groupBy("event_type").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("r10 div 10") + 1,
+                    F.col("score_fp"),
+                )
+            ).cast("double")
+            + (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.expr("r10 div 10")
+                        + F.when(F.col("r10") % 10 > 0, 2).otherwise(1),
+                        F.col("score_fp"),
+                    )
+                ).cast("double")
+                - F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("r10 div 10") + 1,
+                        F.col("score_fp"),
+                    )
+                ).cast("double")
+            )
+            * ((F.max("r10") % 10).cast("double") / 10.0)
+        ).alias("thr_fp")
     )
     test = scored.filter(~F.col("is_cal")).join(
         F.broadcast(thr), "event_type"
@@ -1136,11 +1189,31 @@ ORACLE["conformal_threshold_audit"] = f"""
                abs(b.v_fp - m.mean_fp) AS score_fp
         FROM base b JOIN cal_mean m USING (event_type)
     ),
+    hist AS (
+        SELECT event_type, score_fp, count(*) AS c
+        FROM scored WHERE is_cal GROUP BY event_type, score_fp
+    ),
+    cum AS (
+        SELECT event_type, score_fp,
+               sum(c) OVER (PARTITION BY event_type ORDER BY score_fp
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n,
+               (sum(c) OVER (PARTITION BY event_type) - 1)
+                   * {CONF_ALPHA_PCT // 10} AS r10
+        FROM hist
+    ),
     thr AS (
         SELECT event_type,
-               quantile_cont(score_fp, {CONF_ALPHA_PCT / 100.0})
-                   AS thr_fp
-        FROM scored WHERE is_cal GROUP BY event_type
+               CAST(min(CASE WHEN cum >= r10 // 10 + 1
+                             THEN score_fp END) AS DOUBLE)
+               + (CAST(min(CASE WHEN cum >= r10 // 10
+                                + (CASE WHEN r10 % 10 > 0
+                                        THEN 2 ELSE 1 END)
+                                THEN score_fp END) AS DOUBLE)
+                  - CAST(min(CASE WHEN cum >= r10 // 10 + 1
+                                  THEN score_fp END) AS DOUBLE))
+               * (CAST(max(r10) % 10 AS DOUBLE) / 10.0) AS thr_fp
+        FROM cum GROUP BY event_type
     )
     SELECT s.event_type,
            CAST(max(s.n_cal) AS BIGINT) AS n_cal,

@@ -204,6 +204,7 @@ HEADLINE_R9 = [
     "shard_rendezvous_assign",
     "conformal_threshold_audit",
     "ts_holt_linear",
+    "ivf_probe_sweep",
 ]
 
 

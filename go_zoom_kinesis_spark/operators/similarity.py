@@ -1671,3 +1671,216 @@ def _coreset_oracle_sql() -> str:
 
 
 ORACLE["coreset_kcenter_sample"] = _coreset_oracle_sql()
+
+
+# --- round 9: IVF probe sweep (the nprobe tuning curve) -------------------
+
+IVF_SWEEP = (1, 2, 4, 8)  # nprobe values swept (max ≤ IVF_CENTROIDS)
+
+
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve — recall@{IVF_TOP_K} AND candidate cost
+    of the IVF ANN path at nprobe ∈ {IVF_SWEEP}, against brute-force
+    ground truth, in ONE query. ``similarity_recall_eval`` grades the
+    shipped operating point (nprobe = {IVF_NPROBE}); this is the sweep
+    that CHOOSES it — the recall/cost frontier every ANN deployment
+    walks before fixing its index parameters, and the sweep-family
+    sibling of ``filter_survival_sweep``.
+
+    One centroid-scoring pass serves every sweep point: each candidate
+    reaches a query through exactly ONE bucket (its assignment), so the
+    probe RANK of that bucket in the query's centroid ordering is the
+    smallest nprobe at which the candidate appears — candidates are
+    scored once with that rank attached, then a 4-value explode
+    replays the ranking per sweep point. No per-nprobe rescans of the
+    corpus; at 100 TB the added cost over a single-nprobe query is the
+    (bounded) candidate relation × |sweep| through one window.
+
+    Integer contract: recall is floor-div ppm of hits over the true
+    top-{IVF_TOP_K} mass; candidate counts are exact. The referee pins
+    recall monotone non-decreasing and cost strictly increasing in
+    nprobe."""
+    emb = _with_norm(_emb(spark, sf_dir))
+    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored_cent = (
+        emb.join(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            _dot(F.col("emb"), F.col("c_emb"))
+            / (F.col("norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "c_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("c_cos"), F.asc("c_id")
+                )
+            ),
+        )
+        .select("vec_id", "c_id", "c_rk")
+        .cache()
+    )
+    assign = scored_cent.filter(F.col("c_rk") == 1).select(
+        "vec_id", F.col("c_id").alias("bucket")
+    )
+    probes = scored_cent.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("c_rk") <= max(IVF_SWEEP))
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_id").alias("probe"),
+        F.col("c_rk").alias("probe_rank"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qv_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = (
+        probes.join(assign, F.col("bucket") == F.col("probe"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(q), F.col("q_id") == F.col("qv_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "probe_rank",
+            (
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cos_raw"),
+        )
+        # two consumers (cost counts + the ranking) — cache the bounded
+        # candidate relation so the probe join runs once, not per branch
+        .cache()
+    )
+    swept = cand.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(p).cast("long") for p in IVF_SWEEP])),
+    ).filter(F.col("probe_rank") <= F.col("nprobe"))
+    counts = swept.groupBy("nprobe").agg(
+        F.count("*").alias("n_candidates"),
+        F.countDistinct("q_id").alias("n_queries_hit"),
+    )
+    topk = (
+        swept.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "q_id").orderBy(
+                    F.desc("cos_raw"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    truth = (
+        similarity_topk(spark, sf_dir)
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("q_id", "vec_id")
+        .cache()
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    hits = topk.join(truth, ["q_id", "vec_id"]).groupBy("nprobe").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        counts.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "nprobe",
+            "n_queries_hit",
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_truth",
+            F.expr(
+                "coalesce(n_hits, 0) * 1000000 div n_truth"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+QUERIES["ivf_probe_sweep"] = ivf_probe_sweep
+
+ORACLE["ivf_probe_sweep"] = f"""
+    {_EMB_CTE},
+    cent AS (
+        SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+        FROM en WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    scored_cent AS (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DOT.format(a='e.emb', b='c.c_emb')}
+                            / (e.norm * c.c_norm) DESC,
+                            c.c_id ASC) AS c_rk
+        FROM en e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, c_id AS bucket FROM scored_cent WHERE c_rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, c_id AS probe, c_rk AS probe_rank
+        FROM scored_cent
+        WHERE vec_id < {N_QUERIES} AND c_rk <= {max(IVF_SWEEP)}
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id, p.probe_rank,
+               {_DOT.format(a='q.emb', b='e.emb')} / (q.norm * e.norm)
+                   AS cos_raw
+        FROM probes p
+        JOIN assign a ON a.bucket = p.probe AND a.vec_id <> p.q_id
+        JOIN en e ON e.vec_id = a.vec_id
+        JOIN en q ON q.vec_id = p.q_id
+    ),
+    swept AS (
+        SELECT s.nprobe, c.q_id, c.vec_id, c.cos_raw
+        FROM cand c,
+             (VALUES {', '.join(f'({p})' for p in IVF_SWEEP)}) s(nprobe)
+        WHERE c.probe_rank <= s.nprobe
+    ),
+    counts AS (
+        SELECT nprobe, count(*) AS n_candidates,
+               count(DISTINCT q_id) AS n_queries_hit
+        FROM swept GROUP BY nprobe
+    ),
+    topk AS (
+        SELECT nprobe, q_id, vec_id FROM (
+            SELECT nprobe, q_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY nprobe, q_id
+                       ORDER BY cos_raw DESC, vec_id ASC) AS rk
+            FROM swept
+        ) WHERE rk <= {IVF_TOP_K}
+    ),
+    truth AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DOT.format(a='q.emb', b='c.emb')}
+                                / (q.norm * c.norm) DESC,
+                                c.vec_id ASC) AS rk
+            FROM en q JOIN en c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rk <= {IVF_TOP_K}
+    ),
+    hits AS (
+        SELECT t.nprobe, count(*) AS n_hits
+        FROM topk t JOIN truth u USING (q_id, vec_id)
+        GROUP BY t.nprobe
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+           CAST(c.n_queries_hit AS BIGINT) AS n_queries_hit,
+           CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // nt.n_truth AS BIGINT)
+               AS recall_ppm
+    FROM counts c LEFT JOIN hits h ON h.nprobe = c.nprobe, nt
+"""

@@ -594,3 +594,23 @@ def test_no_shrinking_window_frames(spark, sf_dir):
     for name in ("ts_linear_interpolate", "attribution_linear"):
         plan = _plan(spark, sf_dir, name)
         assert "AND UNBOUNDED FOLLOWING" not in plan, name
+
+
+def test_ivf_probe_sweep_no_per_nprobe_rescans(spark, sf_dir):
+    """ivf_probe_sweep: one centroid-scoring pass serves all sweep
+    points — the plan's scan count must stay within 2x the
+    single-nprobe audit's (candidate/truth caches split lineage, but
+    nothing may multiply by |IVF_SWEEP|), with no cartesian."""
+    from go_zoom_kinesis_spark.operators.similarity import IVF_SWEEP
+
+    # cache cross-talk between the two queries' shared relations makes
+    # scan counts order-dependent — clear before each plan build
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "ivf_probe_sweep")
+    spark.catalog.clearCache()
+    base = _plan(spark, sf_dir, "similarity_recall_eval")
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 2 * base.count("FileScan")
+    assert plan.count("FileScan") < len(IVF_SWEEP) * base.count("FileScan")
+    assert "BroadcastHashJoin" in plan

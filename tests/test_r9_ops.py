@@ -238,3 +238,29 @@ def test_holt_linear_python_replay(spark, sf_dir):
         assert r.holt_level == level, uid  # bit-exact, no tolerance
         assert r.holt_trend == trend, uid
         assert r.forecast_next == level + trend, uid
+
+
+# --- ivf_probe_sweep: frontier-shape referee ------------------------------
+
+
+def test_ivf_probe_sweep_frontier(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.similarity import (
+        IVF_SWEEP,
+        IVF_TOP_K,
+    )
+
+    rows = sorted(
+        Q["ivf_probe_sweep"](spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == sorted(IVF_SWEEP)
+    truths = {r.n_truth for r in rows}
+    assert len(truths) == 1  # denominator shared across sweep points
+    for a, b in zip(rows, rows[1:]):
+        # more probes can only ADD candidates and never lose a hit:
+        # recall is monotone non-decreasing, cost strictly increasing
+        assert b.n_candidates > a.n_candidates
+        assert b.recall_ppm >= a.recall_ppm
+        assert b.n_queries_hit >= a.n_queries_hit
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_truth
+        assert r.n_hits <= r.n_queries_hit * IVF_TOP_K

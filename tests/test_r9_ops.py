@@ -264,3 +264,81 @@ def test_ivf_probe_sweep_frontier(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= r.n_truth
         assert r.n_hits <= r.n_queries_hit * IVF_TOP_K
+
+
+# --- streaming Holt: batch==stream bit-exact pin --------------------------
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path, sf_dir):
+    """The stream tier (ValueState per user, O(1) state) must land on
+    EXACTLY the batch ts_holt_linear row for every user when the
+    corpus arrives as two event-time-ordered micro-batches. Holt is an
+    ordered fold, so unlike the KMV pin this one is conditional on
+    input order — which the chunking below supplies and a per-shard
+    Kinesis consumer guarantees within a shard. The final emission per
+    user is the one with the highest n_events (monotone per user)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from go_zoom_kinesis_spark.io import load_table
+    from go_zoom_kinesis_spark.streaming.holt_stream import (
+        streaming_holt_linear,
+    )
+
+    rows = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"], r["value"]),
+    )
+    half = len(rows) // 2
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "holt_src")
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(
+            [tuple(r) for r in chunk], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_holt_linear(stream)
+        .writeStream.format("memory")
+        .queryName("holt_stream_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "holt_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from holt_stream_t").collect()
+    assert emitted, "stream emitted nothing - pin is vacuous"
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    batch = {r["user_id"]: r for r in Q["ts_holt_linear"](spark, sf_dir).collect()}
+    assert sorted(final) == sorted(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert s["n_events"] == b["n_events"], uid
+        # bit-exact, no tolerance: same IEEE op sequence, same order
+        assert s["holt_level"] == b["holt_level"], uid
+        assert s["holt_trend"] == b["holt_trend"], uid
+        assert s["forecast_next"] == b["forecast_next"], uid

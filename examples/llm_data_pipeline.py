@@ -51,6 +51,7 @@ from go_zoom_kinesis_spark.operators.dedup import (  # noqa: E402
 from go_zoom_kinesis_spark.operators.pipeline import (  # noqa: E402
     EVAL_MOD,
     PACK_BUDGET,
+    contamination_longest_run,
     decontaminate_ngram,
 )
 from go_zoom_kinesis_spark.operators.sampling import (  # noqa: E402
@@ -97,6 +98,18 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         contaminated, "doc_id", "left_anti"
     )
     funnel["decontaminated"] = kept.count()
+
+    # 4a. contiguous-span decontamination (r9) — the stricter PaLM-style
+    #     criterion on top of the scattered-overlap scan: any doc with a
+    #     long CONTIGUOUS shared run vs the eval slice goes too. On this
+    #     corpus stage 4 usually subsumes it (a contiguous run implies
+    #     shared n-grams), but the stage order documents the policy:
+    #     count-based first (cheap, broad), span-based second (strict).
+    span_contaminated = contamination_longest_run(spark, sf_dir).select(
+        "doc_id"
+    )
+    kept = kept.join(span_contaminated, "doc_id", "left_anti")
+    funnel["span_decontaminated"] = kept.count()
 
     # 4b. k-anonymity release gate over the SURVIVORS (the registry's
     #     k_anonymity_audit shape applied post-filter): quasi-id

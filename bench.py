@@ -205,6 +205,7 @@ HEADLINE_R9 = [
     "conformal_threshold_audit",
     "ts_holt_linear",
     "ivf_probe_sweep",
+    "watermark_lateness_sweep",
 ]
 
 

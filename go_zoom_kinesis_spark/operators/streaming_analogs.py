@@ -570,3 +570,156 @@ ORACLE["shard_rendezvous_assign"] = f"""
            CAST(coalesce(n_moved_in, 0) AS BIGINT) AS n_moved_in
     FROM nxt FULL OUTER JOIN now ON nxt.worker = now.worker
 """
+
+
+# --- round 9: watermark allowed-lateness sweep ----------------------------
+
+WM_SWEEP_SEC = (0, 60, 300, 3600)  # candidate allowed-lateness values
+
+
+def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allowed-lateness tuning curve: for every candidate watermark
+    delay, how many events the downstream pipeline would DROP as
+    too-late — the decision input for ``withWatermark``. The arrival
+    tape models the reference consumer exactly: each shard delivers
+    records in sequence order in GetRecords batches of {BATCH_SIZE}
+    (src/processor.rs batch loop), and the downstream merger drains the
+    shards round-robin — tape order (batch_no, shard_id, sequence). A
+    record's lateness is how far its event time sits behind the
+    maximum event time already on the tape; within one shard that is
+    zero by the per-shard ordering guarantee (O1), so ALL lateness here
+    is CROSS-SHARD interleave — the batch-width clock skew a real
+    multi-shard merge produces, and precisely what a global watermark
+    must tolerate.
+
+    Two-phase running max, never a corpus-wide single-partition
+    window: per-(batch, shard) chunk maxima (a rows/{BATCH_SIZE}
+    relation) carry the cross-chunk prefix via one ordered window over
+    that REDUCED relation — a global tape prefix is inherently
+    sequential, so the honest cost is one sorted pass over 1/{BATCH_SIZE}
+    of the rows (recurse the same reduction once more if even that is
+    too big); the within-chunk running max partitions by chunk. Then a
+    4-value explode into a bounded aggregate. All frames are growing
+    (streamed O(n) — the r9 shrinking-frame rule).
+    """
+    ev = with_envelope(_events(spark, sf_dir)).select(
+        "shard_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts")).cast("long").alias("tsu"),
+    )
+    w_shard = Window.partitionBy("shard_id").orderBy("event_id")
+    chunked = ev.withColumn("rn", F.row_number().over(w_shard)).withColumn(
+        "batch_no", F.expr(f"(rn - 1) div {BATCH_SIZE}")
+    ).drop("rn")
+    cmax = chunked.groupBy("batch_no", "shard_id").agg(
+        F.max("tsu").alias("cmax")
+    )
+    tape = Window.orderBy("batch_no", "shard_id")
+    off = cmax.withColumn(
+        "off",
+        F.max("cmax").over(
+            tape.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    inwin = Window.partitionBy("batch_no", "shard_id").orderBy(
+        "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    late = (
+        chunked.join(off, ["batch_no", "shard_id"])
+        .withColumn("inmax", F.max("tsu").over(inwin))
+        .select(
+            "shard_id",
+            (
+                F.greatest(F.coalesce("off", F.lit(0)), F.col("inmax"))
+                - F.col("tsu")
+            ).alias("late_by_sec"),
+        )
+    )
+    swept = late.withColumn(
+        "lateness_sec",
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in WM_SWEEP_SEC])
+        ),
+    )
+    agg = swept.groupBy("lateness_sec").agg(
+        F.count_if(F.col("late_by_sec") <= F.col("lateness_sec")).alias(
+            "n_kept"
+        ),
+        F.count_if(F.col("late_by_sec") > F.col("lateness_sec")).alias(
+            "n_dropped"
+        ),
+        F.countDistinct(
+            F.when(
+                F.col("late_by_sec") > F.col("lateness_sec"),
+                F.col("shard_id"),
+            )
+        ).alias("n_shards_dropping"),
+        F.max("late_by_sec").alias("max_late_by_sec"),
+    )
+    return agg.select(
+        "lateness_sec",
+        "n_kept",
+        "n_dropped",
+        F.expr(
+            "n_dropped * 1000000 div (n_kept + n_dropped)"
+        ).alias("dropped_ppm"),
+        "n_shards_dropping",
+        "max_late_by_sec",
+    )
+
+
+QUERIES["watermark_lateness_sweep"] = watermark_lateness_sweep
+
+ORACLE["watermark_lateness_sweep"] = f"""
+    WITH env AS (
+        SELECT user_id % {N_SHARDS} AS shard_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsu
+        FROM events
+    ),
+    chunked AS (
+        SELECT shard_id, event_id, tsu,
+               (row_number() OVER (
+                   PARTITION BY shard_id ORDER BY event_id) - 1)
+                   // {BATCH_SIZE} AS batch_no
+        FROM env
+    ),
+    cmax AS (
+        SELECT batch_no, shard_id, max(tsu) AS cmax
+        FROM chunked GROUP BY batch_no, shard_id
+    ),
+    offs AS (
+        SELECT batch_no, shard_id,
+               max(cmax) OVER (
+                   ORDER BY batch_no, shard_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS off
+        FROM cmax
+    ),
+    late AS (
+        SELECT c.shard_id,
+               greatest(coalesce(o.off, CAST(0 AS BIGINT)),
+                        max(c.tsu) OVER (
+                            PARTITION BY c.batch_no, c.shard_id
+                            ORDER BY c.event_id
+                            ROWS UNBOUNDED PRECEDING)) - c.tsu
+                   AS late_by_sec
+        FROM chunked c
+        JOIN offs o USING (batch_no, shard_id)
+    ),
+    swept AS (
+        SELECT l.shard_id, l.late_by_sec, s.lateness_sec
+        FROM late l,
+             (VALUES {', '.join(f'({v})' for v in WM_SWEEP_SEC)})
+                 s(lateness_sec)
+    )
+    SELECT CAST(lateness_sec AS BIGINT) AS lateness_sec,
+           count(*) FILTER (late_by_sec <= lateness_sec) AS n_kept,
+           count(*) FILTER (late_by_sec > lateness_sec) AS n_dropped,
+           CAST(count(*) FILTER (late_by_sec > lateness_sec) * 1000000
+                // count(*) AS BIGINT) AS dropped_ppm,
+           CAST(count(DISTINCT CASE WHEN late_by_sec > lateness_sec
+                                    THEN shard_id END) AS BIGINT)
+               AS n_shards_dropping,
+           CAST(max(late_by_sec) AS BIGINT) AS max_late_by_sec
+    FROM swept GROUP BY lateness_sec
+"""

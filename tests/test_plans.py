@@ -614,3 +614,13 @@ def test_ivf_probe_sweep_no_per_nprobe_rescans(spark, sf_dir):
     assert plan.count("FileScan") <= 2 * base.count("FileScan")
     assert plan.count("FileScan") < len(IVF_SWEEP) * base.count("FileScan")
     assert "BroadcastHashJoin" in plan
+
+
+def test_lateness_sweep_growing_frames_only(spark, sf_dir):
+    """watermark_lateness_sweep: the tape prefix must ride the reduced
+    chunk relation with growing frames only — no shrinking frame, no
+    cartesian, and exactly one fact scan."""
+    plan = _plan(spark, sf_dir, "watermark_lateness_sweep")
+    assert "AND UNBOUNDED FOLLOWING" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 2

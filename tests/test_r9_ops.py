@@ -342,3 +342,33 @@ def test_streaming_holt_matches_batch(spark, tmp_path, sf_dir):
         assert s["holt_level"] == b["holt_level"], uid
         assert s["holt_trend"] == b["holt_trend"], uid
         assert s["forecast_next"] == b["forecast_next"], uid
+
+
+# --- watermark_lateness_sweep ---------------------------------------------
+
+
+def test_lateness_sweep_monotone(spark, sf_dir):
+    from go_zoom_kinesis_spark.operators.streaming_analogs import (
+        N_SHARDS,
+        WM_SWEEP_SEC,
+    )
+
+    rows = sorted(
+        Q["watermark_lateness_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.lateness_sec,
+    )
+    assert [r.lateness_sec for r in rows] == sorted(WM_SWEEP_SEC)
+    totals = {r.n_kept + r.n_dropped for r in rows}
+    assert len(totals) == 1  # every event classified at every threshold
+    maxlate = {r.max_late_by_sec for r in rows}
+    assert len(maxlate) == 1  # threshold-independent observation
+    for a, b in zip(rows, rows[1:]):
+        # a larger allowed lateness can only keep MORE events
+        assert b.n_dropped <= a.n_dropped
+        assert b.n_kept >= a.n_kept
+    for r in rows:
+        assert 0 <= r.n_shards_dropping <= N_SHARDS
+        assert (r.n_dropped == 0) == (r.n_shards_dropping == 0)
+        assert r.dropped_ppm == r.n_dropped * 1_000_000 // (
+            r.n_kept + r.n_dropped
+        )

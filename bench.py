@@ -206,6 +206,7 @@ HEADLINE_R9 = [
     "ts_holt_linear",
     "ivf_probe_sweep",
     "watermark_lateness_sweep",
+    "entity_resolution_pipeline",
 ]
 
 

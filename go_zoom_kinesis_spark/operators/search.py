@@ -525,3 +525,140 @@ ORACLE["hybrid_search_rrf"] = f"""
                       CAST(0 AS DOUBLE)) AS rrf_score
     FROM bmr b FULL OUTER JOIN vr v ON b.item_id = v.item_id
 """
+
+
+# --- round 9: entity resolution pipeline (blocked match -> components) ----
+
+ER_MAX_ITERS = 50  # min-label rounds >= component diameter (chains are short)
+
+
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed entity-resolution architecture as one driver-graded
+    query: blocked fuzzy matching (``fuzzy_match_parts``: block on
+    (last name word, size), match on edit distance ≤ FUZZY_MAX_DIST) →
+    connected components over the match graph (min-label propagation —
+    the ``dedup_components`` primitive on a different edge relation) →
+    one canonical ENTITY row per component: id = min part key, the
+    canonical name, member count, and the component's worst intra-pair
+    edit distance (the cluster-quality signal reviewers audit). Only
+    multi-member entities appear — singletons need no resolution.
+    Pairwise matchers answer "are these two the same?"; the entity
+    table answers "how many REAL products does the catalog hold?" —
+    the same pairs→components→survivor promotion ``dedup_components``
+    gives near-dup pairs, composed here with the string-similarity
+    matcher instead.
+
+    Scale: the pair graph is block-bounded (never corpus²); label
+    propagation is one equi-join + one min-groupBy per round with
+    per-round ``localCheckpoint`` lineage truncation and an O(1)
+    scalar convergence probe — rounds = component diameter, and
+    entity-resolution components are short chains (the large-star /
+    small-star O(log d) variant drops in unchanged if they are not).
+    The canonical-name join back is keyed on the entity id."""
+    pairs = fuzzy_match_parts(spark, sf_dir).select(
+        "pk_a", "pk_b", "edit_dist"
+    ).cache()
+    edges = (
+        pairs.select(F.col("pk_a").alias("src"), F.col("pk_b").alias("dst"))
+        .union(
+            pairs.select(F.col("pk_b").alias("src"), F.col("pk_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(ER_MAX_ITERS):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # worst intra-pair distance per component: tag each matched pair
+    # with its component label (either endpoint works — same component)
+    pair_lbl = pairs.join(
+        labels, pairs.pk_a == labels.node
+    ).select(F.col("lbl").alias("entity_id"), "edit_dist")
+    ent = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("lbl"), F.col("p_name").alias("canonical_name")
+    )
+    qual = pair_lbl.groupBy("entity_id").agg(
+        F.max("edit_dist").alias("max_intra_edit_dist"),
+        F.count("*").alias("n_matched_pairs"),
+    )
+    return (
+        ent.join(part, "lbl")
+        .join(qual, ent.lbl == qual.entity_id)
+        .select(
+            F.col("lbl").alias("entity_id"),
+            "canonical_name",
+            "n_members",
+            "n_matched_pairs",
+            "max_intra_edit_dist",
+        )
+    )
+
+
+QUERIES["entity_resolution_pipeline"] = entity_resolution_pipeline
+
+ORACLE["entity_resolution_pipeline"] = f"""
+    WITH RECURSIVE keyed AS (
+        SELECT p_partkey AS pk, p_name AS name,
+               list_extract(string_split(p_name, ' '), -1) AS block_noun,
+               p_size AS block_size
+        FROM part
+    ),
+    fpairs AS (
+        SELECT a.pk AS pk_a, b.pk AS pk_b,
+               levenshtein(a.name, b.name) AS edit_dist
+        FROM keyed a
+        JOIN keyed b
+          ON a.block_noun = b.block_noun
+         AND a.block_size = b.block_size
+         AND a.pk < b.pk
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    ),
+    edges AS (
+        SELECT pk_a AS s, pk_b AS d FROM fpairs
+        UNION
+        SELECT pk_b AS s, pk_a AS d FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.d AS node, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+    ent AS (
+        SELECT lbl, count(*) AS n_members FROM comp GROUP BY lbl
+    ),
+    qual AS (
+        SELECT c.lbl AS entity_id,
+               max(f.edit_dist) AS max_intra_edit_dist,
+               count(*) AS n_matched_pairs
+        FROM fpairs f JOIN comp c ON c.node = f.pk_a
+        GROUP BY c.lbl
+    )
+    SELECT e.lbl AS entity_id,
+           p.p_name AS canonical_name,
+           CAST(e.n_members AS BIGINT) AS n_members,
+           CAST(q.n_matched_pairs AS BIGINT) AS n_matched_pairs,
+           CAST(q.max_intra_edit_dist AS BIGINT) AS max_intra_edit_dist
+    FROM ent e
+    JOIN part p ON p.p_partkey = e.lbl
+    JOIN qual q ON q.entity_id = e.lbl
+"""

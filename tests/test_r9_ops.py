@@ -372,3 +372,47 @@ def test_lateness_sweep_monotone(spark, sf_dir):
         assert r.dropped_ppm == r.n_dropped * 1_000_000 // (
             r.n_kept + r.n_dropped
         )
+
+
+# --- entity_resolution_pipeline: union-find replay referee ----------------
+
+
+def test_entity_resolution_matches_python_union_find(spark, sf_dir):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    pair_rows = Q["fuzzy_match_parts"](spark, sf_dir).collect()
+    for r in pair_rows:
+        union(r.pk_a, r.pk_b)
+    comps: dict[int, set] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    expect = {root: len(members) for root, members in comps.items()}
+    got = {
+        r.entity_id: r
+        for r in Q["entity_resolution_pipeline"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)  # entity id = min member, exactly
+    pair_count: dict[int, int] = {}
+    worst: dict[int, int] = {}
+    for r in pair_rows:
+        root = find(r.pk_a)
+        pair_count[root] = pair_count.get(root, 0) + 1
+        worst[root] = max(worst.get(root, 0), r.edit_dist)
+    for root, n in expect.items():
+        assert got[root].n_members == n, root
+        assert got[root].n_members >= 2
+        assert got[root].n_matched_pairs == pair_count[root], root
+        assert got[root].max_intra_edit_dist == worst[root], root

@@ -377,21 +377,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(MAX_CC_ITERS):
-        prop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "lbl"
-        )
-        labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()  # truncate per-round lineage growth
-        )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    # shared fixpoint loop (search._min_label_propagate): one join +
+    # one min-groupBy per round, localCheckpoint lineage truncation,
+    # and the r10 loud-fail on non-convergence (ADVICE r9: silent
+    # fall-through shipped unmerged components)
+    from .search import _min_label_propagate
+
+    labels = _min_label_propagate(edges, labels, MAX_CC_ITERS)
     w = Window.partitionBy("component_id")
     return (
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))

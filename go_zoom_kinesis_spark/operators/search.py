@@ -532,6 +532,46 @@ ORACLE["hybrid_search_rrf"] = f"""
 ER_MAX_ITERS = 50  # min-label rounds >= component diameter (chains are short)
 
 
+def _min_label_propagate(
+    edges: DataFrame, labels: DataFrame, max_iters: int = ER_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation to a fixpoint over ``edges`` (src, dst),
+    starting from ``labels`` (node, lbl). One equi-join + one
+    min-groupBy per round, ``localCheckpoint`` lineage truncation, and
+    an O(1) scalar convergence probe (sum of labels is strictly
+    decreasing until the fixpoint). Raises RuntimeError if the label
+    sum is still changing after ``max_iters`` rounds — r10 (ADVICE
+    r9): falling through the cap used to silently return UNMERGED
+    components, plausible-but-wrong entities the oracle only catches
+    on corpora with deep chains; non-convergence means the component
+    diameter exceeds the cap, and the fix is raising the cap or
+    switching to the O(log d) large-star/small-star rounds, not
+    shipping bad ids."""
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    cur_sum = prev_sum
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"min-label propagation still changing after {max_iters} "
+            f"rounds (last label sum {cur_sum}); component diameter "
+            f"exceeds the iteration cap"
+        )
+    return labels
+
+
 def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed entity-resolution architecture as one driver-graded
     query: blocked fuzzy matching (``fuzzy_match_parts``: block on
@@ -571,21 +611,7 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(ER_MAX_ITERS):
-        prop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "lbl"
-        )
-        labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _min_label_propagate(edges, labels)
     # worst intra-pair distance per component: tag each matched pair
     # with its component label (either endpoint works — same component)
     pair_lbl = pairs.join(

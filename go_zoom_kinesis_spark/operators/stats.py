@@ -1096,7 +1096,10 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # works at any corpus size — group counts per (type, score), one
     # cumulative window over that bounded relation, then the two
     # bracketing order statistics and the (n−1)·p interpolation done
-    # in integer rationals (R10 = pct·(n−1)·10/100; frac = R10 mod 10)
+    # in integer rationals (R100 = (n−1)·pct, index = R100 div 100,
+    # frac = (R100 mod 100)/100 — exact for ANY integer percent, not
+    # just multiples of 10; the r9 draft's `(n−1)·(pct//10)` silently
+    # computed the wrong percentile for e.g. pct = 95 on BOTH engines)
     # written identically on both engines. This replaces the r9 draft's
     # percentile() aggregate, which buffers every calibration score of
     # a type in one task.
@@ -1118,13 +1121,13 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("n", F.sum("c").over(w_t))
-        .withColumn("r10", (F.col("n") - 1) * (CONF_ALPHA_PCT // 10))
+        .withColumn("r100", (F.col("n") - 1) * CONF_ALPHA_PCT)
     )
     thr = cum.groupBy("event_type").agg(
         (
             F.min(
                 F.when(
-                    F.col("cum") >= F.expr("r10 div 10") + 1,
+                    F.col("cum") >= F.expr("r100 div 100") + 1,
                     F.col("score_fp"),
                 )
             ).cast("double")
@@ -1132,19 +1135,19 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(
                     F.when(
                         F.col("cum")
-                        >= F.expr("r10 div 10")
-                        + F.when(F.col("r10") % 10 > 0, 2).otherwise(1),
+                        >= F.expr("r100 div 100")
+                        + F.when(F.col("r100") % 100 > 0, 2).otherwise(1),
                         F.col("score_fp"),
                     )
                 ).cast("double")
                 - F.min(
                     F.when(
-                        F.col("cum") >= F.expr("r10 div 10") + 1,
+                        F.col("cum") >= F.expr("r100 div 100") + 1,
                         F.col("score_fp"),
                     )
                 ).cast("double")
             )
-            * ((F.max("r10") % 10).cast("double") / 10.0)
+            * ((F.max("r100") % 100).cast("double") / 100.0)
         ).alias("thr_fp")
     )
     test = scored.filter(~F.col("is_cal")).join(
@@ -1199,20 +1202,20 @@ ORACLE["conformal_threshold_audit"] = f"""
                             ROWS UNBOUNDED PRECEDING) AS cum,
                sum(c) OVER (PARTITION BY event_type) AS n,
                (sum(c) OVER (PARTITION BY event_type) - 1)
-                   * {CONF_ALPHA_PCT // 10} AS r10
+                   * {CONF_ALPHA_PCT} AS r100
         FROM hist
     ),
     thr AS (
         SELECT event_type,
-               CAST(min(CASE WHEN cum >= r10 // 10 + 1
+               CAST(min(CASE WHEN cum >= r100 // 100 + 1
                              THEN score_fp END) AS DOUBLE)
-               + (CAST(min(CASE WHEN cum >= r10 // 10
-                                + (CASE WHEN r10 % 10 > 0
+               + (CAST(min(CASE WHEN cum >= r100 // 100
+                                + (CASE WHEN r100 % 100 > 0
                                         THEN 2 ELSE 1 END)
                                 THEN score_fp END) AS DOUBLE)
-                  - CAST(min(CASE WHEN cum >= r10 // 10 + 1
+                  - CAST(min(CASE WHEN cum >= r100 // 100 + 1
                                   THEN score_fp END) AS DOUBLE))
-               * (CAST(max(r10) % 10 AS DOUBLE) / 10.0) AS thr_fp
+               * (CAST(max(r100) % 100 AS DOUBLE) / 100.0) AS thr_fp
         FROM cum GROUP BY event_type
     )
     SELECT s.event_type,

@@ -592,15 +592,27 @@ def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-shard merge produces, and precisely what a global watermark
     must tolerate.
 
-    Two-phase running max, never a corpus-wide single-partition
-    window: per-(batch, shard) chunk maxima (a rows/{BATCH_SIZE}
-    relation) carry the cross-chunk prefix via one ordered window over
-    that REDUCED relation — a global tape prefix is inherently
-    sequential, so the honest cost is one sorted pass over 1/{BATCH_SIZE}
-    of the rows (recurse the same reduction once more if even that is
-    too big); the within-chunk running max partitions by chunk. Then a
-    4-value explode into a bounded aggregate. All frames are growing
-    (streamed O(n) — the r9 shrinking-frame rule).
+    THREE-phase running max (r10 — the r9 draft's one residual
+    single-task pass, recursed away as its own docstring sketched):
+    per-(batch, shard) chunk maxima (a rows/{BATCH_SIZE} relation)
+    reduce AGAIN into super-chunks of {BATCH_SIZE} consecutive batches
+    (a rows/{BATCH_SIZE}² relation — the only globally-ordered window
+    left runs over THAT, thousands of rows at 100M events and still
+    tiny at 100 TB; recurse a third time if a corpus ever outgrows
+    it). Super-chunk offsets broadcast back onto the chunk relation,
+    whose within-super prefix window partitions by super-chunk
+    (≤ {BATCH_SIZE}·shards rows per task); chunk offsets then join
+    back onto the rows, whose within-chunk running max partitions by
+    chunk. The prefix over earlier tape rows decomposes exactly:
+    rows before chunk c = rows in earlier SUPER-chunks ∪ earlier
+    chunks of c's own super-chunk, and max is associative, so
+    greatest(super_prefix, within_super_prefix) is bit-for-bit the
+    single-window prefix the bucket-free oracle computes (Spark's
+    ``greatest`` skips NULLs, preserving the no-predecessor case).
+    Then a 4-value explode into a bounded aggregate. All frames are
+    growing (streamed O(n) — the r9 shrinking-frame rule), and no
+    window orders a relation bigger than rows/{BATCH_SIZE}² without a
+    partition key (plan-pinned).
     """
     ev = with_envelope(_events(spark, sf_dir)).select(
         "shard_id",
@@ -611,15 +623,37 @@ def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = ev.withColumn("rn", F.row_number().over(w_shard)).withColumn(
         "batch_no", F.expr(f"(rn - 1) div {BATCH_SIZE}")
     ).drop("rn")
-    cmax = chunked.groupBy("batch_no", "shard_id").agg(
-        F.max("tsu").alias("cmax")
+    # cached: the rows/BATCH chunk relation feeds BOTH the super-chunk
+    # reduction and the offset join-back — without the cache each
+    # branch would re-scan the fact table (2 scans stay the contract)
+    cmax = (
+        chunked.groupBy("batch_no", "shard_id")
+        .agg(F.max("tsu").alias("cmax"))
+        .withColumn("sbucket", F.expr(f"batch_no div {BATCH_SIZE}"))
+        .cache()
     )
-    tape = Window.orderBy("batch_no", "shard_id")
-    off = cmax.withColumn(
-        "off",
-        F.max("cmax").over(
-            tape.rowsBetween(Window.unboundedPreceding, -1)
-        ),
+    smax = cmax.groupBy("sbucket").agg(F.max("cmax").alias("smax"))
+    s_tape = Window.orderBy("sbucket")
+    soff = smax.select(
+        "sbucket",
+        F.max("smax")
+        .over(s_tape.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("soff"),
+    )
+    in_tape = Window.partitionBy("sbucket").orderBy("batch_no", "shard_id")
+    off = (
+        cmax.join(F.broadcast(soff), "sbucket")
+        .withColumn(
+            "inoff",
+            F.max("cmax").over(
+                in_tape.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select(
+            "batch_no",
+            "shard_id",
+            F.greatest("soff", "inoff").alias("off"),
+        )
     )
     inwin = Window.partitionBy("batch_no", "shard_id").orderBy(
         "event_id"

@@ -619,8 +619,22 @@ def test_ivf_probe_sweep_no_per_nprobe_rescans(spark, sf_dir):
 def test_lateness_sweep_growing_frames_only(spark, sf_dir):
     """watermark_lateness_sweep: the tape prefix must ride the reduced
     chunk relation with growing frames only — no shrinking frame, no
-    cartesian, and exactly one fact scan."""
+    cartesian, and exactly one fact scan. r10: the chunk prefix is
+    recursed — any window ORDERING by batch_no must be partitioned by
+    the super-chunk bucket, so the only empty-partition window left
+    runs over the rows/BATCH² super-chunk relation, and the offsets
+    come back via a broadcast join."""
+    import re
+
     plan = _plan(spark, sf_dir, "watermark_lateness_sweep")
     assert "AND UNBOUNDED FOLLOWING" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("FileScan") <= 2
+    # the cached chunk relation's build plan (one FileScan) is
+    # re-PRINTED under every InMemoryRelation reference but executed
+    # once — count only scans outside cached subtrees
+    assert plan.count("FileScan") - plan.count("InMemoryRelation") <= 2
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if re.search(r"batch_no#\d+L? ASC", spec):  # batch_no as ORDER col
+            assert "sbucket" in spec, "unbucketed tape window: " + spec
+    assert "BroadcastHashJoin" in plan

@@ -5,12 +5,16 @@ metadata, exactly like the reference's opaque Kinesis record payload
 (`/root/reference/src/lib.rs:69`: the engine never interprets bytes;
 the user decode step does). The *Spark-side plumbing* here is real and
 tested — schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning — while the actual media decode is stubbed (no image/audio
-libraries in this container):
+partitioning — and so (r10) is the container decode for the formats a
+pure-Python parser can own:
 
-- ``decode_image`` raises NotImplementedError (clearly-marked STUB)
+- ``decode_image`` natively parses 24-bit uncompressed BMP and binary
+  PPM (P6) — header, padding, row order, channel order — and raises a
+  LOUD NotImplementedError only for entropy-coded formats (PNG/JPEG/
+  GIF/WebP/RLE-BMP), which need a real codec library this container
+  lacks; ``multimodal_decode_image`` hash-grades the round trip
 - ``fake_decode_features`` is the deterministic stand-in used by the
-  pipeline and tests: features derived from the payload bytes
+  byte-level pipelines and tests: features derived from payload bytes
 
 Because no binary test table exists, payloads are synthesized from
 ``documents.text`` (utf-8 encode) — at 100 TB the same pipeline reads
@@ -53,16 +57,143 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real image decode (PIL/opencv not in this container).
+class DecodedImage:
+    """Decoded raster: ``pixels`` is an H×W×3 uint8 numpy array in
+    top-down row order with RGB channel order, whatever the container
+    format stored (BMP keeps bottom-up BGR rows on disk; the decoder
+    normalizes)."""
 
-    The production implementation decodes inside ``mapInPandas`` batches
-    (see ``multimodal_features_pipeline``) so bytes never leave the
-    executor; only derived features flow on.
-    """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this environment; "
-        "use fake_decode_features for the deterministic test path"
+    __slots__ = ("width", "height", "channels", "pixels")
+
+    def __init__(self, width: int, height: int, pixels) -> None:
+        self.width = int(width)
+        self.height = int(height)
+        self.channels = 3
+        self.pixels = pixels
+
+
+_COMPRESSED_MAGICS = (
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "webp/riff"),
+)
+
+
+def decode_image(payload: bytes) -> DecodedImage:
+    """Pure-Python image decode for the two uncompressed formats a
+    header+pixel parser can own outright — 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up or top-down) and binary PPM (P6,
+    maxval ≤ 255, comment-tolerant header). Runs inside
+    ``mapInPandas`` batches (see ``multimodal_decode_image``) so bytes
+    never leave the executor; only derived features flow on.
+
+    Compressed formats (PNG/JPEG/GIF/WebP, RLE BMP) stay a LOUD
+    NotImplementedError: entropy coders belong to a real media
+    library, not a hand parser — the decode *plumbing* is identical
+    either way (same batch shape, same schema), so swapping a library
+    in touches nothing downstream. r10: closes the repo's last
+    declared stub (r8/r9 verdict carry)."""
+    import numpy as np
+
+    for magic, fmt in _COMPRESSED_MAGICS:
+        if payload[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"compressed image format ({fmt}) requires a real codec "
+                f"(PIL/opencv — not in this container); uncompressed "
+                f"BMP/PPM decode natively"
+            )
+    if payload[:2] == b"BM":
+        import struct
+
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_ofs = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        bpp, comp = struct.unpack_from("<HI", payload, 28)
+        if comp != 0:
+            raise NotImplementedError(
+                "compressed BMP (biCompression != 0) requires a real codec"
+            )
+        if bpp != 24:
+            raise NotImplementedError(f"{bpp}-bit BMP unsupported (24 only)")
+        height, top_down = (-h, True) if h < 0 else (h, False)
+        row_bytes = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundary
+        need = data_ofs + row_bytes * height
+        if w <= 0 or height <= 0 or len(payload) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            payload, np.uint8, count=row_bytes * height, offset=data_ofs
+        ).reshape(height, row_bytes)
+        pix = rows[:, : w * 3].reshape(height, w, 3)[..., ::-1]  # BGR→RGB
+        if not top_down:
+            pix = pix[::-1]  # bottom-up on disk → top-down out
+        return DecodedImage(w, height, np.ascontiguousarray(pix))
+    if payload[:2] == b"P6":
+        # header = magic + 3 ints (w, h, maxval) separated by
+        # whitespace, '#' comments running to end-of-line; ONE
+        # whitespace byte after maxval, then raw RGB
+        pos, vals = 2, []
+        while len(vals) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            elif c.isdigit():
+                end = pos
+                while end < len(payload) and payload[end : end + 1].isdigit():
+                    end += 1
+                vals.append(int(payload[pos:end]))
+                pos = end
+            else:
+                raise ValueError(f"bad PPM header byte {c!r}")
+        w, height, maxval = vals
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM unsupported (maxval > 255)")
+        pos += 1  # the single whitespace after maxval
+        n = w * height * 3
+        if w <= 0 or height <= 0 or len(payload) < pos + n:
+            raise ValueError("truncated PPM pixel data")
+        pix = np.frombuffer(payload, np.uint8, count=n, offset=pos).reshape(
+            height, w, 3
+        )
+        return DecodedImage(w, height, pix)
+    raise ValueError(
+        f"unrecognized image container (magic {payload[:4]!r}); "
+        f"BMP ('BM') and PPM ('P6') decode natively"
+    )
+
+
+def encode_bmp(pixels) -> bytes:
+    """24-bit uncompressed BMP writer (the synthesis twin of
+    ``decode_image``): H×W×3 uint8 RGB in, bottom-up BGR rows with
+    4-byte padding out — the layout every BMP reader must handle."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    head = struct.pack(
+        "<2sIHHI", b"BM", 54 + body.size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0)
+    return head + body.tobytes()
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6) writer with a comment line in the header, so
+    round-trips exercise the parser's comment handling."""
+    h, w, _ = pixels.shape
+    return (
+        f"P6\n# synthetic test raster\n{w} {h}\n255\n".encode()
+        + pixels.tobytes()
     )
 
 
@@ -534,4 +665,119 @@ ORACLE["multimodal_phash_clusters"] = f"""
            count(*) AS n_members
     FROM sigs
     GROUP BY phash
+"""
+
+
+# --- r10: real container decode (BMP/PPM round-trip, driver-graded) ------
+
+DECODE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, pos_checksum bigint"
+)
+
+
+def synth_raster(doc_id: int):
+    """Deterministic tiny test raster for ``doc_id``: w = 4 + id%5,
+    h = 3 + id%4, value at linear RGB index i = (31·id + i) mod 256 —
+    pure integer arithmetic a SQL oracle restates without touching
+    bytes."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return ((31 * doc_id + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL container decode, driver-graded: every document
+    synthesizes a deterministic raster, serializes it through a real
+    image container (even ids → 24-bit bottom-up padded BMP, odd ids →
+    binary PPM with a header comment), and ``decode_image`` parses the
+    bytes back inside ``mapInPandas``. Output = per-channel pixel sums
+    plus a position-weighted checksum Σ i·v_i over the decoded
+    top-down RGB stream; the DuckDB oracle recomputes all four from
+    the generator arithmetic alone, so ANY decode defect — header
+    offsets, 4-byte row padding, bottom-up row order, BGR channel
+    order, PPM comment/whitespace handling — breaks the hash match.
+    (Channel swap flips sum_r/sum_b; row-order mistakes flip
+    pos_checksum; padding mistakes shear everything.)
+
+    Reference analog: the reference hands opaque payload bytes to the
+    user's processor (`/root/reference/src/lib.rs:69`); decoding is
+    exactly such a per-record user map (T1), here in its
+    Arrow-batched form. Scale: per-row Python over ~150-byte rasters,
+    partition-parallel, no shuffle at all — output is one row per
+    input row and every aggregate the query emits is per-document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pix = synth_raster(d)
+                payload = encode_bmp(pix) if d % 2 == 0 else encode_ppm(pix)
+                img = decode_image(payload)
+                flat = img.pixels.astype(np.int64).ravel()
+                i = np.arange(flat.size, dtype=np.int64)
+                rows.append(
+                    (
+                        d,
+                        "bmp" if d % 2 == 0 else "ppm",
+                        img.width,
+                        img.height,
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int((i * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "pos_checksum",
+                ],
+            )
+
+    return docs.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+
+
+QUERIES["multimodal_decode_image"] = multimodal_decode_image
+
+ORACLE["multimodal_decode_image"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INTEGER) AS w,
+               CAST(3 + doc_id % 4 AS INTEGER) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, w * h * 3 - 1)) AS i
+        FROM base
+    ),
+    v AS (
+        SELECT doc_id, w, h, i, (31 * doc_id + i) % 256 AS val FROM px
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           max(w) AS width, max(h) AS height,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(sum(i * val) AS BIGINT) AS pos_checksum
+    FROM v GROUP BY doc_id
 """

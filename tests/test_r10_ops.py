@@ -188,3 +188,30 @@ def test_ppm_header_comments_and_whitespace():
     img = decode_image(payload)
     assert (img.width, img.height) == (3, 2)
     assert np.array_equal(img.pixels, pix)
+
+
+# --- lsh_recall_audit error bar (r10 output-contract extension) ----------
+
+
+def test_lsh_recall_audit_states_uncertainty(spark, sf_dir):
+    """The audit row must carry the sampling contract and binomial
+    95% half-widths consistent with its own counts (python replay of
+    the 1.96·sqrt(p(1-p)/n) arithmetic)."""
+    import math
+
+    from go_zoom_kinesis_spark.operators.dedup import RECALL_AUDIT_MOD
+
+    [row] = Q["lsh_recall_audit"](spark, sf_dir).collect()
+    assert row["doc_sample_rate_ppm"] == 1_000_000 // RECALL_AUDIT_MOD
+    for n_col, ci_col in (
+        ("n_true_pairs", "recall_ci95_ppm"),
+        ("n_lsh_candidates", "precision_ci95_ppm"),
+    ):
+        n = row[n_col]
+        if n > 0:
+            p = row["n_hits"] / n
+            want = round(1.96e6 * math.sqrt(p * (1 - p) / n), 6)
+            assert row[ci_col] == pytest.approx(want, abs=1e-6), ci_col
+            assert row[ci_col] >= 0
+        else:
+            assert row[ci_col] is None

@@ -215,3 +215,104 @@ def test_lsh_recall_audit_states_uncertainty(spark, sf_dir):
             assert row[ci_col] >= 0
         else:
             assert row[ci_col] is None
+
+
+# --- interval_concurrency_peak: sort-free decomposition referee ----------
+
+
+def _write_events(spark, tmp_path, stamps):
+    """Plant an events table from (event_type, epoch_seconds) pairs."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            dt.datetime.utcfromtimestamp(s),
+            i % 7,
+            t,
+            float(i),
+            "{}",
+        )
+        for i, (t, s) in enumerate(stamps)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = str(tmp_path / "planted")
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/events.parquet")
+    return out
+
+
+def _brute_peak(stamps, active_sec=600):
+    """Row-at-a-time sweep truth: max after-value of the ±1 tape."""
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for t, s in stamps:
+        by_type[t].append(s)
+    out = {}
+    for t, ss in by_type.items():
+        deltas = defaultdict(int)
+        for s in ss:
+            deltas[s] += 1
+            deltas[s + active_sec] -= 1
+        run = peak = 0
+        for s in sorted(deltas):
+            run += deltas[s]
+            peak = max(peak, run)
+        out[t] = (peak, len(ss))
+    return out
+
+
+def test_concurrency_peak_planted_adversarial(spark, tmp_path):
+    """The cases that defeat a naive minute-grain net reduction:
+    an intra-minute start/end/start/end interleave whose peak lives
+    strictly inside the bucket, same-second collisions (combined
+    deltas), cross-minute boundary offsets, and a burst in the first
+    10 minutes (no tail minute exists)."""
+    base = 1_000_000_000  # epoch seconds, minute-aligned enough
+    stamps = []
+    # intra-minute interleave: starts at :10 and :30 of minute B+10,
+    # with ends (starts 600s earlier) landing at :20 and :40 — the
+    # running count inside that minute goes 1,0,1,0 on top of entry
+    m0 = base - base % 60
+    stamps += [("intra", m0 + 20 - 600), ("intra", m0 + 40 - 600)]
+    stamps += [("intra", m0 + 10), ("intra", m0 + 30)]
+    # same-second collision: 5 starts on one stamp + an end on it
+    stamps += [("collide", m0 + 7 - 600)]
+    stamps += [("collide", m0 + 7)] * 5
+    # boundary offsets 0 and 59, plus a start exactly 600 s after
+    # another (end-before-start tie: must NOT stack)
+    stamps += [("edge", m0), ("edge", m0 + 59), ("edge", m0 + 600)]
+    # first-10-minutes burst (M-10 has no rows at all)
+    stamps += [("early", 300), ("early", 301), ("early", 302)]
+    # dense random-ish spread to shake out generic mistakes
+    x = 12345
+    for i in range(400):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        stamps.append(("spread", base + x % 7200))
+    sf = _write_events(spark, tmp_path, stamps)
+    truth = _brute_peak(stamps)
+    got = {
+        r.event_type: (r.peak_concurrent, r.n_intervals)
+        for r in Q["interval_concurrency_peak"](spark, sf).collect()
+    }
+    assert got == truth
+    # sanity on the planted intent: the intra-minute peak (3 = entry
+    # value 2 + the new start before its predecessor's end) strictly
+    # exceeds both minute-boundary values (2 entering, 2 leaving) —
+    # exactly the shape a pure minute-grain net reduction would lose
+    assert truth["intra"][0] == 3
+
+
+def test_concurrency_peak_no_window_no_sort(spark, sf_dir):
+    """r10 plan pin: the sort-free form has NO window function at all —
+    hash aggregates + explode + a bounded array fold only."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["interval_concurrency_peak"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

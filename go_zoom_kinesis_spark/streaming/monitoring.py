@@ -34,6 +34,7 @@ SHARD_COMPLETED = "shard_completed"
 VALIDATION_FAILURE = "validation_failure"
 ITERATOR_EXPIRED = "iterator_expired"  # src/monitoring/types.rs Iterator variants
 ITERATOR_RENEWED = "iterator_renewed"
+ITERATOR_HISTORY_MAX = 10  # reference ring size (src/processor.rs:1387-1389)
 BATCH_METRICS = "batch_metrics"  # ProcessingEventType::BatchMetrics
 
 
@@ -78,6 +79,15 @@ class ShardMetrics:
     total_processing_ms: float = 0.0
     max_processing_ms: float = 0.0
     last_event_at: float = 0.0
+    # bounded renewal forensics: the last ITERATOR_HISTORY_MAX
+    # (resumed_from, timestamp) renewals, oldest evicted first — the
+    # reference keeps the same last-10 ring per shard
+    # (src/processor.rs:904-908 push/pop_front, :1387-1389
+    # VecDeque::with_capacity(10) / max_history_size: 10) for
+    # expiry-storm incident analysis
+    iterator_history: deque = field(
+        default_factory=lambda: deque(maxlen=ITERATOR_HISTORY_MAX)
+    )
 
     @property
     def avg_processing_ms(self) -> float:
@@ -146,6 +156,9 @@ class MetricsAggregator:
                 m.validation_failures += 1
             elif event_type == ITERATOR_RENEWED:
                 m.iterator_renewals += 1
+                m.iterator_history.append(
+                    (detail.get("resumed_from"), ev.timestamp)
+                )
 
     def event_types(self) -> list[str]:
         with self._lock:

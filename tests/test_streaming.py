@@ -816,6 +816,36 @@ def test_iterator_expiry_recovery_sequence(spark, tmp_path, records):
     assert post and min(post) >= 500
 
 
+def test_iterator_renewal_history_ring(spark, tmp_path, records):
+    """r10 parity (src/processor.rs:904-908, :1387-1389): each shard
+    keeps the last 10 renewals as a bounded ring — an expiry storm of
+    15 renewals leaves exactly the newest 10 (resumed_from, ts) pairs,
+    oldest evicted first, timestamps nondecreasing."""
+    from go_zoom_kinesis_spark.streaming.monitoring import (
+        ITERATOR_HISTORY_MAX,
+    )
+
+    agg = MetricsAggregator()
+    store = InMemoryCheckpointStore()
+    proc, sunk, dlq = make_processor(
+        spark, tmp_path, store=store, aggregator=agg
+    )
+    proc.run_batch(records.filter(F.col("sequence_number") < 500))
+    for i in range(15):
+        store.save_checkpoint("1", str(500 + i))
+        proc.recover_iterator("1")
+    m = agg.metrics("1")
+    assert m.iterator_renewals == 15
+    hist = list(m.iterator_history)
+    assert len(hist) == ITERATOR_HISTORY_MAX == 10
+    # the newest 10 renewals survive, in order
+    assert [h[0] for h in hist] == [str(500 + i) for i in range(5, 15)]
+    ts = [h[1] for h in hist]
+    assert ts == sorted(ts)
+    # a storm on shard 1 leaves other shards' rings untouched
+    assert not agg.metrics("2") or not agg.metrics("2").iterator_history
+
+
 # --- monitoring rate limit M1 (↔ src/monitoring/types.rs:34) ------------
 
 

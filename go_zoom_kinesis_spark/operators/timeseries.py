@@ -416,145 +416,92 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning; the reference's per-shard in-flight limiter
     (src/processor.rs concurrency semaphore) is the streaming cousin.
 
-    r10: SORT-FREE. The r8/r9 form still sorted the O(distinct
-    (type, t)) net-delta relation inside (type, hour) windows — 33 s
-    at span-sf100 where timestamps never collide (the measured "sort
-    floor"). This form has NO window function at all (plan-pinned):
-    hash aggregates, a 9-way minute explode, and a bounded per-minute
-    array fold.
+    Distributed prefix-sum, NOT one giant per-type sort: phase 1 runs
+    the ±1 sweep within (type, HOUR) partitions; phase 2 prefix-sums
+    the tiny per-hour delta totals and broadcasts the offsets back. At
+    100 TB the big sort is bounded by a single hour of one type per
+    task while the global running value is exact — the textbook
+    two-phase scan. (r8: the bucket was a DAY; hour buckets shrink
+    the largest single sort task 24×. The bucket is internal: the
+    output and the bucket-free oracle are unchanged at any
+    granularity, since date_trunc is monotone in t.)
 
-    PROOF (replaces the COVERAGE r10 note's "V-shaped within buckets"
-    conjecture, which is FALSE in general — a minute holding
-    start, end, start, end interleavings peaks strictly inside the
-    bucket — with an exact decomposition special to the fixed
-    10-minute duration):
-    (1) After all deltas at time τ are applied, the running count is
-        count(τ) = #starts in (τ−10min, τ] (every end at e ≤ τ is a
-        start at e−10min ≤ τ−10min, half-open [s, s+10min) semantics
-        = the −1-before-+1 tie rule). The r8 block argument — within
-        an equal-τ block the value dips then rises, the global first
-        block is start-only — still gives: peak = max over EVENT
-        times τ of count(τ).
-    (2) Write τ = 60·M + O s (minute M, offset O ∈ [0, 60)). Because
-        the window is EXACTLY 10 minutes, it splits on minute lines:
-        count(τ) = Σ_{k=1..9} c_{M−k}             (whole minutes)
-                 + #{starts in M−10 with o > O}      (tail)
-                 + #{starts in M   with o ≤ O}      (head),
-        where c_m = starts in minute m. With δ_M(o) = starts_M(o) −
-        starts_{M−10}(o): count(τ) = fs(M) + c_{M−10} +
-        Σ_{{o ≤ O}} δ_M(o), fs(M) = Σ_{k=1..9} c_{M−k}.
-    (3) Equal offsets are combined BEFORE the prefix (a candidate's
-        after-value includes every delta at its own timestamp; an
-        uncombined intermediate — head counted, same-offset tail not —
-        corresponds to no real τ and may exceed the true peak).
-        Candidate offsets for minute M are exactly the distinct
-        offsets of minutes M and M−10 (event times in M = its starts
-        ∪ ends of M−10's starts), i.e. the δ rows; minutes with no
-        event rows cannot host the max (count is a step function that
-        changes only at events). Therefore
-        peak = max over (M with δ rows) of
-               [fs(M) + c_{M−10} + max-prefix of the o-sorted δ_M].
+    r8 coalescing — EXACT, and the real scale lever: all deltas at
+    one (type, t) collapse to a single NET row before the sweep (one
+    map-side-combining aggregate), so the sorted relation is
+    O(distinct timestamps), not O(2·events). Exactness: with the
+    pinned -1-before-+1 tie order, the running value inside an
+    equal-t block is V-shaped (falls through the ends, rises through
+    the starts), so its maximum is attained at a block BOUNDARY; and
+    every boundary value is some block's after-value (before_i ==
+    after_{i-1}, and a type's globally first block is start-only, so
+    its after-value dominates the initial 0). The max over coalesced
+    after-values is therefore the true peak, bit-for-bit — the
+    bucket-free oracle still sweeps row-at-a-time and must match.
+    n_intervals comes from the same pre-aggregate (sum of +1 starts).
+    On real event streams timestamps collide heavily (second/ms
+    clocks, bursts), so the coalesced relation is the one a 100 TB
+    sweep can afford to sort.
 
-    Scale: every relation after the first hash aggregate is
-    minute-grain or offset-grain; the per-(type, minute) fold touches
-    the minute's DISTINCT offsets (≤ 60 for second clocks — for
-    finer clocks it is bounded by one minute's distinct ticks of one
-    type; pre-quantize the offset column to the real clock tick if
-    that ever grows). No global or per-hour sort anywhere: the only
-    orderings are 60-element ``array_sort`` calls. The bucket-free
-    oracle still sweeps row-at-a-time and must match bit-for-bit.
-    n_intervals = Σ c_m per type, unchanged."""
-    usec_min = 60_000_000
-    lag_min = ACTIVE_MIN  # interval length in whole minutes (exact)
+    r10 NEGATIVE RESULT (kept per the r9 HOF-fold precedent): a fully
+    sort-free minute decomposition was designed, PROVEN exact (the
+    10-minute window splits on minute lines into 9 whole-minute
+    totals + boundary folds over minutes M and M−10; the COVERAGE r10
+    note's cruder "V-shaped within buckets" net reduction is FALSE —
+    an intra-minute start/end/start/end interleave peaks strictly
+    inside the bucket, planted referee in test_r10_ops), implemented,
+    and MEASURED SLOWER: 154 s vs this form's 33 s at span-sf100
+    (commit 0ec2934, reverted). Exactness forces the boundary relation
+    to stay O(distinct stamps), so the decomposition trades ONE
+    partitioned sort for two extra corpus-scale shuffles plus object
+    (collect_list) aggregation — at ~6M net rows/s/thread the
+    coalesced two-phase sort IS the floor for non-colliding stamps.
+    The planted referee and the partitioned-window plan pin from that
+    round are kept against any future re-attempt."""
     ev = _events(spark, sf_dir)
-    # distinct-stamp start counts — the ONLY corpus-scale aggregate,
-    # cached because three branches (heads, tails, minute totals)
-    # consume it; the r8 form cached the same-cardinality net relation
-    st = (
-        ev.select(
-            "event_type",
-            F.unix_micros(F.col("ts")).alias("t_us"),
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {ACTIVE_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(
+            F.sum("delta").alias("delta"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
         )
-        .withColumn("m", F.expr(f"t_us div {usec_min}"))
-        .withColumn("o", F.expr(f"t_us % {usec_min}"))
-        .groupBy("event_type", "m", "o")
-        .agg(F.count("*").alias("cnt"))
+        .withColumn("bucket", F.date_trunc("hour", F.col("t")))
         .cache()
     )
-    cm = st.groupBy("event_type", "m").agg(F.sum("cnt").alias("c_m"))
-    # fs(M) = Σ_{k=1..9} c_{M−k}: 9-way explode + hash agg — no window
-    fs = (
-        cm.select(
-            "event_type",
-            "c_m",
-            F.explode(
-                F.array(*[F.lit(k) for k in range(1, lag_min)])
-            ).alias("k"),
-            (F.col("m") + F.col("k")).alias("M"),
-        )
-        .groupBy("event_type", "M")
-        .agg(F.sum("c_m").alias("fs"))
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # offset-combined δ rows: heads at M=m (+cnt), tails at M=m+10
-    # (−cnt, tallied separately for the c_{M−10} term)
-    deltas = (
-        st.select(
-            "event_type",
-            F.col("m").alias("M"),
-            "o",
-            F.col("cnt").alias("d"),
-            F.lit(0).cast("long").alias("tl"),
-        )
-        .unionByName(
-            st.select(
-                "event_type",
-                (F.col("m") + lag_min).alias("M"),
-                "o",
-                (-F.col("cnt")).alias("d"),
-                F.col("cnt").alias("tl"),
-            )
-        )
-        .groupBy("event_type", "M", "o")
-        .agg(F.sum("d").alias("d"), F.sum("tl").alias("tl"))
+    inner = net.withColumn("run_in", F.sum("delta").over(w_in))
+    totals = net.groupBy("event_type", "bucket").agg(
+        F.sum("delta").alias("tot")
     )
-    # per-minute bounded fold: T + max over after-value prefixes
-    bound = deltas.groupBy("event_type", "M").agg(
-        F.array_sort(F.collect_list(F.struct("o", "d"))).alias("ds"),
-        F.sum("tl").alias("t_tail"),
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    gmax = bound.select(
+    offsets = totals.select(
         "event_type",
-        "M",
-        (
-            F.col("t_tail")
-            + F.aggregate(
-                "ds",
-                F.struct(
-                    F.lit(0).cast("long").alias("cum"),
-                    F.lit(None).cast("long").alias("mx"),
-                ),
-                lambda acc, x: F.struct(
-                    (acc.cum + x.d).alias("cum"),
-                    F.greatest(acc.mx, acc.cum + x.d).alias("mx"),
-                ),
-                lambda acc: acc.mx,
-            )
-        ).alias("bmax"),
+        "bucket",
+        F.coalesce(F.sum("tot").over(w_b), F.lit(0)).alias("off"),
     )
-    peaks = (
-        gmax.join(fs, ["event_type", "M"], "left")
-        .groupBy("event_type")
-        .agg(
-            F.max(F.coalesce("fs", F.lit(0)) + F.col("bmax"))
-            .cast("long")
-            .alias("peak_concurrent")
-        )
-    )
-    totals = cm.groupBy("event_type").agg(
-        F.sum("c_m").cast("long").alias("n_intervals")
-    )
-    return peaks.join(totals, "event_type").select(
-        "event_type", "peak_concurrent", "n_intervals"
+    joined = inner.join(F.broadcast(offsets), ["event_type", "bucket"])
+    return joined.groupBy("event_type").agg(
+        F.max(F.col("run_in") + F.col("off")).alias("peak_concurrent"),
+        F.sum("n_starts").cast("long").alias("n_intervals"),
     )
 
 

@@ -307,12 +307,22 @@ def test_concurrency_peak_planted_adversarial(spark, tmp_path):
     assert truth["intra"][0] == 3
 
 
-def test_concurrency_peak_no_window_no_sort(spark, sf_dir):
-    """r10 plan pin: the sort-free form has NO window function at all —
-    hash aggregates + explode + a bounded array fold only."""
+def test_concurrency_peak_windows_partitioned(spark, sf_dir):
+    """r10 plan pin (post-reversion): the kept two-phase sweep may use
+    windows, but every one must carry a partition key (event_type) —
+    no empty-partition global sort — no shrinking frames, and no
+    cartesian. (The fully sort-free minute decomposition measured
+    SLOWER at span-sf100 — 154 s vs 33 s — and was reverted; see the
+    operator docstring's r10 negative-result note.)"""
+    import re
+
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["interval_concurrency_peak"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    assert "AND UNBOUNDED FOLLOWING" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the two-phase windows in the plan"
+    for spec in specs:
+        assert "event_type#" in spec, "unpartitioned window: " + spec

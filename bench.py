@@ -209,6 +209,10 @@ HEADLINE_R9 = [
     "entity_resolution_pipeline",
 ]
 
+HEADLINE_R10 = [
+    "multimodal_decode_image",
+]
+
 
 def _round_no(repo: str) -> int:
     """Next round number: driver artifacts BENCH_r{N}.json exist for
@@ -253,7 +257,7 @@ def main() -> None:
     total_baseline_set = 0.0
     for name in (
         HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
-        + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
+        + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10
     ):
         fn = queries.get(name)
         if fn is None:

@@ -96,6 +96,7 @@ def main() -> None:
         HEADLINE_R7,
         HEADLINE_R8,
         HEADLINE_R9,
+        HEADLINE_R10,
     )
     from go_zoom_kinesis_spark import registry
     from go_zoom_kinesis_spark.session import get_spark
@@ -109,7 +110,7 @@ def main() -> None:
         if args.only
         else list(
             HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
-            + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
+            + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10
         )
     )
 

@@ -253,10 +253,20 @@ def _keyed_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["block_noun", "block_size"]).filter(
         F.col("pk_a") < F.col("pk_b")
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # r10: BANDED levenshtein — the 3-arg threshold form computes an
+    # O(len·k) diagonal band (length-gap early exit included) instead
+    # of the O(len²) full matrix, returning the EXACT distance when
+    # ≤ k and -1 otherwise; the filter keeps the same pairs with the
+    # same distances bit-for-bit, but every non-match (the vast
+    # majority of block pairs) costs ~k·len instead of len². The
+    # oracle keeps the unbounded form — output identical.
+    dist = F.levenshtein("name_a", "name_b", FUZZY_MAX_DIST)
     return (
         pairs.withColumn("edit_dist", dist)
-        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= FUZZY_MAX_DIST)
+        )
         .select(
             "block_noun",
             "block_size",
@@ -702,7 +712,12 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("entity_id"),
         F.col("p_name").alias("canonical_name"),
     )
-    return ents.join(part, "entity_id").select(
+    # canonical-name join-back pinned to shuffle-hash: part is
+    # corpus-scale and ents grows with it — at the sf100 decade the
+    # optimizer's post-filter estimate flipped this to a ~0.5 GB
+    # broadcast that GC-thrashed the driver (measured failure); an
+    # equi-join of two keyed relations must stay a shuffled join
+    return ents.hint("shuffle_hash").join(part, "entity_id").select(
         "entity_id",
         "canonical_name",
         "n_members",

@@ -326,3 +326,15 @@ def test_concurrency_peak_windows_partitioned(spark, sf_dir):
     assert specs, "expected the two-phase windows in the plan"
     for spec in specs:
         assert "event_type#" in spec, "unpartitioned window: " + spec
+
+
+def test_entity_resolution_joinback_not_broadcast(spark, sf_dir):
+    """The canonical-name join-back must stay a shuffled join: at the
+    sf100 decade the optimizer's post-filter estimate flipped it to a
+    ~0.5 GB broadcast that GC-thrashed the driver (measured failure,
+    .scratch/dec_r10_er4.log). Pinned via join hint; assert it held."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["entity_resolution_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan

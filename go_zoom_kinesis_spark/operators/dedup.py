@@ -1289,6 +1289,20 @@ def _exact_pairs_ppjoin(arrs: DataFrame) -> DataFrame:
     )
 
 
+# 95% WILSON score half-width in ppm over n_hits successes out of {n}
+# trials: z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) with z = 1.96
+# (z² = 3.8416). One shared template keeps the Spark and DuckDB
+# expression TEXT identical — every double op is correctly-rounded
+# IEEE, so identical association ⇒ bit-identical results.
+_WILSON_PPM = (
+    "CASE WHEN {n} > 0 THEN round(1960000.0 * sqrt("
+    "(CAST(n_hits AS DOUBLE) / {n}) * "
+    "(1.0 - CAST(n_hits AS DOUBLE) / {n}) / {n} "
+    "+ 3.8416 / (4.0 * {n} * {n})"
+    ") / (1.0 + 3.8416 / {n}), 6) ELSE NULL END"
+)
+
+
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of the banded MinHash-LSH candidate
     stage against exact ground truth — the audit that justifies (or
@@ -1312,10 +1326,19 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are integer ppm (floor div) — no float aggregation.
     r10: the output STATES ITS OWN UNCERTAINTY (the r8/r9 verdict
     ask): ``doc_sample_rate_ppm`` records the sampling contract, and
-    ``recall_ci95_ppm`` / ``precision_ci95_ppm`` carry the 95%
-    binomial half-width 1.96·√(p(1-p)/n) over each ratio's own
-    denominator — the error bar to apply before re-tuning bands from
-    a sampled audit. Operationally this is an AUDIT, not a pipeline
+    ``recall_ci95_ppm`` / ``precision_ci95_ppm`` carry a 95% binomial
+    half-width over each ratio's own denominator — the error bar to
+    apply before re-tuning bands from a sampled audit. r11 (ADVICE
+    r10): the half-width is the WILSON score interval
+    z·√(p(1-p)/n + z²/4n²)/(1 + z²/n), not the Wald form — Wald
+    collapses to 0 at p ∈ {0, 1}, so a 100%-recall sample reported
+    ZERO uncertainty, the opposite of the column's purpose; Wilson
+    stays strictly positive at the boundary (→ z²/(2n+2z²/…) ≈
+    z²/2n for large n). Caveat, stated here because the number can't
+    state it: pairs sharing a sampled doc are cluster-correlated, so
+    any i.i.d.-binomial half-width (Wald or Wilson) UNDERSTATES true
+    sampling uncertainty — read the columns as a lower bound on the
+    error bar, not a guarantee. Operationally this is an AUDIT, not a pipeline
     stage: at 100 TB the sample modulus grows with the corpus (1%
     bounds both ratios to tight confidence intervals at ~1/10⁴ the
     cost — and the CI columns then SAY so); the DuckDB oracle and the
@@ -1348,28 +1371,23 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n_lsh_candidates > 0 THEN "
             "n_hits * 1000000 div n_lsh_candidates ELSE NULL END"
         ).alias("precision_ppm"),
-        # r10: the audit states its own uncertainty (r8/r9 verdict ask).
-        # The sample is doc-level (1/MOD of doc_ids), and each ratio is
-        # a binomial proportion over its own denominator, so the 95%
-        # normal-approximation half-width 1.96·√(p(1-p)/n) in ppm is
-        # the error bar a reviewer applies before re-tuning bands —
-        # double math only in sqrt (correctly rounded IEEE on both
-        # engines), rounded 6dp like every float output.
+        # r10/r11: the audit states its own uncertainty (r8/r9 verdict
+        # ask; r11 ADVICE upgraded Wald → Wilson, which never
+        # degenerates to 0 at the p ∈ {0, 1} boundary). Each ratio is
+        # a binomial proportion over its own denominator; the IEEE
+        # double expression text is byte-identical to the oracle's
+        # (every op — ÷, ×, +, sqrt — is correctly rounded, so same
+        # association ⇒ same bits on both engines), rounded 6dp like
+        # every float output.
         F.lit(1_000_000 // RECALL_AUDIT_MOD).cast("long").alias(
             "doc_sample_rate_ppm"
         ),
-        F.expr(
-            "CASE WHEN n_true_pairs > 0 THEN round(1960000.0 * sqrt("
-            "(CAST(n_hits AS DOUBLE) / n_true_pairs) * "
-            "(1.0 - CAST(n_hits AS DOUBLE) / n_true_pairs) / n_true_pairs"
-            "), 6) ELSE NULL END"
-        ).alias("recall_ci95_ppm"),
-        F.expr(
-            "CASE WHEN n_lsh_candidates > 0 THEN round(1960000.0 * sqrt("
-            "(CAST(n_hits AS DOUBLE) / n_lsh_candidates) * "
-            "(1.0 - CAST(n_hits AS DOUBLE) / n_lsh_candidates) / "
-            "n_lsh_candidates), 6) ELSE NULL END"
-        ).alias("precision_ci95_ppm"),
+        F.expr(_WILSON_PPM.format(n="n_true_pairs")).alias(
+            "recall_ci95_ppm"
+        ),
+        F.expr(_WILSON_PPM.format(n="n_lsh_candidates")).alias(
+            "precision_ci95_ppm"
+        ),
     )
 
 
@@ -1452,15 +1470,8 @@ ORACLE_R8["lsh_recall_audit"] = f"""
                AS precision_ppm,
            CAST({1_000_000 // RECALL_AUDIT_MOD} AS BIGINT)
                AS doc_sample_rate_ppm,
-           CASE WHEN n_true_pairs > 0 THEN round(1960000.0 * sqrt(
-                (CAST(n_hits AS DOUBLE) / n_true_pairs)
-                * (1.0 - CAST(n_hits AS DOUBLE) / n_true_pairs)
-                / n_true_pairs), 6) ELSE NULL END AS recall_ci95_ppm,
-           CASE WHEN n_lsh_candidates > 0 THEN round(1960000.0 * sqrt(
-                (CAST(n_hits AS DOUBLE) / n_lsh_candidates)
-                * (1.0 - CAST(n_hits AS DOUBLE) / n_lsh_candidates)
-                / n_lsh_candidates), 6) ELSE NULL END
-               AS precision_ci95_ppm
+           {_WILSON_PPM.format(n="n_true_pairs")} AS recall_ci95_ppm,
+           {_WILSON_PPM.format(n="n_lsh_candidates")} AS precision_ci95_ppm
     FROM agg
 """
 

@@ -111,6 +111,16 @@ def decode_image(payload: bytes) -> DecodedImage:
             raise ValueError("truncated BMP header")
         data_ofs = struct.unpack_from("<I", payload, 10)[0]
         hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        # bpp/biCompression live at fixed offsets 28/30 ONLY for
+        # BITMAPINFOHEADER (hdr_size ≥ 40); a BITMAPCOREHEADER
+        # (hdr_size = 12, 16-bit w/h, no compression field) would be
+        # misparsed from garbage offsets — fail loudly instead
+        # (ADVICE r10)
+        if hdr_size < 40:
+            raise NotImplementedError(
+                f"BMP header size {hdr_size} unsupported "
+                f"(BITMAPINFOHEADER, >= 40 bytes, only)"
+            )
         bpp, comp = struct.unpack_from("<HI", payload, 28)
         if comp != 0:
             raise NotImplementedError(

@@ -80,11 +80,15 @@ class ShardMetrics:
     max_processing_ms: float = 0.0
     last_event_at: float = 0.0
     # bounded renewal forensics: the last ITERATOR_HISTORY_MAX
-    # (resumed_from, timestamp) renewals, oldest evicted first — the
-    # reference keeps the same last-10 ring per shard
-    # (src/processor.rs:904-908 push/pop_front, :1387-1389
-    # VecDeque::with_capacity(10) / max_history_size: 10) for
-    # expiry-storm incident analysis
+    # (resumed_from, timestamp) renewals, oldest evicted first. Same
+    # ring SHAPE as the reference (src/processor.rs:1387-1389
+    # VecDeque::with_capacity(10) / max_history_size: 10, pushed at
+    # :904-908), but the recorded VALUE differs by design: the
+    # reference pushes the newly obtained iterator string; Spark
+    # connectors renew iterators internally, so the renewal analog
+    # here is the position the renewal resumed FROM (the checkpoint,
+    # or "initial_position") — that is what incident analysis of an
+    # expiry storm needs on this side
     iterator_history: deque = field(
         default_factory=lambda: deque(maxlen=ITERATOR_HISTORY_MAX)
     )

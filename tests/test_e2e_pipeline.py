@@ -202,7 +202,7 @@ def test_full_loop_with_rollback_and_state_readback(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     state = {
         # flatMapGroupsWithState state reads back under value.groupState
         f"shard-{r['key']['shard_id']}": (

@@ -66,7 +66,7 @@ def test_stream_write_equals_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     rows = read_committed(path)
     exp = [r.asDict() for r in batch.collect()]

@@ -157,7 +157,7 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     emitted = spark.sql("select * from kmv_stream_t").collect()
     assert emitted, "stream emitted nothing - pin is vacuous"
     final = {}

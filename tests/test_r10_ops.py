@@ -193,12 +193,24 @@ def test_ppm_header_comments_and_whitespace():
 # --- lsh_recall_audit error bar (r10 output-contract extension) ----------
 
 
+def _wilson_ppm(hits: int, n: int) -> float:
+    """Python replay of the operator's 95% Wilson half-width (ppm)."""
+    import math
+
+    p = hits / n
+    return round(
+        1.96e6
+        * math.sqrt(p * (1 - p) / n + 3.8416 / (4.0 * n * n))
+        / (1.0 + 3.8416 / n),
+        6,
+    )
+
+
 def test_lsh_recall_audit_states_uncertainty(spark, sf_dir):
     """The audit row must carry the sampling contract and binomial
     95% half-widths consistent with its own counts (python replay of
-    the 1.96·sqrt(p(1-p)/n) arithmetic)."""
-    import math
-
+    the Wilson z·sqrt(p(1-p)/n + z²/4n²)/(1+z²/n) arithmetic —
+    ADVICE r10 upgraded Wald → Wilson)."""
     from go_zoom_kinesis_spark.operators.dedup import RECALL_AUDIT_MOD
 
     [row] = Q["lsh_recall_audit"](spark, sf_dir).collect()
@@ -209,12 +221,23 @@ def test_lsh_recall_audit_states_uncertainty(spark, sf_dir):
     ):
         n = row[n_col]
         if n > 0:
-            p = row["n_hits"] / n
-            want = round(1.96e6 * math.sqrt(p * (1 - p) / n), 6)
+            want = _wilson_ppm(row["n_hits"], n)
             assert row[ci_col] == pytest.approx(want, abs=1e-6), ci_col
-            assert row[ci_col] >= 0
+            # Wilson never degenerates: a 0%- or 100%-rate sample must
+            # still report strictly positive uncertainty
+            assert row[ci_col] > 0
         else:
             assert row[ci_col] is None
+
+
+def test_wilson_half_width_positive_at_boundary():
+    """The ADVICE r10 defect, pinned: at p = 0 or 1 the Wald form
+    reports 0; the shipped Wilson form must not."""
+    for hits, n in ((0, 7), (7, 7), (0, 1), (1, 1), (500, 500)):
+        hw = _wilson_ppm(hits, n)
+        assert hw > 0, (hits, n)
+        # and it shrinks with n at the boundary (~z²/2n for large n)
+    assert _wilson_ppm(500, 500) < _wilson_ppm(7, 7)
 
 
 # --- interval_concurrency_peak: sort-free decomposition referee ----------

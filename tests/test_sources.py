@@ -67,7 +67,7 @@ def test_file_stream_reads_everything(spark, tmp_path, events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     assert spark.sql("SELECT n FROM src_count").collect()[0][0] == events.count()
 
 

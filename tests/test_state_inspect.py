@@ -33,7 +33,7 @@ def _run_shard_counts(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     return ev, ck
 
 

@@ -891,7 +891,7 @@ def test_idempotent_sink_exactly_once_under_replay(spark, tmp_path, sf_dir):
             .parquet(src)
         )
         q = start_idempotent_stream(stream, out, ck)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     run()
     n_expected = events.count()

@@ -76,7 +76,7 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     out = spark.sql("select * from dedup_stream_t").collect()
 
     texts = sorted(r["text"] for r in out)
@@ -124,7 +124,7 @@ def test_scrub_projection_stream_equals_batch(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     stream_out = sorted(
         (r["doc_id"], r["redacted_text"], r["n_emails"])
         for r in spark.sql("select * from scrub_stream_t").collect()
@@ -182,7 +182,7 @@ def test_streaming_dedup_rocksdb_provider_parity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query did not finish in 120s"
         out = spark.sql("select * from dedup_stream_rdb_t").collect()
         texts = sorted(r["text"] for r in out)
         assert texts == [
@@ -257,7 +257,7 @@ def test_streaming_lsh_screen_matches_batch_banding(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = {
         (r["doc_id"], r["band_idx"], r["band_key"], r["n_prior"], r["first_doc_id"])
         for r in spark.sql("select * from lsh_screen_t").collect()
@@ -324,7 +324,7 @@ def test_two_tier_screen_covers_batch_verify(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     flagged = {
         r["doc_id"]
         for r in spark.sql(

@@ -47,7 +47,7 @@ def _run_complete(query_df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     return name
 
 
@@ -100,7 +100,7 @@ def test_session_append_watermark_finalizes_and_evicts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql("SELECT * FROM session_append_t")
 
     max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
@@ -151,7 +151,7 @@ def test_running_checkpoint_state(spark, tmp_path, events_batch, events_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     # update mode may emit once per shard per batch — keep the last row
     got = spark.sql(
         """
@@ -191,7 +191,7 @@ def test_running_checkpoint_state_v2(spark, tmp_path, events_batch, events_strea
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql(
         """
         SELECT shard_id, checkpoint_seq, n_processed FROM (
@@ -230,7 +230,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path, events_batch, events_s
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql("SELECT * FROM ss_join_t")
     assert _rows(spark, got) == _rows(spark, batch)
     assert batch.count() > 0
@@ -257,7 +257,7 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path, events_batch, ev
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql("SELECT * FROM enrich_t")
     assert _rows(spark, got) == _rows(spark, batch)
     # every stream row survives the left enrichment
@@ -318,7 +318,7 @@ def test_stream_stream_left_outer_flushes_on_watermark(spark, tmp_path, events_b
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql("SELECT * FROM ss_louter_t").filter(F.col("user_id") >= 0)
 
     batch = click_view_attribution(
@@ -390,7 +390,7 @@ def test_stream_stream_full_outer_flushes_both_sides(spark, tmp_path, events_bat
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql("SELECT * FROM ss_fouter_t").filter(F.col("user_id") >= 0)
 
     batch = click_view_attribution(
@@ -484,7 +484,7 @@ def test_pit_enrich_stream_equals_batch_pit_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = {
         r["event_id"]: r["pit_status"]
         for r in spark.sql(f"SELECT event_id, pit_status FROM {name}").collect()
@@ -573,7 +573,7 @@ def test_idle_shard_eviction_timers(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     rows = spark.sql("SELECT * FROM idle_evict_t").collect()
 
     evicted = {r["shard_id"] for r in rows if r["evicted"] == 1}
@@ -611,7 +611,7 @@ def test_shard_type_counts_map_list_state(spark, tmp_path, events_batch, events_
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     # last emission per (shard, type): highest running count wins
     got = spark.sql(
         """

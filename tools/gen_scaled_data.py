@@ -199,9 +199,10 @@ def main() -> None:
         for tbl, col in cols
     }
 
-    # span mode: per-copy forward shift = source span rounded UP to
-    # whole hours + 1 h of margin, so copies tile contiguously without
-    # overlapping and chained stages compose (each reads its own src)
+    # span mode: per-copy forward shift = floor(span in hours) + 2
+    # whole hours — i.e. 1–2 h of margin past the source span — so
+    # copies tile contiguously without overlapping and chained stages
+    # compose (each reads its own src)
     span_step_sec = 0
     if args.events_mode == "span" and "events" in tables:
         lo, hi = tables["events"].agg(F.min("ts"), F.max("ts")).collect()[0]

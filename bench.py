@@ -213,6 +213,29 @@ HEADLINE_R10 = [
     "multimodal_decode_image",
 ]
 
+HEADLINE_R11 = [
+    "dedup_components_star",
+]
+
+
+def _calibration_sec() -> float:
+    """Fixed pure-python CPU loop, min-of-3 (VERDICT r10 #5): a
+    host-speed yardstick recorded alongside the suite so
+    round-over-round bench diffs can be normalized for ambient host
+    drift without manual forensics (r10 burned real effort proving a
+    1.08x "regression" was ambient — four identical-code runs spanned
+    54-72 s). Pure python + fixed work = independent of Spark, data,
+    and this repo's code; only the host moves it."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i ^ (i >> 3)
+        best = min(best, time.perf_counter() - t0)
+    assert acc >= 0  # keep the loop un-eliminable
+    return round(best, 4)
+
 
 def _round_no(repo: str) -> int:
     """Next round number: driver artifacts BENCH_r{N}.json exist for
@@ -252,12 +275,18 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.range(1).count()
 
+    # host-speed yardstick, sampled before AND after the suite (the
+    # suite runs ~1 min at sf0.1 — ambient load can change mid-run);
+    # the min of the two is the normalization divisor
+    cal_pre = _calibration_sec()
+
     timings: dict[str, float] = {}
     total = 0.0
     total_baseline_set = 0.0
     for name in (
         HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
         + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10
+        + HEADLINE_R11
     ):
         fn = queries.get(name)
         if fn is None:
@@ -291,6 +320,9 @@ def main() -> None:
         if name in HEADLINE:
             total_baseline_set += dt
 
+    cal_post = _calibration_sec()
+    calibration = min(cal_pre, cal_post)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     repo = os.path.dirname(os.path.abspath(__file__))
     rnd = _round_no(repo)
@@ -305,6 +337,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "calibration_sec": calibration,
+                "calibration_pre_sec": cal_pre,
+                "calibration_post_sec": cal_post,
             },
             f,
             indent=1,
@@ -325,6 +360,11 @@ def main() -> None:
                 "value_baseline_set": round(total_baseline_set, 3),
                 "n_queries": len(timings),
                 "sf": float(sf) if sf else None,
+                # fixed pure-python CPU loop (min of a pre- and
+                # post-suite sample): divide totals by this to
+                # normalize round-over-round comparisons for ambient
+                # host drift (VERDICT r10 #5)
+                "calibration_sec": calibration,
                 "detail_file": detail_file,
             }
         ),

@@ -623,14 +623,18 @@ def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = ev.withColumn("rn", F.row_number().over(w_shard)).withColumn(
         "batch_no", F.expr(f"(rn - 1) div {BATCH_SIZE}")
     ).drop("rn")
-    # cached: the rows/BATCH chunk relation feeds BOTH the super-chunk
-    # reduction and the offset join-back — without the cache each
-    # branch would re-scan the fact table (2 scans stay the contract)
+    # materialized: the rows/BATCH chunk relation feeds BOTH the
+    # super-chunk reduction and the offset join-back — left lazy, each
+    # branch would re-scan the fact table (2 scans stay the contract).
+    # localCheckpoint, not cache (ADVICE r10): checkpoint blocks are
+    # freed by the ContextCleaner when this query's handles die,
+    # whereas a CacheManager entry outlives the query and accumulates
+    # across a long bench/suite session
     cmax = (
         chunked.groupBy("batch_no", "shard_id")
         .agg(F.max("tsu").alias("cmax"))
         .withColumn("sbucket", F.expr(f"batch_no div {BATCH_SIZE}"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     smax = cmax.groupBy("sbucket").agg(F.max("cmax").alias("smax"))
     s_tape = Window.orderBy("sbucket")

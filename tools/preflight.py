@@ -146,6 +146,13 @@ def main():
     results = []
     n_red = 0
     for name in names:
+        # bound cache accumulation across the full-registry sweep
+        # (r11, VERDICT r10 #2): construction-scoped .cache() sites
+        # are legitimate within one query, but 245 queries back to
+        # back would stack CacheManager entries until LRU thrashing —
+        # the driver-style sweep clears between queries, exactly like
+        # bench.py's hermetic per-query protocol
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             r = check_query(name, queries[name], oracles.get(name), spark, con)

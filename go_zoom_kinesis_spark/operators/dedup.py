@@ -98,19 +98,24 @@ def _pair_jaccard(
     default once the dict outgrows a broadcast — re-sorts the
     array-carrying pair relation: measured SMJ 20.7 s vs SHJ 10.5 s
     warm at sf10 on the pre-prune 11.2M-pair formulation."""
-    # cache: cand (the expensive candidate-generation join) feeds the
-    # two semi-join branches AND the verify join — without it the whole
-    # upstream recomputes three times
-    cand = cand.cache()
+    # materialize: cand (the expensive candidate-generation join)
+    # feeds the two semi-join branches AND the verify join — left lazy
+    # the whole upstream recomputes three times. localCheckpoint, not
+    # cache (r11 hygiene): blocks are freed with the query's handles
+    # by the ContextCleaner instead of sitting in the CacheManager
+    # registry until an explicit unpersist
+    cand = cand.localCheckpoint(eager=True)
     # no .distinct(): the left-semi join dedups by construction, and
     # skipping it saves a full shuffle of the pair list
     docs_in_play = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
-    # cache the reduced dictionary: it is ∝ docs-in-near-dup-pairs (KB
-    # to MB at any corpus size), and both pair sides consume it — an
-    # uncached reference would rescan + reshingle the corpus twice
-    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi").cache()
+    # materialize the reduced dictionary: ∝ docs-in-near-dup-pairs
+    # (KB to MB at any corpus size), both pair sides consume it — left
+    # lazy it would rescan + reshingle the corpus twice
+    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     a = dict_small.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
     )
@@ -187,7 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (catches jaccard ≳ 0.5 with high probability), banded bucket join
     for candidates, exact jaccard verification ≥ 0.5."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).cache()
+    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
     cand = _lsh_candidate_pairs(_minhash_bands(arrs))
     jac = _pair_jaccard(cand, arrs)
     return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
@@ -266,7 +271,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every measured scale. The oracle needs no mirror: pruned pairs
     fail the ≥ τ filter identically."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).cache()
+    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
     sh = arrs.select("doc_id", F.explode("hs").alias("shash"))
     # one shuffle builds the inverted index; the df-cap becomes a size()
     # filter on the posting list (no separate df aggregation + re-join),
@@ -371,10 +376,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (one scalar action per round).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # materialized once for the per-round joins; localCheckpoint, not
+    # cache (r11 hygiene): blocks die with this query's handles
+    # instead of sitting in the CacheManager registry
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -464,9 +472,11 @@ def minhash_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user_sets = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
-    ).cache()  # referenced by sigs (×2 via self-join) and inter: cache
-    # materializes the single user-scale shuffle once instead of three
-    # plan-identical recomputes (no ReuseExchange across these shapes)
+    ).localCheckpoint(eager=True)
+    # ^ referenced by sigs (×2 via self-join) and inter: materializes
+    # the single user-scale shuffle once instead of three
+    # plan-identical recomputes (no ReuseExchange across these shapes);
+    # checkpoint not cache (r11) so the block's lifetime is the query
     du = user_sets.select(
         "user_id", F.explode("types").alias("event_type")
     )
@@ -556,10 +566,11 @@ def dedup_canonical_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the parent map BEFORE the recursion: every recursive
     # step joins the frontier against this view, and an unmaterialized
     # view would re-run the whole minhash pipeline once per iteration.
-    # cache()+count pins it (O(near-dup docs) rows — KB at any corpus
-    # size); on a real cluster checkpoint() also cuts the lineage.
-    parent = parent.cache()
-    parent.count()
+    # localCheckpoint(eager=True) pins it (O(near-dup docs) rows — KB
+    # at any corpus size) AND cuts the lineage; on a real cluster a
+    # reliable checkpoint() does the same durably. (r11: was
+    # cache()+count — same materialization, unbounded lifetime.)
+    parent = parent.localCheckpoint(eager=True)
     # WITH RECURSIVE is SQL-only, so the inputs go through temp views;
     # unique names keep concurrent invocations on a shared session from
     # clobbering each other's bindings mid-plan
@@ -1072,7 +1083,7 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit = F.when(F.col(f"v{j}") > 0, F.lit(2**r)).otherwise(F.lit(0))
             expr = bit if expr is None else expr + bit
         band_cols.append(expr.cast("long").alias(f"b{k}"))
-    sigs = votes.select("doc_id", *band_cols).cache()
+    sigs = votes.select("doc_id", *band_cols).localCheckpoint(eager=True)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIMW_BANDS)],
@@ -1197,7 +1208,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_pair_jaccard``'s semi-join reduction). Same bands, same
     threshold, same flood caps as ``dedup_minhash_lsh``."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).cache()
+    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
     bands = _minhash_bands(arrs)
     incoming = bands.filter(
         F.col("doc_id") % INCR_MOD == INCR_SLOT
@@ -1290,11 +1301,12 @@ def _exact_pairs_ppjoin(arrs: DataFrame) -> DataFrame:
     ceil_theta = F.floor(
         (F.col("sz") * _RA_TN + (_RA_TD - 1)) / _RA_TD
     )
-    # cache: both candidate-join sides read the prefix relation — the
-    # same discipline simjoin.similarity_prefix_join applies
+    # materialize: both candidate-join sides read the prefix relation
+    # — the same discipline simjoin.similarity_prefix_join applies
+    # (checkpoint not cache, r11: block lifetime = query lifetime)
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - ceil_theta + 1
-    ).cache()
+    ).localCheckpoint(eager=True)
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "shash",
@@ -1387,7 +1399,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(
         F.col("doc_id") % RECALL_AUDIT_MOD == RECALL_AUDIT_SLOT
     )
-    arrs = _shingle_arrays(docs).cache()
+    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
     truth = _exact_pairs_ppjoin(arrs).withColumn("t", F.lit(1))
     cand = _lsh_candidate_pairs(_minhash_bands(arrs)).withColumn(
         "c", F.lit(1)
@@ -1554,11 +1566,11 @@ def dedup_two_tier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     that architecture with the tiers glued, so one driver hash covers
     the composition."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).cache()
-    # cache: bands feeds the bucket-min aggregate, the per-doc flag
-    # join, and both candidate sides — uncached it would re-minhash
-    # the corpus four times
-    bands = _minhash_bands(arrs).cache()
+    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
+    # materialize: bands feeds the bucket-min aggregate, the per-doc
+    # flag join, and both candidate sides — left lazy it would
+    # re-minhash the corpus four times (checkpoint not cache, r11)
+    bands = _minhash_bands(arrs).localCheckpoint(eager=True)
     bmin = bands.groupBy("band_idx", "band_key").agg(
         F.min("doc_id").alias("first_doc")
     )

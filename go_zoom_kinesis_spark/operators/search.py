@@ -595,14 +595,30 @@ def _star_components(
     - small-star: over the now big→small-oriented edges, every node u
       emits (u, m(u)) and (v, m(u)) for its smaller neighbors v ≠
       m(u) — one groupBy(min) + one equi-join.
-    Each node's incident minimum L(x) = min(x, min adjacent endpoint)
-    is monotone non-increasing under both operators (x always retains
-    an edge to something ≤ its current minimum), so ΣL over the fixed
-    endpoint set is the convergence probe: one unchanged FULL round ⟹
-    L(a) ≤ L(b) for every edge (a,b) in both orientations ⟹ L is
-    constant per component, and since L can never leave the component
-    or go below its minimum node id, that constant IS the component
-    min. The probe needs NO join: edges stay (u > v)-oriented, so
+    Convergence probe and its soundness. L(x) = min(x, min adjacent
+    endpoint) is monotone non-increasing under both operators (x
+    always retains an edge to something ≤ its current minimum:
+    large-star replaces x's edge to its min neighbor v* by (x, L(v*)),
+    L(v*) ≤ v*; small-star emits (x, m(x)) = (x, L(x)) directly), so
+    ΣL over the fixed endpoint set is non-increasing and "ΣL unchanged
+    over one FULL alternation" ⟹ L pointwise unchanged through both
+    halves. That implies, for every current edge {a, b} with a > b:
+    (i) large-star emitted (a, L(b)), so stability gives L(a) ≤ L(b);
+    (ii) small-star then emitted (L(b), L(a)) from a's group (L(b) is
+    a's smaller neighbor after (i)'s rewiring), so stability gives
+    L(L(b)) ≤ L(a). Now let r = min id of a component C and
+    S = {x ∈ C : L(x) = r} ∋ r. A boundary edge {a, b} with the
+    SMALLER endpoint b ∈ S forces a ∈ S by (i). So if S ≠ C, some
+    boundary edge has only its larger endpoint a ∈ S; then by (ii)
+    the node c = L(b) has L(c) ≤ L(a) = r, i.e. c ∈ S with c < b —
+    but c is b's min NEIGHBOR, so {b, c} is a boundary edge whose
+    smaller endpoint IS in S, pulling b into S by (i). Contradiction:
+    at stability S = C, i.e. every label is its component min.
+    (Half-round stability is NOT sufficient — E = {(3,1),(3,2)} is a
+    large-star fixpoint with L(2) = 2 ≠ 1; the referee pins that the
+    probe only compares across full alternations.)
+
+    The probe needs NO join: edges stay (u > v)-oriented, so
     ΣL = Σ_src min(v) + (Σ_all nodes − Σ_src u) — the second term
     re-uses the constant node sum and subtracts the src set's own ids
     (non-src nodes are their own minimum). One groupBy + one O(1)

@@ -52,11 +52,16 @@ def _init_labels(edges):
 
 
 def test_min_label_nonconvergence_raises(spark):
+    """r11: the default past-cap behavior is now escalation to the
+    O(log n) star rounds (see tests/test_r11_ops.py); the r10 loud-fail
+    contract lives behind deep_fallback=False and must still trip."""
     from go_zoom_kinesis_spark.operators.search import _min_label_propagate
 
     edges = _chain_edges(spark, 8)
     with pytest.raises(RuntimeError, match="still changing"):
-        _min_label_propagate(edges, _init_labels(edges), max_iters=1)
+        _min_label_propagate(
+            edges, _init_labels(edges), max_iters=1, deep_fallback=False
+        )
 
 
 def test_min_label_deep_chain_converges_exact(spark):

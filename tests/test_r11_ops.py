@@ -44,6 +44,19 @@ def test_decode_bmp_coreheader_fails_loudly():
         "similarity_ivf_topk",
         "watermark_lateness_sweep",
         "coreset_kcenter_sample",
+        # r11 follow-up: the whole dedup family rides localCheckpoint
+        # now (shingle arrays / bands / signatures / pair relations
+        # were all CacheManager-resident corpus-scale blocks)
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_components",
+        "dedup_components_star",
+        "dedup_canonical_chain",
+        "dedup_incremental_lsh",
+        "dedup_two_tier_pipeline",
+        "lsh_recall_audit",
+        "simhash_hamming_join",
+        "minhash_user_overlap",
     ],
 )
 def test_no_cache_entry_outlives_query(spark, sf_dir, name):
@@ -165,6 +178,19 @@ def test_star_components_matches_union_find_fuzz(spark):
 
         got = {r.node: r.lbl for r in _star_components(edges).collect()}
         assert got == truth, f"trial {trial}"
+
+
+def test_star_probe_survives_large_star_fixpoint(spark):
+    """The soundness subtlety from the docstring, pinned: the edge set
+    {(3,1),(3,2)} is a LARGE-STAR fixpoint whose labels are wrong
+    (L(2)=2, but 2's component min is 1) — only the small-star half
+    rewires 2 onto 1. The probe compares across FULL alternations, so
+    _star_components must still return the correct labels here."""
+    from go_zoom_kinesis_spark.operators.search import _star_components
+
+    edges = _sym_edges(spark, [(3, 1), (3, 2)])
+    got = {r.node: r.lbl for r in _star_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
 
 
 def test_star_escalation_respects_initial_labels(spark):

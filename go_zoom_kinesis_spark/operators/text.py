@@ -574,7 +574,9 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the posting join — uncached, the token-hash →
     # k-gram → window-min pipeline runs twice; posting feeds both
     # self-join sides the same way
-    inst = kg.select("doc_id", F.explode(prints).alias("fp")).cache()
+    inst = kg.select("doc_id", F.explode(prints).alias("fp")).localCheckpoint(
+        eager=True
+    )
     good = (
         inst.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -583,7 +585,7 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fp")
     )
-    posting = inst.join(good, "fp").cache()
+    posting = inst.join(good, "fp").localCheckpoint(eager=True)
     a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
     b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

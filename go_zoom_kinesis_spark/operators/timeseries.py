@@ -477,7 +477,7 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("bucket", F.date_trunc("hour", F.col("t")))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     w_in = (
         Window.partitionBy("event_type", "bucket")

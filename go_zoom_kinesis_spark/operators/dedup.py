@@ -353,7 +353,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- connected components over the near-dup pair graph ------------------
 
-MAX_CC_ITERS = 50  # propagation rounds ≥ graph diameter; dup chains are short
+# min-label rounds before escalating to the O(log n) star path. Real
+# near-dup chains converge in 3-6 rounds across every measured decade
+# (SCALE.md r11), so 16 is a 3-5x margin; past it the graph is
+# abnormal and each further min-label round is a wasted corpus-scale
+# join — escalation produces the identical labels (soundness proof in
+# _star_components) at O(log n) rounds instead. r11: was 50, which
+# made a deep graph pay 50 dead joins before the escalation kicked in.
+MAX_CC_ITERS = 16
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -676,11 +676,14 @@ def _star_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
+        # NO distinct here (r11 A/B: −29% on the deep bracket at 10⁶
+        # nodes, 42.2 → 30.0 s): duplicates are harmless to small-star
+        # — its groupBy(min) and the round's final distinct absorb
+        # them — so the extra exchange bought nothing
         ls = (
             nbrs.join(lm, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: edges are now strictly big→small; fold each
         # node's smaller neighbors onto its minimum

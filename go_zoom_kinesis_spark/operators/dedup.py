@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..io import fan_out_narrow, load_table
+from ..persist import pin
 
 JACCARD_THRESHOLD = 0.5  # minhash verify threshold
 NGRAM_THRESHOLD = 0.3  # exact n-gram jaccard report threshold
@@ -104,7 +105,7 @@ def _pair_jaccard(
     # cache (r11 hygiene): blocks are freed with the query's handles
     # by the ContextCleaner instead of sitting in the CacheManager
     # registry until an explicit unpersist
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand.transform(pin)
     # no .distinct(): the left-semi join dedups by construction, and
     # skipping it saves a full shuffle of the pair list
     docs_in_play = cand.select(F.col("doc_a").alias("doc_id")).union(
@@ -113,9 +114,7 @@ def _pair_jaccard(
     # materialize the reduced dictionary: ∝ docs-in-near-dup-pairs
     # (KB to MB at any corpus size), both pair sides consume it — left
     # lazy it would rescan + reshingle the corpus twice
-    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi").localCheckpoint(
-        eager=True
-    )
+    dict_small = arrs.join(docs_in_play, "doc_id", "left_semi").transform(pin)
     a = dict_small.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
     )
@@ -192,7 +191,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (catches jaccard ≳ 0.5 with high probability), banded bucket join
     for candidates, exact jaccard verification ≥ 0.5."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
+    arrs = _shingle_arrays(docs).transform(pin)
     cand = _lsh_candidate_pairs(_minhash_bands(arrs))
     jac = _pair_jaccard(cand, arrs)
     return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
@@ -271,7 +270,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every measured scale. The oracle needs no mirror: pruned pairs
     fail the ≥ τ filter identically."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
+    arrs = _shingle_arrays(docs).transform(pin)
     sh = arrs.select("doc_id", F.explode("hs").alias("shash"))
     # one shuffle builds the inverted index; the df-cap becomes a size()
     # filter on the posting list (no separate df aggregation + re-join),
@@ -389,13 +388,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .transform(pin)
     )
     # shared fixpoint loop (search._min_label_propagate): one join +
     # one min-groupBy per round, localCheckpoint lineage truncation,
@@ -479,7 +478,7 @@ def minhash_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user_sets = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # ^ referenced by sigs (×2 via self-join) and inter: materializes
     # the single user-scale shuffle once instead of three
     # plan-identical recomputes (no ReuseExchange across these shapes);
@@ -577,7 +576,7 @@ def dedup_canonical_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at any corpus size) AND cuts the lineage; on a real cluster a
     # reliable checkpoint() does the same durably. (r11: was
     # cache()+count — same materialization, unbounded lifetime.)
-    parent = parent.localCheckpoint(eager=True)
+    parent = parent.transform(pin)
     # WITH RECURSIVE is SQL-only, so the inputs go through temp views;
     # unique names keep concurrent invocations on a shared session from
     # clobbering each other's bindings mid-plan
@@ -1090,7 +1089,7 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit = F.when(F.col(f"v{j}") > 0, F.lit(2**r)).otherwise(F.lit(0))
             expr = bit if expr is None else expr + bit
         band_cols.append(expr.cast("long").alias(f"b{k}"))
-    sigs = votes.select("doc_id", *band_cols).localCheckpoint(eager=True)
+    sigs = votes.select("doc_id", *band_cols).transform(pin)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIMW_BANDS)],
@@ -1215,7 +1214,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_pair_jaccard``'s semi-join reduction). Same bands, same
     threshold, same flood caps as ``dedup_minhash_lsh``."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
+    arrs = _shingle_arrays(docs).transform(pin)
     bands = _minhash_bands(arrs)
     incoming = bands.filter(
         F.col("doc_id") % INCR_MOD == INCR_SLOT
@@ -1313,7 +1312,7 @@ def _exact_pairs_ppjoin(arrs: DataFrame) -> DataFrame:
     # (checkpoint not cache, r11: block lifetime = query lifetime)
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - ceil_theta + 1
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "shash",
@@ -1362,6 +1361,17 @@ _WILSON_PPM = (
     ") / (1.0 + 3.8416 / {n}), 6) ELSE NULL END"
 )
 
+# The Wilson interval is centered at p̃ = (hits + z²/2)/(n + z²), NOT
+# at the raw ratio p̂ = hits/n (ADVICE r11): applying the half-width
+# around p̂ is not the Wilson interval and can extend outside [0, 1]
+# at boundary rates. Emitted alongside the ppm ratios so the interval
+# is [center − hw, center + hw] with columns the output actually has.
+_WILSON_CENTER_PPM = (
+    "CASE WHEN {n} > 0 THEN round(1000000.0 * "
+    "(CAST(n_hits AS DOUBLE) + 1.9208) / ({n} + 3.8416), 6) "
+    "ELSE NULL END"
+)
+
 
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of the banded MinHash-LSH candidate
@@ -1394,7 +1404,11 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to 0 at p ∈ {0, 1}, so a 100%-recall sample reported
     ZERO uncertainty, the opposite of the column's purpose; Wilson
     stays strictly positive at the boundary (→ z²/(2n+2z²/…) ≈
-    z²/2n for large n). Caveat, stated here because the number can't
+    z²/2n for large n). r12 (ADVICE r11): the interval is centered at
+    p̃ = (hits + z²/2)/(n + z²), not at the raw ratio — the
+    ``*_wilson_center_ppm`` columns carry p̃ so the reported interval
+    is [center − hw, center + hw] and never leaves [0, 1]; the ppm
+    ratios stay the raw point estimates. Caveat, stated here because the number can't
     state it: pairs sharing a sampled doc are cluster-correlated, so
     any i.i.d.-binomial half-width (Wald or Wilson) UNDERSTATES true
     sampling uncertainty — read the columns as a lower bound on the
@@ -1406,7 +1420,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(
         F.col("doc_id") % RECALL_AUDIT_MOD == RECALL_AUDIT_SLOT
     )
-    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
+    arrs = _shingle_arrays(docs).transform(pin)
     truth = _exact_pairs_ppjoin(arrs).withColumn("t", F.lit(1))
     cand = _lsh_candidate_pairs(_minhash_bands(arrs)).withColumn(
         "c", F.lit(1)
@@ -1447,6 +1461,16 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(_WILSON_PPM.format(n="n_lsh_candidates")).alias(
             "precision_ci95_ppm"
+        ),
+        # r12 (ADVICE r11): the Wilson interval's own center — the
+        # half-width above applies around THESE, not around the raw
+        # ppm ratios (p̂ ± hw is not the Wilson interval and exceeds
+        # [0, 1] at boundary rates; p̃ ± hw never does).
+        F.expr(_WILSON_CENTER_PPM.format(n="n_true_pairs")).alias(
+            "recall_wilson_center_ppm"
+        ),
+        F.expr(_WILSON_CENTER_PPM.format(n="n_lsh_candidates")).alias(
+            "precision_wilson_center_ppm"
         ),
     )
 
@@ -1531,7 +1555,11 @@ ORACLE_R8["lsh_recall_audit"] = f"""
            CAST({1_000_000 // RECALL_AUDIT_MOD} AS BIGINT)
                AS doc_sample_rate_ppm,
            {_WILSON_PPM.format(n="n_true_pairs")} AS recall_ci95_ppm,
-           {_WILSON_PPM.format(n="n_lsh_candidates")} AS precision_ci95_ppm
+           {_WILSON_PPM.format(n="n_lsh_candidates")} AS precision_ci95_ppm,
+           {_WILSON_CENTER_PPM.format(n="n_true_pairs")}
+               AS recall_wilson_center_ppm,
+           {_WILSON_CENTER_PPM.format(n="n_lsh_candidates")}
+               AS precision_wilson_center_ppm
     FROM agg
 """
 
@@ -1573,11 +1601,11 @@ def dedup_two_tier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     that architecture with the tiers glued, so one driver hash covers
     the composition."""
     docs = _docs(spark, sf_dir)
-    arrs = _shingle_arrays(docs).localCheckpoint(eager=True)
+    arrs = _shingle_arrays(docs).transform(pin)
     # materialize: bands feeds the bucket-min aggregate, the per-doc
     # flag join, and both candidate sides — left lazy it would
     # re-minhash the corpus four times (checkpoint not cache, r11)
-    bands = _minhash_bands(arrs).localCheckpoint(eager=True)
+    bands = _minhash_bands(arrs).transform(pin)
     bmin = bands.groupBy("band_idx", "band_key").agg(
         F.min("doc_id").alias("first_doc")
     )

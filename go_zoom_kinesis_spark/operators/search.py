@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..io import load_table
+from ..persist import pin
 
 POSTINGS_CAP = 10
 MIN_DF = 5
@@ -562,9 +563,14 @@ ER_MAX_ITERS = 50  # min-label rounds >= component diameter (chains are short)
 ER_UF_BUCKETS = 128  # union-find task granularity (component ⊆ block ⊆ bucket)
 
 
-STAR_MAX_ROUNDS = 40  # full large+small alternations; rounds grow with
-# log(n), so 40 covers any component a 2^40-node graph can hold — the
-# cap is a loud-fail backstop, not a tuning knob
+STAR_MAX_ROUNDS = 40  # full large+small alternations. Kiveris et al.
+# prove O(log^2 n) rounds worst-case for the large-star/small-star
+# alternation; the O(log n) behavior we measure (SCALE.md: flat 11
+# alternations from 1e4 to 1e8 planted deep-chain nodes) is empirical,
+# not a theorem. 40 is sized to that measured envelope with ~4x slack;
+# if a real input ever needs more, the loud-fail RuntimeError below
+# reports it rather than looping — the cap is a backstop, not a
+# convergence guarantee.
 
 
 def _star_components(
@@ -632,7 +638,7 @@ def _star_components(
             F.least("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     # node set from the RAW relation, so endpoints that only appear in
     # self-loops still come back (as their own singleton component)
@@ -640,7 +646,7 @@ def _star_components(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
 
     def _labels(e: DataFrame) -> DataFrame:
@@ -694,7 +700,7 @@ def _star_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(sm.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .transform(pin)
         )
         cur_sum = _probe(cur)
         if cur_sum == prev_sum:
@@ -744,7 +750,7 @@ def _min_label_propagate(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .transform(pin)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashes import A, B
 from ..io import load_table
+from ..persist import pin
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -253,7 +254,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("vec_id", "c_id", "c_rk")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     assign = scored_cent.filter(F.col("c_rk") == 1).select(
         "vec_id", F.col("c_id").alias("bucket")
@@ -1741,7 +1742,7 @@ def _ivf_probe_sweep_build(
     spark: SparkSession, sf_dir: str, persist: bool
 ) -> DataFrame:
     def hold(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if persist else df
+        return df.transform(pin) if persist else df
 
     emb = _with_norm(_emb(spark, sf_dir))
     cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(

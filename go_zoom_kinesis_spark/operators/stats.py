@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..persist import pin
 
 # exact integer predicates shared by the kappa query (documented in
 # ORACLE mirrors character-for-character)
@@ -548,7 +549,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", _kmv_hash(F.col("user_id")).alias("h"))
         .distinct()
         .withColumn("bucket", F.expr(f"h div {KMV_BUCKET_DIV}"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     bc = dh.groupBy("event_type", "bucket").agg(F.count("*").alias("c"))
     w_cum = Window.partitionBy("event_type").orderBy("bucket")
@@ -631,7 +632,7 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", _kmv_hash(F.col("user_id")).alias("h"))
         .distinct()
         .withColumn("bucket", F.expr(f"h div {KMV_BUCKET_DIV}"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     bc = dh.groupBy("event_type", "bucket").agg(F.count("*").alias("c"))
     w_cum = Window.partitionBy("event_type").orderBy("bucket")
@@ -924,7 +925,7 @@ def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = raw.mapInPandas(
         _kmv_day_prefilter, schema="event_type string, day long, h long"
     )
-    dh_day = pre.distinct().localCheckpoint(eager=True)
+    dh_day = pre.distinct().transform(pin)
     day_sk = _kmv_topk(dh_day, ["event_type", "day"])
     # merge: k smallest of the union of per-day sketch rows (distinct:
     # one user can appear in many days' sketches)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import load_table
+from ..persist import pin
 
 N_SHARDS = 8
 # S4/S5: GetRecords batch_size default 100 (src/processor.rs:373) ×
@@ -634,7 +635,7 @@ def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunked.groupBy("batch_no", "shard_id")
         .agg(F.max("tsu").alias("cmax"))
         .withColumn("sbucket", F.expr(f"batch_no div {BATCH_SIZE}"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     smax = cmax.groupBy("sbucket").agg(F.max("cmax").alias("smax"))
     s_tape = Window.orderBy("sbucket")

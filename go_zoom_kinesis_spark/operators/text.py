@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..io import load_table
+from ..persist import pin
 
 P = H.P
 
@@ -574,9 +575,7 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the posting join — uncached, the token-hash →
     # k-gram → window-min pipeline runs twice; posting feeds both
     # self-join sides the same way
-    inst = kg.select("doc_id", F.explode(prints).alias("fp")).localCheckpoint(
-        eager=True
-    )
+    inst = kg.select("doc_id", F.explode(prints).alias("fp")).transform(pin)
     good = (
         inst.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -585,7 +584,7 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fp")
     )
-    posting = inst.join(good, "fp").localCheckpoint(eager=True)
+    posting = inst.join(good, "fp").transform(pin)
     a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
     b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..persist import pin
 
 DEC = "decimal(25,6)"
 Z_THRESHOLD = 2.5
@@ -477,7 +478,7 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("bucket", F.date_trunc("hour", F.col("t")))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     w_in = (
         Window.partitionBy("event_type", "bucket")

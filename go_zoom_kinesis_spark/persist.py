@@ -1,0 +1,90 @@
+"""Intermediate-result persistence strategy (one knob, all operators).
+
+ADVICE r11 (dedup.py:128): the r11 fleet-wide ``.cache()`` →
+``localCheckpoint(eager=True)`` swap bounds block lifetime by GC
+instead of by CacheManager session residency — right for the local
+bench — but it trades fault tolerance for it: ``localCheckpoint``
+truncates lineage and stores blocks UNREPLICATED, so on a real
+multi-executor cluster an executor loss mid-query fails the job
+unrecoverably instead of recomputing. Which trade is right is a
+DEPLOYMENT property, not an operator property, so every operator
+pins intermediates through :func:`pin` and the strategy is a session
+conf:
+
+``spark.gzk.persist.strategy``:
+
+- ``localCheckpoint`` (default) — GC-bounded executor-local blocks,
+  lineage truncated. The measured-best local shape (SCALE.md r11
+  persist sweep); single-JVM ``local[*]`` has no executor-loss mode,
+  so the lost fault tolerance is unreachable here anyway.
+- ``cache`` — ``persist(MEMORY_AND_DISK)``: lineage kept, so executor
+  loss recomputes (fault-tolerant) — but blocks are CacheManager
+  strong refs that outlive the query unless explicitly unpersisted,
+  and an eager pin costs an extra materializing action.
+- ``checkpoint`` — RELIABLE ``DataFrame.checkpoint``: blocks written
+  to ``spark.gzk.persist.checkpointDir`` (HDFS/S3 on a real cluster),
+  surviving executor loss AND truncating lineage — the
+  1000-executor-cluster setting for the iterative operators
+  (connected components, BPE, k-center) whose per-round pins would
+  otherwise each be a single point of failure. Costs a distributed
+  write per pin.
+
+``eager`` mirrors ``localCheckpoint(eager=)``: the call materializes
+before returning. Iterative operators rely on that for plan-size and
+timing control; ``cache`` emulates it with a ``count()`` action.
+
+Kept out of ``io.py`` on purpose: loaders stay dumb (no persistence),
+and operators import one verb, not a strategy matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+STRATEGY_CONF = "spark.gzk.persist.strategy"
+CHECKPOINT_DIR_CONF = "spark.gzk.persist.checkpointDir"
+
+_VALID = ("localCheckpoint", "cache", "checkpoint")
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize-and-pin ``df`` per the session's persist strategy.
+
+    Chain-friendly: ``df.transform(pin)`` inside a builder chain, or
+    ``pin(df)`` on a named relation. Returns a DataFrame that replays
+    from stored blocks (strategy-dependent durability, see module
+    docstring) instead of recomputing its upstream plan.
+    """
+    spark = df.sparkSession
+    strategy = spark.conf.get(STRATEGY_CONF, "localCheckpoint")
+    if strategy == "localCheckpoint":
+        return df.localCheckpoint(eager=eager)
+    if strategy == "cache":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    if strategy == "checkpoint":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+            if not ckdir:
+                raise ValueError(
+                    f"{STRATEGY_CONF}=checkpoint needs a reliable store: "
+                    f"set {CHECKPOINT_DIR_CONF} (HDFS/S3 path on a real "
+                    "cluster) or call sparkContext.setCheckpointDir first"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    raise ValueError(
+        f"{STRATEGY_CONF}={strategy!r} not in {_VALID}"
+    )
+
+
+def pin_lazy(df: DataFrame) -> DataFrame:
+    """:func:`pin` with ``eager=False`` — chain-friendly for
+    ``df.transform(pin_lazy)`` (``transform`` can't forward kwargs on
+    older PySpark)."""
+    return pin(df, eager=False)

@@ -14,6 +14,15 @@ with $SPARK_GRAFT_BENCH_ROUND).
 
 Each query is forced end-to-end with a noop-format write (full plan
 execution, no driver-side collect).
+
+r12 additions (VERDICT r11 #1): the detail file also carries
+``registry_slice`` (this round's parity half of the ~93 non-headline
+registry queries, so every registered query has a timed row at most 2
+rounds old — subtotal kept OUT of ``value``), ``normalized_ratios``
+(each query vs its newest prior same-SF detail row, normalized by both
+runs' ``calibration_sec``), and ``regressions`` (ratio > 1.5 and
+either side ≥ 0.2 s); the stdout summary quotes the regression count
++ first 8 names.
 """
 
 from __future__ import annotations
@@ -217,6 +226,110 @@ HEADLINE_R11 = [
     "dedup_components_star",
 ]
 
+_ALL_HEADLINE = (
+    HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
+    + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10
+    + HEADLINE_R11
+)
+
+# r12 (VERDICT r11 #1b): registry queries OUTSIDE the headline sets —
+# ~93 names, mostly r1-r6 relational/behavior/quality families — were
+# oracle-timed in preflight logs but never entered BENCH_DETAIL, so a
+# perf regression there was invisible to the round-over-round diff.
+# Each round times HALF of them (deterministic round-parity slice of
+# the sorted names), so every registered query has a timed detail row
+# at most 2 rounds old. Slice timings are reported separately
+# (``registry_slice`` / ``value_registry_slice``) and NEVER roll into
+# ``value`` — the headline total must stay comparable across rounds.
+REGRESSION_RATIO_GATE = 1.5  # normalized; VERDICT r11 #1a
+
+
+def _registry_slice(all_names: list[str], rnd: int) -> list[str]:
+    extra = sorted(n for n in all_names if n not in set(_ALL_HEADLINE))
+    return extra[rnd % 2 :: 2]
+
+
+def _normalized_regressions(
+    repo: str,
+    rnd: int,
+    timings: dict[str, float],
+    calibration: float,
+    sf: float | None,
+) -> tuple[dict, list[dict]]:
+    """Per-query ratio vs the newest prior BENCH_DETAIL, normalized by
+    each run's host-speed yardstick (VERDICT r11 #1a: the r10->r11
+    65.3-vs-58.3 forensics were manual; this makes them an artifact).
+
+    ratio = (cur_sec / cur_cal) / (prev_sec / prev_cal). Prior files
+    without ``calibration_sec`` (pre-r11) fall back to prev_cal =
+    cur_cal, i.e. an UNnormalized ratio, and say so via
+    ``normalized: false``. Sub-0.2 s pairs are exempt from the
+    regression list — at that scale a single GC pause exceeds the
+    gate, and min-of-3 only bounds, not eliminates, scheduler noise.
+    """
+    import glob
+    import re
+
+    # per-name newest prior timing: headline names match last round,
+    # registry-slice names two rounds back (slices alternate parity) —
+    # one backward merge covers both
+    prev_by_name: dict[str, tuple[float, float | None, int]] = {}
+    found_any = False
+    for p in sorted(glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json"))):
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
+        r = int(m.group(1)) if m else 0
+        if r >= rnd:
+            continue
+        try:
+            with open(p) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if prev.get("sf") != sf:
+            # a smoke run at another scale factor is not a comparison
+            # baseline — cross-SF ratios would flag phantom regressions
+            continue
+        found_any = True
+        cal = prev.get("calibration_sec")
+        for name, sec in {
+            **prev.get("queries", {}),
+            **prev.get("registry_slice", {}),
+        }.items():
+            if sec and sec > 0:
+                prev_by_name[name] = (sec, cal, r)  # ascending → newest wins
+    if not found_any:
+        return {"prev_rounds": [], "ratios": {}}, []
+    ratios: dict[str, float] = {}
+    regressions: list[dict] = []
+    rounds_used: set[int] = set()
+    for name, cur in timings.items():
+        hit = prev_by_name.get(name)
+        if hit is None or cur <= 0:
+            continue
+        p, prev_cal, r = hit
+        normalized = bool(prev_cal) and calibration > 0
+        ratio = cur / p
+        if normalized:
+            ratio *= prev_cal / calibration
+        ratios[name] = round(ratio, 3)
+        rounds_used.add(r)
+        if ratio > REGRESSION_RATIO_GATE and max(cur, p) >= 0.2:
+            regressions.append(
+                {
+                    "query": name,
+                    "prev_round": r,
+                    "prev_sec": p,
+                    "cur_sec": cur,
+                    "normalized": normalized,
+                    "normalized_ratio": round(ratio, 3),
+                }
+            )
+    regressions.sort(key=lambda d: -d["normalized_ratio"])
+    return (
+        {"prev_rounds": sorted(rounds_used), "ratios": ratios},
+        regressions,
+    )
+
 
 def _calibration_sec() -> float:
     """Fixed pure-python CPU loop, min-of-3 (VERDICT r10 #5): a
@@ -280,18 +393,15 @@ def main() -> None:
     # the min of the two is the normalization divisor
     cal_pre = _calibration_sec()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    total_baseline_set = 0.0
-    for name in (
-        HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6
-        + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10
-        + HEADLINE_R11
-    ):
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = _round_no(repo)
+    slice_names = _registry_slice(list(queries), rnd)
+
+    def time_query(name: str) -> float:
         fn = queries.get(name)
         if fn is None:
-            timings[name] = -1.0
-            continue
+            return -1.0
         # Hermetic per-query measurement: several operators .cache()
         # intermediates (shingle arrays, candidate pairs, parent maps).
         # Left to accumulate across the ~65-query session, those blocks
@@ -315,17 +425,41 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = min(dt, round(time.perf_counter() - t0, 3))
+        return dt
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    total_baseline_set = 0.0
+    for name in _ALL_HEADLINE:
+        dt = time_query(name)
         timings[name] = dt
+        if dt < 0:
+            continue
         total += dt
         if name in HEADLINE:
             total_baseline_set += dt
 
+    # registry-slice pass (r12): the non-headline half for this round's
+    # parity — separate map + subtotal, never added to `total`
+    slice_timings: dict[str, float] = {}
+    slice_total = 0.0
+    for name in slice_names:
+        dt = time_query(name)
+        slice_timings[name] = dt
+        if dt > 0:
+            slice_total += dt
+
     cal_post = _calibration_sec()
     calibration = min(cal_pre, cal_post)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    repo = os.path.dirname(os.path.abspath(__file__))
-    rnd = _round_no(repo)
+    ratio_info, regressions = _normalized_regressions(
+        repo,
+        rnd,
+        {**timings, **slice_timings},
+        calibration,
+        float(sf) if sf else None,
+    )
+
     detail_file = f"BENCH_DETAIL_r{rnd:02d}.json"
     with open(os.path.join(repo, detail_file), "w") as f:
         json.dump(
@@ -335,6 +469,19 @@ def main() -> None:
                 "value_baseline_set": round(total_baseline_set, 3),
                 "unit": "sec",
                 "queries": timings,
+                # non-headline registry queries, this round's parity
+                # half (VERDICT r11 #1b) — timed identically but kept
+                # out of `value` so the headline total stays
+                # round-comparable
+                "registry_slice": slice_timings,
+                "value_registry_slice": round(slice_total, 3),
+                "registry_slice_parity": rnd % 2,
+                # per-query ratio vs each name's newest prior detail
+                # row, normalized by both runs' calibration_sec
+                # (VERDICT r11 #1a)
+                "normalized_ratios": ratio_info,
+                "regressions": regressions,
+                "regression_ratio_gate": REGRESSION_RATIO_GATE,
                 "sf": float(sf) if sf else None,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
                 "calibration_sec": calibration,
@@ -365,6 +512,12 @@ def main() -> None:
                 # normalize round-over-round comparisons for ambient
                 # host drift (VERDICT r10 #5)
                 "calibration_sec": calibration,
+                # calibration-normalized per-query regressions vs each
+                # name's newest prior detail row (gate 1.5x) — names
+                # only here (stdout-tail budget); prev/cur secs and
+                # ratios are in the detail file's `regressions`
+                "n_regressions": len(regressions),
+                "regressions": [d["query"] for d in regressions[:8]],
                 "detail_file": detail_file,
             }
         ),

@@ -563,6 +563,20 @@ ER_MAX_ITERS = 50  # min-label rounds >= component diameter (chains are short)
 ER_UF_BUCKETS = 128  # union-find task granularity (component ⊆ block ⊆ bucket)
 
 
+# Auto-sizing for the star rounds' shuffles (r12, VERDICT r11 #5): the
+# per-round relation peaks at nbrs = 2x the oriented edge set, and a
+# round's groupBy/join partitions plus the pin write must fit the
+# executor heap. The r11 1e8-node deep-chain bed needed HAND-set knobs
+# (128 partitions + 48 GB heap; 64/16 GB OOM'd in the checkpoint
+# write — SCALE.md r11 bed note); this target derives the partition
+# count from the measured-green boundary instead: 128 green partitions
+# at 2e8 nbrs rows under 48 GB ≈ 1.6M rows/partition at 3x the default
+# heap → 500k rows/partition to hold the same per-task residency at
+# the 16 GB default. AQE coalesces any overshoot, so erring high is
+# cheap; erring low is the OOM.
+STAR_ROWS_PER_PARTITION = 500_000
+STAR_MAX_PARTITIONS = 32_768  # 16e9 nbrs rows before this clamps
+
 STAR_MAX_ROUNDS = 40  # full large+small alternations. Kiveris et al.
 # prove O(log^2 n) rounds worst-case for the large-star/small-star
 # alternation; the O(log n) behavior we measure (SCALE.md: flat 11
@@ -630,89 +644,150 @@ def _star_components(
     (non-src nodes are their own minimum). One groupBy + one O(1)
     scalar action per round; ``localCheckpoint`` truncates lineage
     exactly like the min-label loop; the (node, lbl) relation is only
-    materialized ONCE, after convergence."""
-    cur = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("u"),
-            F.least("src", "dst").alias("v"),
-        )
-        .distinct()
-        .transform(pin)
-    )
-    # node set from the RAW relation, so endpoints that only appear in
-    # self-loops still come back (as their own singleton component)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .transform(pin)
-    )
+    materialized ONCE, after convergence.
 
-    def _labels(e: DataFrame) -> DataFrame:
-        # L(x) = min(x, min incident endpoint); edges oriented u > v,
-        # so only the u side can lower a node's minimum
-        per_u = e.groupBy("u").agg(F.min("v").alias("mn"))
-        return nodes.join(
-            per_u, nodes.node == per_u.u, "left"
-        ).select("node", F.coalesce("mn", F.col("node")).alias("lbl"))
+    Shuffle auto-sizing (r12, VERDICT r11 #5): one count of ``edges``
+    derives the loop's ``spark.sql.shuffle.partitions`` from the
+    peak per-round relation (nbrs = 2x the oriented edges) at
+    ``STAR_ROWS_PER_PARTITION`` rows per partition — the r11 1e8-node
+    bed's hand-tuned 128-partition knob, computed. The conf is scoped
+    (set/restored around the loop); when it actually resizes, the
+    final label relation is pinned inside the scope so its lazy
+    shuffles can't execute at the restored too-small default. Tiny
+    graphs (every registered query) never resize and keep the exact
+    prior plan."""
+    spark = edges.sparkSession
+    # ---- shuffle auto-sizing (r12, VERDICT r11 #5) -------------------
+    # one cheap count of the input (callers pass pinned or
+    # near-pinned relations; the pair-graph queries pay one extra
+    # verify pass) decides the loop's shuffle partitioning — the 1e8
+    # bed's hand-set 128-partitions/48 GB knobs derived automatically.
+    n_edges = edges.count()
+    old_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = -(-2 * max(n_edges, 1) // STAR_ROWS_PER_PARTITION)  # ceil
+    n_part = max(old_parts, min(want, STAR_MAX_PARTITIONS))
+    resized = n_part != old_parts
+    if _stats is not None:
+        _stats["n_edges"] = n_edges
+        _stats["shuffle_partitions"] = n_part
 
-    node_sum = nodes.agg(F.sum("node")).collect()[0][0]
-    if node_sum is None:  # empty graph
-        return _labels(cur)
+    # block format for the loop's pins: resized graphs switch to
+    # SERIALIZED memory+disk blocks — the default deserialized level
+    # inflates each row into a Java object array AND re-promotes disk
+    # blocks back into memory values on read
+    # (maybeCacheDiskValuesInMemory), which is what OOM'd the 1e8 bed
+    # at the 16 GB default heap even with right-sized partitions
+    # (SCALE.md r12); serialized blocks stay compact and evict under
+    # pressure instead. Tiny graphs keep the default (deserialized
+    # re-reads are faster, and their residency is trivial).
+    if resized:
+        from pyspark import StorageLevel
 
-    def _probe(e: DataFrame) -> int:
-        # ΣL without a join (docstring): Σ_src min(v) + Σ_{non-src} id
-        row = e.groupBy("u").agg(F.min("v").alias("mn")).agg(
-            F.sum("mn").alias("sm"), F.sum("u").alias("su")
-        ).collect()[0]
-        sm = row["sm"] or 0
-        su = row["su"] or 0
-        return sm + (node_sum - su)
+        _level = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
+    else:
+        _level = None
 
-    prev_sum = _probe(cur)
-    for rnd in range(max_rounds):
-        # large-star: symmetrize, take per-node minima, re-point every
-        # strictly-larger neighbor at the minimum
-        nbrs = cur.union(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        lm = (
-            nbrs.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
-        # NO distinct here (r11 A/B: −29% on the deep bracket at 10⁶
-        # nodes, 42.2 → 30.0 s): duplicates are harmless to small-star
-        # — its groupBy(min) and the round's final distinct absorb
-        # them — so the extra exchange bought nothing
-        ls = (
-            nbrs.join(lm, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # small-star: edges are now strictly big→small; fold each
-        # node's smaller neighbors onto its minimum
-        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+    def _pin(d: DataFrame) -> DataFrame:
+        return pin(d, storage_level=_level)
+
+    def _run() -> DataFrame:
         cur = (
-            ls.join(sm, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(sm.select("u", F.col("m").alias("v")))
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
             .distinct()
-            .transform(pin)
+            .transform(_pin)
         )
-        cur_sum = _probe(cur)
-        if cur_sum == prev_sum:
-            if _stats is not None:
-                _stats["rounds"] = rnd + 1
+        # node set from the RAW relation, so endpoints that only appear in
+        # self-loops still come back (as their own singleton component)
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .transform(_pin)
+        )
+
+        def _labels(e: DataFrame) -> DataFrame:
+            # L(x) = min(x, min incident endpoint); edges oriented u > v,
+            # so only the u side can lower a node's minimum
+            per_u = e.groupBy("u").agg(F.min("v").alias("mn"))
+            return nodes.join(
+                per_u, nodes.node == per_u.u, "left"
+            ).select("node", F.coalesce("mn", F.col("node")).alias("lbl"))
+
+        node_sum = nodes.agg(F.sum("node")).collect()[0][0]
+        if node_sum is None:  # empty graph
             return _labels(cur)
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"large-star/small-star still changing after {max_rounds} "
-        f"alternations (last label sum {prev_sum}); this needs a graph "
-        f"with ~2^{max_rounds} nodes — check the edge relation"
-    )
+
+        def _probe(e: DataFrame) -> int:
+            # ΣL without a join (docstring): Σ_src min(v) + Σ_{non-src} id
+            row = e.groupBy("u").agg(F.min("v").alias("mn")).agg(
+                F.sum("mn").alias("sm"), F.sum("u").alias("su")
+            ).collect()[0]
+            sm = row["sm"] or 0
+            su = row["su"] or 0
+            return sm + (node_sum - su)
+
+        prev_sum = _probe(cur)
+        for rnd in range(max_rounds):
+            # large-star: symmetrize, take per-node minima, re-point every
+            # strictly-larger neighbor at the minimum
+            nbrs = cur.union(
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            lm = (
+                nbrs.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m"))
+            )
+            # NO distinct here (r11 A/B: −29% on the deep bracket at 10⁶
+            # nodes, 42.2 → 30.0 s): duplicates are harmless to small-star
+            # — its groupBy(min) and the round's final distinct absorb
+            # them — so the extra exchange bought nothing
+            ls = (
+                nbrs.join(lm, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # small-star: edges are now strictly big→small; fold each
+            # node's smaller neighbors onto its minimum
+            sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+            cur = (
+                ls.join(sm, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(sm.select("u", F.col("m").alias("v")))
+                .distinct()
+                .transform(_pin)
+            )
+            cur_sum = _probe(cur)
+            if cur_sum == prev_sum:
+                if _stats is not None:
+                    _stats["rounds"] = rnd + 1
+                return _labels(cur)
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"large-star/small-star still changing after {max_rounds} "
+            f"alternations (last label sum {prev_sum}); this needs a graph "
+            f"with ~2^{max_rounds} nodes — check the edge relation"
+        )
+
+    try:
+        if resized:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        out = _run()
+        # under a resized scope the result must materialize INSIDE it:
+        # the label relation's own groupBy/join execute lazily, and
+        # after the conf restore they would run at the too-small
+        # session default — the exact OOM the sizing exists to avoid.
+        # Unresized (every registered query: tiny graphs) the labels
+        # stay lazy exactly as before.
+        return pin(out, storage_level=_level) if resized else out
+    finally:
+        if resized:
+            spark.conf.set("spark.sql.shuffle.partitions", str(old_parts))
 
 
 def _min_label_propagate(

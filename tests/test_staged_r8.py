@@ -420,10 +420,16 @@ def test_staged_plans_no_cartesian(spark, sf_dir):
 def test_span_scrub_plan_joinless(spark, sf_dir):
     """duplicate_span_scrub's contract: first-occurrence is a window
     min, NOT a join — the whole plan carries zero join operators and
-    exactly two exchanges (span-hash window + per-doc rollup)."""
+    exactly two KEYED exchanges (span-hash window + per-doc rollup).
+    The r12 fan_out_narrow adds one RoundRobin exchange before the
+    token hashing (single-file-scan parallelization, no-op at scale);
+    the pin counts keyed shuffles so that deliberate fan-out passes
+    while any join- or extra-aggregation-shaped regression still
+    fails."""
     plan = _plan(spark, sf_dir, "duplicate_span_scrub")
     assert "Join" not in plan
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange rangepartitioning") == 0
 
 
 def test_feature_hash_plan_joinless_partial_agg(spark, sf_dir):

@@ -245,8 +245,19 @@ REGRESSION_RATIO_GATE = 1.5  # normalized; VERDICT r11 #1a
 
 
 def _registry_slice(all_names: list[str], rnd: int) -> list[str]:
+    # ADVICE r12: slice by a stable per-name hash parity, not sorted
+    # position — positional parity shifts every later name when one
+    # registry name is added/removed, which can land a name in the
+    # same half twice in a row and transiently break the "every query
+    # timed at most 2 rounds old" guarantee.
+    import zlib
+
     extra = sorted(n for n in all_names if n not in set(_ALL_HEADLINE))
-    return extra[rnd % 2 :: 2]
+    return [
+        n
+        for n in extra
+        if (zlib.crc32(n.encode()) ^ rnd) % 2 == 0
+    ]
 
 
 def _normalized_regressions(

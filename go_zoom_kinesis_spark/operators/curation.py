@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..io import fan_out_narrow, load_table
+from ..persist import pin
 
 N_BINS = 4  # curriculum stages
 VOCAB_K = 100  # tokenizer vocabulary size
@@ -783,9 +784,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = pre.select(
         "doc_id", "lang", F.explode(F.concat(uni, bi)).alias("b")
     )
-    bstats = feats.groupBy("b").agg(
-        F.count("*").alias("cr"),
-        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("ct"),
+    # r13 (guide §2.4): pin the bucket stats — the relation is bounded
+    # at DSIR_DIM rows regardless of corpus size, yet the r12 lazy plan
+    # evaluated the whole feats subtree (scan → per-token char-hash HOF
+    # → explode → agg) once for `tot` AND once more for `bw`, i.e. the
+    # docstring's "two scans of the token stream" were actually three
+    # (plans/r13/dsir_importance_weights_before.txt). Pinning the
+    # 256-row aggregate restores the designed two passes.
+    bstats = pin(
+        feats.groupBy("b").agg(
+            F.count("*").alias("cr"),
+            F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("ct"),
+        )
     )
     tot = bstats.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")

@@ -217,20 +217,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
         ).alias("ths"),
     ).filter(F.size("ths") > 0)
-    def _vote(j: int):
-        # single-arg lambda: F.transform feeds the index to 2-arg lambdas
-        return lambda t: (H.affine_col(t, j) % 2) * 2 - 1
-
-    votes = th.select(
-        "doc_id",
+    # r13 (guide §4.1/§2.3): the r12 form ran 32 interpreted HOF passes
+    # per document (one transform + one aggregate fold per bit channel
+    # — higher-order lambdas do not whole-stage-codegen). Exploding the
+    # distinct token hashes once and summing 16 codegen'd affine
+    # expressions computes the identical integer votes with compiled
+    # arithmetic; the groupBy(doc_id) partial aggregate completes
+    # map-side (every doc lives in one input row), so the exchange
+    # carries one 17-long row per document at any scale.
+    tok = th.select("doc_id", F.explode("ths").alias("t"))
+    votes = tok.groupBy("doc_id").agg(
         *[
-            F.aggregate(
-                F.transform("ths", _vote(j)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias(f"v{j}")
+            F.sum((H.affine_col(F.col("t"), j) % 2) * 2 - 1).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
-        ],
+        ]
     )
     sig_expr = None
     for j in range(SIMHASH_BITS):

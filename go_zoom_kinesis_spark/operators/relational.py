@@ -265,16 +265,32 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the exact count and literal TRUE — a hash match proves the
     sketch ran and was accurate, which is the operator's contract."""
     li = _t(spark, sf_dir, "lineitem")
-    exact = F.countDistinct("l_partkey")
+    # r13 (guide §5): mixing countDistinct with non-distinct aggregates
+    # planned via Expand — and the first-phase hash aggregate, keyed by
+    # (returnflag, partkey, gid), allocated the rsd=0.01 HLL++ buffer
+    # (2^14 registers, ~12 KB) for EVERY one of its ~|distinct parts|
+    # groups: gigabytes of zeroed buffers for three real sketches
+    # (measured 3.0 s vs 0.4 s for the HLL-free sibling distinct_agg).
+    # Deduplicate per (flag, partkey) first — carrying the raw-row
+    # count — then aggregate the deduped relation per flag: the HLL
+    # sketch over deduplicated keys has bit-identical registers
+    # (duplicate values hash to the same register update, and register
+    # merge is max), the exact count is a plain count, and only
+    # |flags| sketch buffers ever exist. One scan, two bounded
+    # exchanges, no Expand.
+    dd = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count("*").alias("c")
+    )
+    exact = F.count("l_partkey")
     approx = F.approx_count_distinct("l_partkey", 0.01)
-    return li.groupBy("l_returnflag").agg(
+    return dd.groupBy("l_returnflag").agg(
         exact.alias("n_parts_exact"),
         (
             F.abs(approx.cast("double") - exact.cast("double"))
             / exact.cast("double")
             <= 0.03
         ).alias("approx_within_3pct"),
-        F.count("*").alias("n_rows"),
+        F.sum("c").alias("n_rows"),
     )
 
 

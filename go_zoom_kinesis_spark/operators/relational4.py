@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..functions import hashes as H
 from ..io import fan_out_narrow
 from ..io import load_table as _t
+from ..persist import pin
 
 TOPN_PER_NATION = 3
 TOKEN_BUDGET = 10_000
@@ -277,7 +278,17 @@ def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<long>"))
     )
-    sh = pre.select("lang", F.explode(shingle_hs).alias("shash")).distinct()
+    # r13 (guide §2.4): pin the distinct (lang, shash) relation. It is
+    # BOUNDED — |languages| × |shingle vocabulary|, independent of how
+    # many documents carry each shingle — and the r12 lazy plan
+    # re-executed its whole subtree (scan → per-token char-hash HOF →
+    # shingle compose → explode → 2-phase distinct) THREE times: once
+    # per self-join side and once for the totals
+    # (plans/r13/cross_lingual_contamination_before.txt). One pass +
+    # replay is strictly less work at every scale.
+    sh = pin(
+        pre.select("lang", F.explode(shingle_hs).alias("shash")).distinct()
+    )
     totals = sh.groupBy("lang").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("lang").alias("lang_a"), "shash")
     b = sh.select(F.col("lang").alias("lang_b"), F.col("shash").alias("shash_b"))

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..io import load_table
-from ..persist import pin
+from ..persist import pin, unpin
 
 POSTINGS_CAP = 10
 MIN_DF = 5
@@ -655,7 +655,16 @@ def _star_components(
     final label relation is pinned inside the scope so its lazy
     shuffles can't execute at the restored too-small default. Tiny
     graphs (every registered query) never resize and keep the exact
-    prior plan."""
+    prior plan.
+
+    Concurrency note (ADVICE r12): when a resize fires, the
+    set/restore of ``spark.sql.shuffle.partitions`` mutates the SHARED
+    session conf for the loop's duration — a concurrent query on the
+    same SparkSession observes the inflated value, and two overlapping
+    resized runs can restore mid-loop of each other (perf/OOM risk,
+    never wrong results). Callers running star decades concurrently
+    should isolate with ``spark.newSession()``; the driver/bench
+    harness runs one query at a time."""
     spark = edges.sparkSession
     # ---- shuffle auto-sizing (r12, VERDICT r11 #5) -------------------
     # one cheap count of the input (callers pass pinned or
@@ -731,6 +740,9 @@ def _star_components(
             return sm + (node_sum - su)
 
         prev_sum = _probe(cur)
+        prev_pin = cur  # ADVICE r12: release each round's pin once
+        # its successor is materialized (under strategy=cache every
+        # round otherwise leaks a CacheManager strong ref)
         for rnd in range(max_rounds):
             # large-star: symmetrize, take per-node minima, re-point every
             # strictly-larger neighbor at the minimum
@@ -762,6 +774,11 @@ def _star_components(
                 .distinct()
                 .transform(_pin)
             )
+            # the new pin is eager, so the previous round's blocks
+            # have no remaining consumer (cache keeps lineage, so even
+            # an evicted successor recomputes)
+            unpin(prev_pin)
+            prev_pin = cur
             cur_sum = _probe(cur)
             if cur_sum == prev_sum:
                 if _stats is not None:
@@ -817,6 +834,8 @@ def _min_label_propagate(
     the cap still trips)."""
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     cur_sum = prev_sum
+    prev_pin = None  # ADVICE r12: this loop's OWN pins only — the
+    # caller's input `labels` is not ours to unpersist
     for _ in range(max_iters):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "lbl"
@@ -827,6 +846,9 @@ def _min_label_propagate(
             .agg(F.min("lbl").alias("lbl"))
             .transform(pin)
         )
+        if prev_pin is not None:
+            unpin(prev_pin)
+        prev_pin = labels
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -653,36 +653,52 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").alias("i"), F.col("i").alias("j"), F.col("g")
     )
     full = tri.select("i", "j", "g").union(mirror)
-    v1 = full.groupBy("i").agg(F.sum("g").alias("w"))
-    m = v1.agg(
-        F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m")
-    )
-    u = v1.crossJoin(F.broadcast(m)).selectExpr(
-        "i",
-        f"CAST(((w + m) * {PCA_U_SCALE}) div m AS BIGINT)"
-        f" - {PCA_U_SCALE} AS u",
-    )
-    ui = u.select(F.col("i").alias("fi"), F.col("u").alias("u_i"))
-    uj = u.select(F.col("i").alias("fj"), F.col("u").alias("u_j"))
-    quad = (
-        full.join(F.broadcast(ui), F.col("i") == F.col("fi"))
-        .join(F.broadcast(uj), F.col("j") == F.col("fj"))
-        .agg(
-            F.sum(
-                (F.col("u_i") * F.col("g")).cast(dec) * F.col("u_j")
-            ).alias("num")
+    # r13 plan-shape rework (guide §2.4): the r12 form materialized six
+    # scalar/vector sub-relations (v1, m, u×2, quad, den, scal) and
+    # recombined them through five broadcast-join jobs — ~12 sequential
+    # AQE stage-jobs for arithmetic on a 4,096-row relation. Every one
+    # of those quantities is expressible ON the mirrored Gram relation
+    # itself with three window passes (row sums by i, by j, and the
+    # global max — the relation is d² = 4,096 rows at ANY corpus size,
+    # so an unpartitioned window is bounded by construction), followed
+    # by ONE aggregate: den/trace fold over the diagonal rows, num/frob
+    # over all rows. Plan: 3 tiny exchanges + 1 aggregate, zero
+    # broadcast builds (plan diff in plans/r13/). Every arithmetic
+    # expression is unchanged token-for-token, so the integer/decimal
+    # semantics — and the oracle hash — are identical.
+    from pyspark.sql import Window
+
+    w_i = Window.partitionBy("i")
+    w_j = Window.partitionBy("j")
+    w_all = Window.partitionBy()
+    ann = (
+        full.withColumn("w_i", F.sum("g").over(w_i))
+        .withColumn("w_j", F.sum("g").over(w_j))
+        .withColumn(
+            "m",
+            F.greatest(F.max(F.abs(F.col("w_i"))).over(w_all), F.lit(1)),
+        )
+        .selectExpr(
+            "i",
+            "j",
+            "g",
+            "m",
+            f"CAST(((w_i + m) * {PCA_U_SCALE}) div m AS BIGINT)"
+            f" - {PCA_U_SCALE} AS u_i",
+            f"CAST(((w_j + m) * {PCA_U_SCALE}) div m AS BIGINT)"
+            f" - {PCA_U_SCALE} AS u_j",
         )
     )
-    den = u.agg(F.sum(F.col("u") * F.col("u")).alias("den"))
-    scal = full.agg(
-        F.sum(F.when(F.col("i") == F.col("j"), F.col("g"))).alias("trace_g"),
+    diag = F.col("i") == F.col("j")
+    row = ann.agg(
+        F.sum(F.when(diag, F.col("g"))).alias("trace_g"),
         F.sum(F.col("g").cast(dec) * F.col("g")).alias("frob_sq"),
         F.sum(F.col("g").cast(dec)).alias("sum_all"),
-    )
-    row = (
-        scal.crossJoin(F.broadcast(quad))
-        .crossJoin(F.broadcast(den))
-        .crossJoin(F.broadcast(m))
+        F.max("m").alias("m"),
+        F.sum(F.when(diag, F.col("u_i") * F.col("u_i"))).alias("den"),
+        F.sum(
+            (F.col("u_i") * F.col("g")).cast(dec) * F.col("u_j")
+        ).alias("num"),
     )
     return row.selectExpr(
         "CAST(trace_g AS BIGINT) AS trace_g",

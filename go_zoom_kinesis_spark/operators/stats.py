@@ -1077,7 +1077,14 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_fp.alias("v_fp"),
         (bucket < CONF_CAL_CUT).alias("is_cal"),
     )
-    cal_mean = (
+    # r13 (guide §2.4): pin the per-type calibration means — bounded at
+    # |event types| rows. Lazy, this subtree was re-inlined under every
+    # reference to `scored`, and since `thr` is itself built FROM
+    # `scored`, the final plan executed the base scan+md5 projection
+    # FOUR times (scored×2 × cal_mean-inside-each). With the 5-row pin
+    # the plan runs the two scans the docstring designs: one for the
+    # calibration histogram, one for the test-coverage rollup.
+    cal_mean = pin(
         base.filter("is_cal")
         .groupBy("event_type")
         .agg(

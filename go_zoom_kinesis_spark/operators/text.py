@@ -159,11 +159,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 131 + h) % P,
     )
     with_fp = docs.select("doc_id", fp.alias("fingerprint"))
-    clusters = with_fp.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members")
-    )
-    return with_fp.join(clusters, "fingerprint").select(
-        "doc_id", "fingerprint", "canonical_id", "n_members"
+    # r13 (guide §2.4): one window over the fingerprint key instead of
+    # groupBy + join back. The join-back form evaluated the per-token
+    # char-hash fold (the expensive interpreted HOF above) TWICE — once
+    # per side of the self-join — and paid two exchanges + a join for
+    # what is a single keyed pass. The window shuffles the narrow
+    # (doc_id, fingerprint) projection once; rows/values identical.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return with_fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_members"),
     )
 
 

@@ -93,6 +93,31 @@ def pin(df: DataFrame, eager: bool = True, storage_level=None) -> DataFrame:
     )
 
 
+def unpin(df: DataFrame) -> None:
+    """Release a :func:`pin`'d relation once its consumers are
+    materialized (ADVICE r12: the iterative fixpoint loops re-pin
+    every round, and under ``strategy=cache`` each round's
+    ``persist()`` is a CacheManager strong ref that outlives the query
+    — one leaked block set per round). Strategy-aware:
+
+    - ``cache`` — ``unpersist(blocking=False)``; lineage is kept under
+      this strategy, so a consumer that later misses the dropped
+      blocks recomputes (the strategy's documented fault-tolerance
+      trade, now applied in reverse).
+    - ``localCheckpoint`` — no-op: blocks are already GC-bounded (the
+      ContextCleaner reaps them once the RDD is unreferenced), and
+      unpersisting the RDD under a dependent plan would discard the
+      ONLY copy of truncated-lineage data.
+    - ``checkpoint`` — no-op: reliable files are the durability story;
+      deployments that want them reaped set
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at
+      session build.
+    """
+    strategy = df.sparkSession.conf.get(STRATEGY_CONF, "localCheckpoint")
+    if strategy == "cache":
+        df.unpersist(blocking=False)
+
+
 def pin_lazy(df: DataFrame) -> DataFrame:
     """:func:`pin` with ``eager=False`` — chain-friendly for
     ``df.transform(pin_lazy)`` (``transform`` can't forward kwargs on

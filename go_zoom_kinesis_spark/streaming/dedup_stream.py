@@ -239,6 +239,16 @@ def streaming_lsh_screen(
     setting persists for every later streaming query on the session.
     Callers that need the default HDFS-backed provider elsewhere must
     restore the conf themselves after building this query."""
+    # ADVICE r12: bucket_ttl_ms=0 previously selected timeMode "None"
+    # (truthiness) while still passing ttlDurationMs=0 to getValueState,
+    # which Spark rejects at runtime with an obscure "TTL requires a
+    # time mode" error. Validate up front: a TTL, if given, must be a
+    # positive duration; None means no eviction.
+    if bucket_ttl_ms is not None and bucket_ttl_ms <= 0:
+        raise ValueError(
+            f"bucket_ttl_ms={bucket_ttl_ms!r}: pass a positive duration "
+            "in milliseconds, or None for no eviction"
+        )
     bands = minhash_band_stream(docs, text_col).select(
         "doc_id", "band_idx", "band_key"
     )
@@ -252,6 +262,7 @@ def streaming_lsh_screen(
         outputStructType=_lsh_screen_schema(),
         outputMode="Append",
         # state TTL requires a clock; without one the r11 contract
-        # (no eviction) keeps timeMode None
-        timeMode="ProcessingTime" if bucket_ttl_ms else "None",
+        # (no eviction) keeps timeMode None (ttl validated above, so
+        # truthiness == `is not None` here)
+        timeMode="ProcessingTime" if bucket_ttl_ms is not None else "None",
     )

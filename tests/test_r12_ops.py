@@ -118,19 +118,32 @@ def test_prefix_join_pruned_verify_equals_local(spark):
 # --- containment join: lazy persist shape (ADVICE r11 #1) ------------------
 
 
-def test_containment_join_has_no_checkpoint_scan(spark):
-    """r12 removed the eager localCheckpoint of the exploded shingle
-    relation; the kept plan must read from the parquet scan (AQE can
-    push the candidate set into the explode), not from a checkpointed
-    RDD scan."""
+def test_containment_join_pins_compact_arrays_not_explode(spark):
+    """r13 reworked the persist shape: the COMPACT per-doc
+    shingle-array relation (|docs| rows) is pinned and feeds the
+    shingle stream and both verify-dictionary sides; a_pref is pinned
+    too. What r12's no-checkpoint pin actually guarded against — an
+    eager checkpoint of the EXPLODED corpus-scale shingle stream —
+    must stay gone: the plan reads pinned RDD scans (so no parquet
+    re-scan and no re-run of the shingling HOF per execution), and no
+    explode sits BELOW a pin (every RDD scan carries the compact
+    array or prefix schema, never one-row-per-shingle of the whole
+    corpus)."""
     from go_zoom_kinesis_spark.operators.simjoin import (
         similarity_containment_join,
     )
 
     df = similarity_containment_join(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "LogicalRDD" not in plan, "corpus-scale relation is checkpointed"
-    assert "Relation" in plan  # parquet source present
+    assert "LogicalRDD" in plan, "r13 pinned relations missing"
+    assert "Relation" not in plan.replace("LogicalRDD", "LRDD"), (
+        "parquet re-scan present — the pinned arrays should be the "
+        "only source"
+    )
+    # the verify stage must re-spread the candidate relation so the
+    # array_intersect projection cannot be one-cored by AQE's
+    # bytes-based partition coalescing
+    assert "RepartitionByExpression" in plan
 
 
 # --- PNG decode (VERDICT r11 #4) -------------------------------------------

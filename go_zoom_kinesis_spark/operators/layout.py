@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..functions.fixedpoint import fsum, fsum_sql
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 # Runtime-filter confs forced at LOCAL test scale only: the lineitem
 # scan here is ~10 MB, far below the 10 GB applicationSideScanSize
@@ -241,22 +241,35 @@ def datafile_zonemap_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, one hash-aggregate keyed on file name — O(files)
     output; this is how you audit a million-file table without
     touching the table-format metadata service.
-    """
+
+    r13 (guide §1.2 per-task work): group by the RAW ``file_path`` and
+    extract the basename AFTER the rollup — the regexp then runs once
+    per file instead of once per row (600k regex matches at sf0.1, all
+    on the one core a single-file scan provides). Distinct paths map
+    1:1 to distinct names within a table directory, so the grouping is
+    unchanged."""
     li = _t(spark, sf_dir, "lineitem")
-    fname = F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1)
     return (
         li.select(
-            fname.alias("file_name"),
+            F.col("_metadata.file_path").alias("fp"),
             "l_orderkey",
             "l_shipdate",
         )
-        .groupBy("file_name")
+        .groupBy("fp")
         .agg(
             F.count("*").alias("n_rows"),
             F.min("l_orderkey").alias("min_orderkey"),
             F.max("l_orderkey").alias("max_orderkey"),
             F.min("l_shipdate").alias("min_shipdate"),
             F.max("l_shipdate").alias("max_shipdate"),
+        )
+        .select(
+            F.regexp_extract(F.col("fp"), r"([^/]+)$", 1).alias("file_name"),
+            "n_rows",
+            "min_orderkey",
+            "max_orderkey",
+            "min_shipdate",
+            "max_shipdate",
         )
     )
 

@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 PROFILE_COLS = (
     "l_orderkey",
@@ -52,8 +52,15 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent scans 1.1 s, this 1.8 s — and only this shape keeps
     both the single-scan property (what matters at 100 TB, where I/O
     dominates) and a bounded shuffle (value-distinct rows, not raw
-    rows)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    rows).
+
+    r13 (guide §2.5): the single-file scan = one partition, so the
+    5-way explode + string-cast of 3M values ran on one core; project
+    the five profiled columns and fan the raw rows out first (no-op at
+    production split counts)."""
+    li = fan_out_narrow(
+        load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    )
     pairs = li.select(
         F.explode(
             F.array(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.fixedpoint import fsum, isum
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 DEC = "decimal(25,6)"
 
@@ -549,12 +549,24 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles (Spark percentile() and
     DuckDB quantile_cont share the (n-1)·p rank convention — verified
     bit-equal at round-6). At 100 TB the same query swaps in
-    approx_percentile (t-digest) with a declared error bound."""
-    li = _t(spark, sf_dir, "lineitem")
+    approx_percentile (t-digest) with a declared error bound.
+
+    r13 (guide §2.3/§2.5): three scalar percentile() aggregates each
+    built their OWN value→count map over every row (3× the boxed
+    updates and 3× the merge bytes); the array form shares one map and
+    interpolates all three ranks from it — same algorithm, bit-equal.
+    And the single-file scan = one partition meant the whole partial-
+    aggregation map build ran on one core; projecting the two needed
+    columns and fanning the raw rows out spreads it (no-op at
+    production split counts)."""
+    li = fan_out_narrow(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p95"),
         F.count("*").alias("n_rows"),
     )
 

@@ -34,11 +34,11 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.fixedpoint import fsum, isum
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 DEC = "decimal(25,6)"
 
@@ -266,26 +266,42 @@ def q21_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-supplier and distinct-late-supplier counts) joined back
     to the late pairs; semantically identical, one fact scan instead
     of three correlated rescans. Late = shipped >45 days after order
-    date (commit/receipt dates are absent from the test schema)."""
-    li = _t(spark, sf_dir, "lineitem")
+    date (commit/receipt dates are absent from the test schema).
+
+    r13 (guide §2.4): the two-branch form scanned the fact twice and
+    paid a countDistinct Expand (2× the rows), a distinct, and a
+    sort-merge semi-join. Collapsed to ONE grouped pass: reduce lines
+    to (order, supplier, any_late) — countDistinct(supplier) is just
+    the group count and "distinct late supplier" is sum(any_late) —
+    then a window over the per-order groups replaces both the stats
+    aggregate and the semi-join back. Same pairs, same counts,
+    bit-identical output; one fact scan, three exchanges total."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    lines = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 45 DAY"
     )
-    stats = lines.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late_supp"),
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(is_late.cast("int")).alias("late")
     )
-    late_pairs = (
-        lines.filter(is_late).select("l_orderkey", "l_suppkey").distinct()
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late_supp"),
     )
-    culprits = late_pairs.join(
-        stats,
-        (F.col("l_orderkey") == F.col("g_orderkey"))
+    culprits = flagged.filter(
+        (F.col("late") == 1)
         & (F.col("n_supp") > 1)
-        & (F.col("n_late_supp") == 1),
-        "left_semi",
+        & (F.col("n_late_supp") == 1)
     )
     supp = _t(spark, sf_dir, "supplier")
     counted = (

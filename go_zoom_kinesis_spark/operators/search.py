@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashes as H
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 from ..persist import pin, unpin
 
 POSTINGS_CAP = 10
@@ -231,7 +231,12 @@ def _keyed_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the row — so every matched pair lives inside one block; the
     key columns let downstream consumers exploit that (see
     ``entity_resolution_pipeline``)."""
-    part = load_table(spark, sf_dir, "part")
+    # r13 (guide §2.5): the single-file part scan is ONE partition, so
+    # the probe side of the (broadcast) block self-join — pair
+    # generation plus every banded-levenshtein evaluation — serialized
+    # onto one core. Fan the 20k raw rows out first; no-op at
+    # production split counts.
+    part = fan_out_narrow(load_table(spark, sf_dir, "part"))
     noun = F.element_at(F.split(F.col("p_name"), " "), -1)
     keyed = part.select(
         F.col("p_partkey").alias("pk"),

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import A, B
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 from ..persist import pin
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -30,10 +30,22 @@ LSH_TOP_K = 3
 DIM = 64  # embedding dimensionality (TESTDATA embeddings.parquet)
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
     """Embeddings with elements pre-cast to double (deterministic
-    arithmetic; float ops would round differently per engine)."""
+    arithmetic; float ops would round differently per engine).
+
+    r13 (guide §2.5 input skew): the single-file scan arrives as ONE
+    partition, and every consumer of this relation runs interpreted
+    higher-order folds (dot products, hyperplane projections) per
+    vector — serialized onto one core of 32. Fan the raw rows out
+    first; at production scale the scan is thousands of splits and
+    this is a metadata-checked no-op. ``fan=False`` opts out for the
+    one consumer whose first move is a cogroup shuffle (the block grid
+    in ``dedup_embedding_nearest``) — there the extra exchange was
+    measured slower, not faster."""
     df = load_table(spark, sf_dir, "embeddings")
+    if fan:
+        df = fan_out_narrow(df)
     return df.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
@@ -181,7 +193,7 @@ def dedup_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow batch and emits only per-vector local winners, and a
     final window over O(n·√P) candidate rows picks the global nearest
     — the standard distributed block-nested-loop ANN-exact pattern."""
-    emb = _emb(spark, sf_dir).withColumn(
+    emb = _emb(spark, sf_dir, fan=False).withColumn(
         "blk", (F.col("vec_id") % N_BLOCKS).cast("int")
     )
     # left role: vector in block i joins block pairs (i, j≥i);

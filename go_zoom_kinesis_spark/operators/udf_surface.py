@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType, MapType, StringType
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,6 +70,10 @@ def udaf_weighted_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — so the split is invisible to the oracle hash."""
     li = _t(spark, sf_dir, "lineitem")
     salt = F.pmod(F.col("l_orderkey"), F.lit(N_SALTS)).alias("salt")
+    # r13: fanning the scan out before this groupBy was MEASURED WORSE
+    # (0.68 -> 1.41 s): a pandas UDAF gets no partial aggregation, so
+    # the repartition is a second full shuffle of the same rows and
+    # the original single-core shuffle write is cheaper than paying it.
     partial = li.select(
         "l_returnflag", salt, "l_quantity", "l_linenumber"
     ).groupBy("l_returnflag", "salt").agg(
@@ -104,9 +108,18 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text entry point: revenue per customer nation, written
     as a SQL string over temp views. Identical logical plan to the
     DataFrame formulation (one shuffle agg over broadcast-joined
-    dims); included to pin the spark.sql surface of the engine."""
-    for name in ("lineitem", "orders", "customer", "nation"):
+    dims); included to pin the spark.sql surface of the engine.
+
+    r13 (guide §2.5): the fact view is fanned out — the single-file
+    scan is one partition, which one-cored the broadcast-join probes
+    and the per-row fixed-point revenue arithmetic (floor/round ×600k).
+    The summed terms are integers, so the regrouping is hash-invariant;
+    no-op at production split counts."""
+    for name in ("orders", "customer", "nation"):
         _t(spark, sf_dir, name).createOrReplaceTempView(f"gzk_{name}")
+    fan_out_narrow(_t(spark, sf_dir, "lineitem")).createOrReplaceTempView(
+        "gzk_lineitem"
+    )
     return spark.sql(
         """
         SELECT n_name AS nation_name,

@@ -176,7 +176,10 @@ def test_profile_columns_bounded_exchanges(spark, sf_dir):
     exchanges (per-value counts, per-column rollup) — never the
     10-exchange union-of-scans shape or the Expand blow-up."""
     plan = _plan(spark, sf_dir, "profile_columns")
-    assert plan.count("Exchange") <= 2
+    # two aggregation exchanges + (r13) the round-robin scan fan-out;
+    # keyed exchanges stay bounded at two
+    assert plan.count("Exchange") <= 3
+    assert plan.count("hashpartitioning") <= 2
     assert "Expand" not in plan
     assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1
 
@@ -530,7 +533,12 @@ def test_coreset_rounds_are_scan_only(spark, sf_dir):
     plan = round_df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan
+    # r13: _emb fans the single-file scan out (one round-robin exchange
+    # of raw rows; the shipped operator caches the fanned base so rounds
+    # reuse it). What stays forbidden per round is any KEYED shuffle —
+    # a join/aggregate exchange would mean the round isn't scan-only.
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 # --- round 9 cohort -------------------------------------------------------

@@ -43,7 +43,10 @@ INT8_MAX = 127
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5): fanned out at the shared loader (idempotent —
+    # call-site fan_out_narrow wrappers short-circuit on the marker);
+    # no-op at production split counts
+    return fan_out_narrow(load_table(spark, sf_dir, "documents"))
 
 
 # --- curriculum binning -------------------------------------------------
@@ -181,19 +184,27 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "pair"),
     ).select("doc_id", "pos", F.col("pair.w1").alias("w1"), F.col("pair.bg").alias("bg"))
 
+    # r13 (guide §2.4/§5): the lazy form ran FOUR corpus passes per
+    # execution — bigram instances (probe), bigram counts, unigram
+    # counts, and a fourth just for |V| — each with its own tokenize +
+    # explode + exchange. The two count tables are BOUNDED (vocabulary
+    # and bigram types), so pin them once; |V| is then a row count of
+    # the pinned vocab (one driver long), which also deletes the
+    # BroadcastNestedLoopJoin Cross that shipped it. Steady state is
+    # ONE corpus pass joined against the pinned counts. The arithmetic
+    # (cb+1)/(cu+V) is unchanged long math — hash-identical.
     uni = docs.select(F.explode(H.tokens_col(F.col("text"))).alias("tok"))
-    cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
-    v = uni.select(F.countDistinct("tok").alias("v"))
-    cb = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = pin(uni.groupBy("tok").agg(F.count("*").alias("cu")))
+    v_count = cu.count()  # |V| — bounded scalar
+    cb = pin(bg.groupBy("bg").agg(F.count("*").alias("cb")))
 
     scored = (
         bg.join(cb, "bg")
         .join(cu.withColumnRenamed("tok", "w1"), "w1")
-        .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
             "pos",
-            ((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("p"),
+            ((F.col("cb") + 1) / (F.col("cu") + F.lit(v_count))).alias("p"),
             (F.col("cb") == 1).cast("bigint").alias("singleton"),
         )
     )
@@ -611,7 +622,9 @@ def filter_survival_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .text import STOPWORDS
 
-    docs = _docs(spark, sf_dir)
+    # r13 (guide §2.5): fan out — the in-row tokenize/array_distinct/
+    # array_intersect HOFs otherwise run on the single scan partition
+    docs = fan_out_narrow(_docs(spark, sf_dir))
     toks = H.tokens_col(F.col("text"))
     base = docs.select(
         F.col("doc_id"),

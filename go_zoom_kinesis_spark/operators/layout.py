@@ -211,7 +211,9 @@ def integrity_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``functions/hashes.py``) so the DuckDB oracle states the
     identical computation end-to-end.
     """
-    docs = _t(spark, sf_dir, "documents")
+    # r13 (guide §2.5): fanned out — the per-char portable hash fold
+    # otherwise runs on the single scan partition
+    docs = fan_out_narrow(_t(spark, sf_dir, "documents"))
     h = H.char_hash_col(F.col("text"))
     return (
         docs.select("source", "n_chars", h.alias("h"))

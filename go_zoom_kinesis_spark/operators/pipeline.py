@@ -153,6 +153,10 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import hashes as H
     from .text import text_quality
 
+    # r13: fan-out tried here and REVERTED (0.69 -> 0.82 isolated) —
+    # the md5-prefix projection is light, and the join against
+    # text_quality (itself fanned via text._docs) reshuffles by doc_id
+    # anyway, so the extra round-robin exchange only adds cost
     docs = load_table(spark, sf_dir, "documents")
     toks = H.tokens_col(F.col("text"))
     base = docs.select(

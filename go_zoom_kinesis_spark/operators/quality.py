@@ -275,12 +275,17 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back — the same shape as ``robust_outliers_mad``. At
     100 TB the exact percentile swaps for ``approx_percentile``.
     """
+    # r13 (guide §2.3/§2.5, the percentile_stats treatment): one
+    # percentile(cents, array(...)) value→count map instead of two,
+    # fanned out so the partial map build isn't one-cored by the
+    # single-file scan.
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    vals = ev.select("event_type", cents.alias("cents"))
+    vals = fan_out_narrow(ev.select("event_type", cents.alias("cents")))
+    pct = F.expr("percentile(cents, array(0.01, 0.99))")
     bounds = vals.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.01)").alias("p01"),
-        F.expr("percentile(cents, 0.99)").alias("p99"),
+        pct.getItem(0).alias("p01"),
+        pct.getItem(1).alias("p99"),
     )
     clamped = vals.join(F.broadcast(bounds), "event_type").select(
         "event_type",

@@ -45,7 +45,10 @@ HEAVY_HITTER_K = 25
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5): fanned out — the interpreted tokenizer + explode
+    # otherwise run on the single scan partition (one core); no-op at
+    # production split counts
+    docs = fan_out_narrow(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(H.tokens_col(F.col("text"))).alias("token")
     )
@@ -319,11 +322,23 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's portable char-fold + affine families, so the DuckDB oracle
     rebuilds the identical sketch and the audit is integer-exact.
     """
-    toks = _doc_tokens(spark, sf_dir).select(
-        "token", H.char_hash_col(F.col("token")).alias("th")
+    # r13 (guide §2.3 aggregate-before-shuffle, §1.2): the lazy form
+    # ran TWO corpus passes per execution (cells for the sketch, the
+    # exact counts) and char-hashed every token INSTANCE. Collapse to
+    # per-distinct-token counts once — bounded by the vocabulary, so
+    # pinned (the ngram_lm_score/cal_mean discipline) — and hash each
+    # distinct token exactly once. The sketch counter for a cell is
+    # then the SUM of exact counts of the tokens hashing into it —
+    # integer-identical to counting instances — and the exact top-K is
+    # a TakeOrdered over the same pinned relation.
+    tok_counts = pin(
+        _doc_tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .select("token", "exact_count", H.char_hash_col(F.col("token")).alias("th"))
     )
-    cells = toks.select(
-        "th",
+    cells = tok_counts.select(
+        "exact_count",
         F.explode(
             F.array(
                 *[
@@ -335,12 +350,17 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("cell"),
-    ).select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
-    sketch = cells.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    ).select(
+        F.col("cell.d").alias("d"),
+        F.col("cell.bucket").alias("bucket"),
+        "exact_count",
+    )
+    sketch = cells.groupBy("d", "bucket").agg(
+        F.sum("exact_count").alias("c")
+    )
 
     exact = (
-        toks.groupBy("token", "th")
-        .agg(F.count("*").alias("exact_count"))
+        tok_counts.select("token", "th", "exact_count")
         .orderBy(F.col("exact_count").desc(), F.col("token").asc())
         .limit(CM_TOP_K)
     )

@@ -554,7 +554,12 @@ def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — driver-safe at any scale."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    emb = _emb(spark, sf_dir)
+    # fan=False: the heavy work is numpy-vectorized inside mapInPandas
+    # (not interpreted per-row), so fanning 2000 rows to 32 partitions
+    # just multiplies the Arrow round-trips and the 2080-row partials
+    # by 32 — measured ~2x slower isolated (guide §4.2 batch-size
+    # caveat); at production scale the scan arrives multi-split anyway
+    emb = _emb(spark, sf_dir, fan=False)
 
     def gram(batches):
         import numpy as np
@@ -578,6 +583,10 @@ def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     partials = emb.select("emb").mapInPandas(gram, schema=schema)
+    # one merge pass regardless of partition count; at local scale the
+    # _emb fan-out was measured SLOWER here (32 tiny Arrow batches ->
+    # 32x 2080-row partials where numpy does the per-row work
+    # vectorized anyway) — hence fan=False above
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
@@ -808,8 +817,13 @@ def coreset_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     out ×8, per-vector min fold, then a GLOBAL top-5 via orderBy+limit
     — Spark plans that as TakeOrderedAndProject (per-partition top-5 +
     driver merge of 5-row heaps), NOT a global sort; ordering is on
-    full-precision distance with vec_id tie-break, output rounded."""
-    emb = _with_norm(_emb(spark, sf_dir))
+    full-precision distance with vec_id tie-break, output rounded.
+
+    fan=False: both branches (centers + candidates) re-read the scan,
+    so the fan-out doubles into TWO round-robin exchanges feeding a
+    broadcast build and a per-partition heap — measured ~3x slower
+    than the straight single-partition scan at local scale."""
+    emb = _with_norm(_emb(spark, sf_dir, fan=False))
     cent = emb.filter(F.col("vec_id") < KC_CENTERS).select(
         F.col("vec_id").alias("c_id"),
         F.col("emb").alias("c_emb"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 from ..persist import pin
 
 # exact integer predicates shared by the kappa query (documented in
@@ -1067,7 +1067,15 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scores first or use the sketch tier; with ≤6dp values the
     domain is bounded by construction.)
     """.format(CONF_ALPHA_PCT=CONF_ALPHA_PCT)
-    ev = load_table(spark, sf_dir, "events")
+    # r13 (guide §2.5): fan the single-partition events scan out — the
+    # md5 split hash + fixed-point projection otherwise run on one core
+    # in each of the two steady-state scans; no-op at production split
+    # counts.
+    ev = fan_out_narrow(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+    )
     v_fp = F.round(F.col("value") * 1e6).cast("long")
     bucket = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 from ..persist import pin
 
 N_SHARDS = 8
@@ -123,8 +123,11 @@ def record_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform, and drop Ok(None) records (src/processor.rs:1502-1505).
 
     Spark-first: from_json + arithmetic stays in codegen; no Python.
+
+    r13 (guide §2.5): fanned out — the per-row from_json parse of the
+    props payload otherwise runs on the single scan partition.
     """
-    ev = with_envelope(_events(spark, sf_dir))
+    ev = with_envelope(fan_out_narrow(_events(spark, sf_dir)))
     decoded = ev.withColumn("k", F.from_json(F.col("props"), PROPS_SCHEMA)["k"])
     return (
         decoded.filter(F.col("k") % 5 != 0)  # Ok(None) ⇒ filtered out

@@ -29,7 +29,11 @@ LANG_ORDER = ["en", "fr", "es", "de", "zh"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5): fanned out at the shared loader — every text
+    # operator's first move is an interpreted per-token/per-char HOF
+    # over the single-file scan (one partition = one core); no-op at
+    # production split counts (same move as chunking._docs)
+    return fan_out_narrow(load_table(spark, sf_dir, "documents"))
 
 
 def _toks(df: DataFrame) -> DataFrame:
@@ -266,9 +270,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double divisions — oracle hash unchanged. 10.15 ->
     ~1 s isolated at sf0.1, and the shape is shuffle-linear at any
     scale."""
-    docs = fan_out_narrow(
-        _toks(_docs(spark, sf_dir)).filter(F.size("toks") > 0)
-    )
+    docs = _toks(_docs(spark, sf_dir)).filter(F.size("toks") > 0)
     toks = F.col("toks")
     n = F.size(toks)
     bigrams = F.when(
@@ -492,7 +494,10 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup — two uniform-key shuffles, no joins, no windows.
     The feature matrix itself never materializes wider than its sparse
     (doc, dim, weight) relation, which is how a 100 TB corpus feeds a
-    distributed trainer."""
+    distributed trainer.
+
+    r13 (guide §2.5): fanned out (via ``_docs``) — tokenize +
+    per-token char-hash otherwise run on the single scan partition."""
     docs = _docs(spark, sf_dir)
     th = docs.select(
         "doc_id",

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fan_out_narrow, load_table
 
 K_ANON = 10  # minimum safe equivalence-class size
 
@@ -323,7 +323,14 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle algorithm (node-order wedge counting) appears here as
     a < b < c join conditions, which also dedups rotations for free."""
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # r13 (guide §2.5): fan the fact scan out (four needed columns) —
+    # the three broadcast probes + string least/greatest + fixed-point
+    # revenue math per row otherwise run on one core
+    li = fan_out_narrow(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+    )
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashes as H
 from ..io import fan_out_narrow, load_table
+from ..persist import pin
 
 CHUNK_SIZE = 120
 CHUNK_STRIDE = 80
@@ -536,7 +537,12 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train_merges(spark, sf_dir).orderBy("step").collect()
     ]
     docs = _docs(spark, sf_dir)
-    lw = (
+    # r13 (guide §2.4/§5, the pin-bounded-intermediates discipline):
+    # lw feeds BOTH the word-type dictionary and the final join, so
+    # the lazy form ran the tokenize+explode+groupBy corpus pass twice
+    # per execution. The (lang, word) table is vocabulary-bounded —
+    # pin it once; steady state is one corpus pass.
+    lw = pin(
         docs.select(
             "lang", F.explode(H.tokens_col(F.col("text"))).alias("w")
         )

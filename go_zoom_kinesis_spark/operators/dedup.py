@@ -211,10 +211,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct token hashes as one array per doc; the ±1 bit votes are
     # integer folds over that array — order-insensitive, zero shuffles
     # before the final signature groupBy (vs explode+distinct+groupBy)
+    # r13 (guide §1.2): dedup tokens BEFORE the per-char hash fold —
+    # repeated in-doc tokens paid the interpreted O(len) fold per
+    # INSTANCE (2.3x fewer folds on this corpus; measured ~5% here
+    # because the tokenize split dominates, grows with repetition).
+    # distinct(hash(distinct(toks))) == distinct(hash(toks))
+    # (dedup of hashes of a dedup'd set loses nothing, and the outer
+    # distinct still merges hash collisions exactly as before).
     th = fan_out_narrow(docs).select(
         "doc_id",
         F.array_distinct(
-            F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
+            F.transform(
+                F.array_distinct(H.tokens_col(F.col("text"))),
+                H.char_hash_col,
+            )
         ).alias("ths"),
     ).filter(F.size("ths") > 0)
     # r13 (guide §4.1/§2.3): the r12 form ran 32 interpreted HOF passes
@@ -1060,8 +1070,13 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out_narrow(docs)
         .select(
             "doc_id",
+            # distinct tokens first — see dedup_simhash (identical
+            # result, the fold runs once per distinct token)
             F.array_distinct(
-                F.transform(H.tokens_col(F.col("text")), H.char_hash_col)
+                F.transform(
+                    F.array_distinct(H.tokens_col(F.col("text"))),
+                    H.char_hash_col,
+                )
             ).alias("ths"),
         )
         .filter(F.size("ths") > 0)

@@ -317,9 +317,17 @@ def decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-less train vectors so ``n_train`` still counts the full
     corpus."""
     from .similarity import _bucket_col, _dot, _emb, _with_norm
+    from ..persist import pin
 
-    emb = _with_norm(_emb(spark, sf_dir)).withColumn(
-        "bucket", _bucket_col(F.col("emb"))
+    # r13 (guide §2.4/§5): eval and train branches both consume this
+    # relation, so the lazy form ran the interpreted norm fold + the
+    # 8 hyperplane-projection folds over the corpus TWICE per
+    # execution. Pin the hashed relation once (the same compute-once
+    # posture a production index takes for its signature table).
+    emb = pin(
+        _with_norm(_emb(spark, sf_dir)).withColumn(
+            "bucket", _bucket_col(F.col("emb"))
+        )
     )
     ev = emb.filter(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
         "bucket",

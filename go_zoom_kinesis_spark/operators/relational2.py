@@ -579,6 +579,9 @@ def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     it returns an actual data element — so it hash-matches DuckDB's
     quantile_disc at test scales while remaining the genuinely
     approximate operator you'd run (with lower accuracy) at 100 TB."""
+    # r13: fan-out tried and REVERTED (0.62 -> 1.03 isolated) — at
+    # accuracy 1e6 the 32 per-partition Greenwald-Khanna sketches cost
+    # more to merge than the one-core build saves at this row count
     li = _t(spark, sf_dir, "lineitem")
     ap = "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000000)"
     return li.groupBy("l_returnflag").agg(

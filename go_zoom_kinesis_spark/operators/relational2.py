@@ -19,11 +19,13 @@ user_id + two ordered window passes.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.fixedpoint import fsum, isum
-from ..io import fan_out_narrow, load_table
+from ..io import load_table
 
 DEC = "decimal(25,6)"
 
@@ -545,30 +547,83 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles (Spark percentile() and
-    DuckDB quantile_cont share the (n-1)·p rank convention — verified
-    bit-equal at round-6). At 100 TB the same query swaps in
-    approx_percentile (t-digest) with a declared error bound.
+_PCTL_PS = (("p25", 0.25), ("p50", 0.5), ("p95", 0.95))
 
-    r13 (guide §2.3/§2.5): three scalar percentile() aggregates each
-    built their OWN value→count map over every row (3× the boxed
-    updates and 3× the merge bytes); the array form shares one map and
-    interpolates all three ranks from it — same algorithm, bit-equal.
-    And the single-file scan = one partition meant the whole partial-
-    aggregation map build ran on one core; projecting the two needed
-    columns and fanning the raw rows out spreads it (no-op at
-    production split counts)."""
-    li = fan_out_narrow(
-        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles. Spark percentile() and
+    DuckDB quantile_cont share the (n-1)·p rank convention (verified
+    bit-equal at round-6); at 100 TB the same query swaps in
+    approx_percentile (mergeable sketch) with a declared error bound.
+
+    r13 step 1 (guide §2.3): three scalar percentile() aggregates each
+    built their OWN value→count map over every row — the array form
+    shares one map (2.64 → 1.13 s).
+
+    r13 step 2 (guide §4.1/§2.4): percentile() is an
+    ObjectHashAggregate — per-row BOXED OpenHashMap updates in 32
+    partial maps (near-unique prices: 583k distinct of 600k rows, so
+    the maps compress nothing), serialized map merges, then a
+    single-threaded sort per group. Replaced with the codegen
+    sort-based plan: one exchange by group key, one Window node
+    computing both counts, row_number over the price order, keep ONLY
+    the 6 bracketing ranks, and interpolate with EXACTLY Spark
+    Percentile's arithmetic —
+        position = (N-1)·p        (Long·Double)
+        lower = floor(position); higher = ceil(position)
+        if higher == lower or v_hi == v_lo: v_lo
+        else (higher-position)·v_lo + (position-lower)·v_hi
+    — the identical IEEE-double operation sequence, so results are
+    bit-equal (referee'd against percentile() in
+    tests/test_r13_ops.py and A/B'd bit-equal at all three SFs).
+    1.13 → 0.84 s isolated; every node whole-stage-codegen, no boxed
+    aggregation buffers at any scale. The group-key exchange the
+    window needs replaces the fan-out (the sort parallelism is
+    |groups|, same as percentile()'s final merge)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     )
-    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))")
-    return li.groupBy("l_returnflag").agg(
-        F.round(pct.getItem(0), 6).alias("p25"),
-        F.round(pct.getItem(1), 6).alias("p50"),
-        F.round(pct.getItem(2), 6).alias("p95"),
-        F.count("*").alias("n_rows"),
+    wp = Window.partitionBy("l_returnflag")
+    wo = wp.orderBy("l_extendedprice")
+    # both counts in ONE pre-filter Window node: count(lit(1)) = all
+    # rows, count(col) = non-null rows (what percentile() ranks over)
+    vals = (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.count(F.lit(1)).over(wp).alias("n_rows"),
+            F.count("l_extendedprice").over(wp).alias("nv"),
+        )
+        .where(F.col("l_extendedprice").isNotNull())
+        .select("*", F.row_number().over(wo).alias("rn"))
     )
+    idx = F.col("rn") - 1
+    conds = []
+    aggs = [F.max("n_rows").alias("n_rows"), F.max("nv").alias("nv")]
+    for name, p in _PCTL_PS:
+        pos = (F.col("nv") - 1) * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        conds += [idx == lo, idx == hi]
+        aggs += [
+            F.max(F.when(idx == lo, F.col("l_extendedprice"))).alias(
+                f"vlo_{name}"
+            ),
+            F.max(F.when(idx == hi, F.col("l_extendedprice"))).alias(
+                f"vhi_{name}"
+            ),
+        ]
+    picked = vals.where(reduce(lambda a, b: a | b, conds))
+    agg = picked.groupBy("l_returnflag").agg(*aggs)
+    sel = []
+    for name, p in _PCTL_PS:
+        pos = (F.col("nv") - 1) * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vlo, vhi = F.col(f"vlo_{name}"), F.col(f"vhi_{name}")
+        interp = F.when((hi == lo) | (vhi == vlo), vlo).otherwise(
+            (hi - pos) * vlo + (pos - lo) * vhi
+        )
+        sel.append(F.round(interp, 6).alias(name))
+    return agg.select("l_returnflag", *sel, F.col("n_rows").alias("n_rows"))
 
 
 def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

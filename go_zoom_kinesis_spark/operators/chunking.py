@@ -45,8 +45,13 @@ TOP_PAIRS = 30
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan out the single-file scan before the CPU-heavy explodes
-    return fan_out_narrow(load_table(spark, sf_dir, "documents"))
+    # r13 quiet-host re-A/B: the loader fan-out REVERTED — every
+    # measured consumer pays more for the exchange than the spread
+    # explode saves (chunk_dedup_stats 0.33->0.73, reservoir_topk
+    # 0.10->0.25, negative_sampling 0.26->0.38, bpe_pair_stats
+    # 0.45->0.54 fanned); the BPE trainers pin their word table at
+    # build time either way
+    return load_table(spark, sf_dir, "documents")
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,10 +43,12 @@ INT8_MAX = 127
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13 (guide §2.5): fanned out at the shared loader (idempotent —
-    # call-site fan_out_narrow wrappers short-circuit on the marker);
-    # no-op at production split counts
-    return fan_out_narrow(load_table(spark, sf_dir, "documents"))
+    # r13 quiet-host re-A/B: loader-level fan-out REVERTED — the
+    # _docs-only consumers all lose (curriculum_quantile_bins
+    # 0.10->0.35, split_leakage_audit 0.30->0.57, quality_model_filter
+    # 0.39->0.53 fanned); winners keep their own call-site wrappers
+    # (ngram_lm_score, dsir_importance_weights, filter_overlap_matrix)
+    return load_table(spark, sf_dir, "documents")
 
 
 # --- curriculum binning -------------------------------------------------
@@ -87,7 +89,8 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     global counts → TakeOrdered top-K (never a global sort) → broadcast
     the K-row vocab back over the token stream → per-source aggregate.
     """
-    docs = fan_out_narrow(_docs(spark, sf_dir))
+    # r13 quiet-host re-A/B: fan-out REVERTED (0.49 vs 0.60 fanned)
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", "source", F.explode(H.tokens_col(F.col("text"))).alias("tok")
     )
@@ -622,9 +625,10 @@ def filter_survival_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .text import STOPWORDS
 
-    # r13 (guide §2.5): fan out — the in-row tokenize/array_distinct/
-    # array_intersect HOFs otherwise run on the single scan partition
-    docs = fan_out_narrow(_docs(spark, sf_dir))
+    # r13 quiet-host re-A/B: the batch-3 fan-out REVERTED (1.05
+    # unfanned vs 1.39 fanned) — the HOFs here are cheaper than the
+    # raw-text exchange on this host
+    docs = _docs(spark, sf_dir)
     toks = H.tokens_col(F.col("text"))
     base = docs.select(
         F.col("doc_id"),

@@ -218,7 +218,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct(hash(distinct(toks))) == distinct(hash(toks))
     # (dedup of hashes of a dedup'd set loses nothing, and the outer
     # distinct still merges hash collisions exactly as before).
-    th = fan_out_narrow(docs).select(
+    # r13 quiet-host re-A/B: fan-out REVERTED (0.59 vs 0.77 fanned).
+    th = docs.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -1066,8 +1067,10 @@ def simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative. The signature pass is one scan ({SIMW_BITS}
     integer folds per row, no shuffle)."""
     docs = _docs(spark, sf_dir)
+    # r13 quiet-host re-A/B: fan-out reverted with dedup_simhash's
+    # (same signature pass; A/B'd below)
     th = (
-        fan_out_narrow(docs)
+        docs
         .select(
             "doc_id",
             # distinct tokens first — see dedup_simhash (identical

@@ -275,13 +275,14 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back — the same shape as ``robust_outliers_mad``. At
     100 TB the exact percentile swaps for ``approx_percentile``.
     """
-    # r13 (guide §2.3/§2.5, the percentile_stats treatment): one
-    # percentile(cents, array(...)) value→count map instead of two,
-    # fanned out so the partial map build isn't one-cored by the
-    # single-file scan.
+    # r13 (guide §2.3): one percentile(cents, array(...)) value→count
+    # map instead of two. Quiet-host re-A/B: the batch-3 fan-out
+    # REVERTED (0.39 unfanned vs 0.47 fanned) — cents are
+    # domain-bounded, so the partial map is small and the exchange
+    # costs more than the one-core build.
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    vals = fan_out_narrow(ev.select("event_type", cents.alias("cents")))
+    vals = ev.select("event_type", cents.alias("cents"))
     pct = F.expr("percentile(cents, array(0.01, 0.99))")
     bounds = vals.groupBy("event_type").agg(
         pct.getItem(0).alias("p01"),

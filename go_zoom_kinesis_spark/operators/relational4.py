@@ -187,7 +187,8 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket token totals (one tiny relation, buckets ordered
     longest-first) and broadcasts the offsets; the final admission
     fold is a single scalar aggregate."""
-    docs = fan_out_narrow(_t(spark, sf_dir, "documents"))
+    # r13 quiet-host re-A/B: fan-out REVERTED (0.48 vs 0.75 fanned)
+    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "n_chars",
@@ -480,7 +481,8 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     {MIN_COLLOC_COUNT}`` *before* the vocab joins; corpus totals
     broadcast as 1-row scalars; the final top-k is TakeOrdered (per-
     partition heaps), never a global sort."""
-    toks = fan_out_narrow(_t(spark, sf_dir, "documents")).select(
+    # r13 quiet-host re-A/B: fan-out REVERTED (0.77 vs 1.12 fanned)
+    toks = _t(spark, sf_dir, "documents").select(
         H.tokens_col(F.col("text")).alias("toks")
     )
     bg = toks.select(
@@ -608,7 +610,8 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan of per-doc lengths; all {HEAPS_STEPS} checkpoints come
     out of the SAME single-pass conditional aggregates (no per-
     checkpoint rescan); the two 1-row results broadcast-join."""
-    toks = fan_out_narrow(_t(spark, sf_dir, "documents")).select(
+    # r13 quiet-host re-A/B: fan-out REVERTED (0.22 vs 0.43 fanned)
+    toks = _t(spark, sf_dir, "documents").select(
         "doc_id", H.tokens_col(F.col("text")).alias("toks")
     )
     mx = toks.agg(F.max("doc_id").alias("mx"))

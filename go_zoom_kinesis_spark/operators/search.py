@@ -45,10 +45,12 @@ HEAVY_HITTER_K = 25
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13 (guide §2.5): fanned out — the interpreted tokenizer + explode
-    # otherwise run on the single scan partition (one core); no-op at
-    # production split counts
-    docs = fan_out_narrow(load_table(spark, sf_dir, "documents"))
+    # r13 quiet-host re-A/B: the batch-3 fan-out REVERTED — every
+    # measured consumer pays more for the round-robin exchange than the
+    # spread tokenize saves (bm25 0.35->0.64, heavy_hitters 0.33->0.53,
+    # hybrid_rrf 0.58->0.83, inverted_postings 0.74->0.82 fanned);
+    # countmin's token table is pinned at build time either way
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(H.tokens_col(F.col("text"))).alias("token")
     )

@@ -751,8 +751,11 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full fold and ``slice(emb, 1, 16)`` fold) per pair; two windowed
     top-Ks over the same relation; the overlap join is top-K×top-K per
     query — bounded. Same scale posture as ``similarity_topk``; the
-    truncated path exists to CUT the fold cost at serving time."""
-    emb = _with_norm(_emb(spark, sf_dir))
+    truncated path exists to CUT the fold cost at serving time.
+
+    r13 quiet-host re-A/B: ``fan=False`` (0.33 vs 0.43 fanned) — the
+    broadcast-probe candidate scan is too light for the exchange."""
+    emb = _with_norm(_emb(spark, sf_dir, fan=False))
     t = F.slice(F.col("emb"), 1, MRL_DIM)
     both = emb.withColumn("temb", t).withColumn(
         "tnorm", F.sqrt(_dot(F.col("temb"), F.col("temb")))
@@ -956,7 +959,10 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production index persists ONCE and re-reads per query batch — the
     per-query cost is the code-table scan alone ({PQ_M} bytes/vector),
     which is the entire point of PQ."""
-    base = _emb(spark, sf_dir).select(
+    # r13 quiet-host re-A/B: fan=False (0.85 vs 1.04 fanned) — both
+    # corpus-sized consumers aggregate immediately, so the exchange
+    # outweighs the spread folds
+    base = _emb(spark, sf_dir, fan=False).select(
         "vec_id",
         "emb",
         F.floor(F.size("emb") / PQ_M).cast("int").alias("subd"),

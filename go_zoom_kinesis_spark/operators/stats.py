@@ -1067,14 +1067,11 @@ def conformal_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scores first or use the sketch tier; with ≤6dp values the
     domain is bounded by construction.)
     """.format(CONF_ALPHA_PCT=CONF_ALPHA_PCT)
-    # r13 (guide §2.5): fan the single-partition events scan out — the
-    # md5 split hash + fixed-point projection otherwise run on one core
-    # in each of the two steady-state scans; no-op at production split
-    # counts.
-    ev = fan_out_narrow(
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        )
+    # r13 quiet-host re-A/B: the batch-3 fan-out REVERTED (0.80
+    # unfanned vs 1.08 fanned) — the md5 split hash is too light per
+    # row to pay for the exchange on this host.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
     )
     v_fp = F.round(F.col("value") * 1e6).cast("long")
     bucket = F.conv(

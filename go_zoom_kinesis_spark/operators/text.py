@@ -28,12 +28,14 @@ STOPWORDS = {
 LANG_ORDER = ["en", "fr", "es", "de", "zh"]
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13 (guide §2.5): fanned out at the shared loader — every text
-    # operator's first move is an interpreted per-token/per-char HOF
+def _docs(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
+    # r13 (guide §2.5): fanned out at the shared loader — most text
+    # operators' first move is an interpreted per-token/per-char HOF
     # over the single-file scan (one partition = one core); no-op at
-    # production split counts (same move as chunking._docs)
-    return fan_out_narrow(load_table(spark, sf_dir, "documents"))
+    # production split counts. ``fan=False`` opts out for consumers
+    # where the quiet-host A/B showed the exchange losing.
+    df = load_table(spark, sf_dir, "documents")
+    return fan_out_narrow(df) if fan else df
 
 
 def _toks(df: DataFrame) -> DataFrame:
@@ -207,7 +209,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5-6) the single-row N is a SinglePartition fold + broadcast —
     bytes, not data.
     """
-    docs = _docs(spark, sf_dir)
+    # r13 quiet-host re-A/B: fan=False (0.78 vs 1.28 fanned) — the
+    # split+explode is native codegen (no interpreted HOF tower here)
+    # and the groupBy exchanges right after, so the fan-out is a pure
+    # extra shuffle
+    docs = _docs(spark, sf_dir, fan=False)
     toks = docs.select(
         "doc_id",
         F.explode(

@@ -323,13 +323,11 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle algorithm (node-order wedge counting) appears here as
     a < b < c join conditions, which also dedups rotations for free."""
     orders = _t(spark, sf_dir, "orders")
-    # r13 (guide §2.5): fan the fact scan out (four needed columns) —
-    # the three broadcast probes + string least/greatest + fixed-point
-    # revenue math per row otherwise run on one core
-    li = fan_out_narrow(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-        )
+    # r13 quiet-host re-A/B: batch-3 fan-out REVERTED (0.71 unfanned
+    # vs 1.26 fanned) — the broadcast probes are too light to pay for
+    # round-robin-exchanging the 600k raw rows
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")

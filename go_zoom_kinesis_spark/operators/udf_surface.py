@@ -117,9 +117,9 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op at production split counts."""
     for name in ("orders", "customer", "nation"):
         _t(spark, sf_dir, name).createOrReplaceTempView(f"gzk_{name}")
-    fan_out_narrow(_t(spark, sf_dir, "lineitem")).createOrReplaceTempView(
-        "gzk_lineitem"
-    )
+    # r13 quiet-host re-A/B: fan-out REVERTED (0.69 unfanned vs 0.94
+    # fanned) — the fixed-point projection is too light per row
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gzk_lineitem")
     return spark.sql(
         """
         SELECT n_name AS nation_name,

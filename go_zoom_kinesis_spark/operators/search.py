@@ -946,6 +946,16 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = pairs.withColumn(
         "bucket",
         F.pmod(F.hash("block_noun", "block_size"), F.lit(ER_UF_BUCKETS)),
+        # r13 (guide §2.5, the one-partition hazard): the pair relation
+        # is ~110k rows but only a few MB, so AQE's bytes-based
+        # coalescing collapsed the bucket exchange to ONE partition —
+        # serializing every per-bucket union-find through one Python
+        # worker (the 4 single-task stages in the job view). Explicit
+        # hash repartition on the bucket key satisfies applyInPandas's
+        # clustering requirement (no second exchange) and is not
+        # AQE-coalescible; defaultParallelism, not a constant.
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "bucket"
     )
 
     def _resolve(pdf):

@@ -266,6 +266,7 @@ def _normalized_regressions(
     timings: dict[str, float],
     calibration: float,
     sf: float | None,
+    spreads: dict[str, float] | None = None,
 ) -> tuple[dict, list[dict]]:
     """Per-query ratio vs the newest prior BENCH_DETAIL, normalized by
     each run's host-speed yardstick (VERDICT r11 #1a: the r10->r11
@@ -285,6 +286,7 @@ def _normalized_regressions(
     # registry-slice names two rounds back (slices alternate parity) —
     # one backward merge covers both
     prev_by_name: dict[str, tuple[float, float | None, int]] = {}
+    prev_spread: dict[str, float] = {}
     found_any = False
     for p in sorted(glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json"))):
         m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
@@ -302,12 +304,17 @@ def _normalized_regressions(
             continue
         found_any = True
         cal = prev.get("calibration_sec")
+        p_spread = prev.get("run_spread", {})
         for name, sec in {
             **prev.get("queries", {}),
             **prev.get("registry_slice", {}),
         }.items():
             if sec and sec > 0:
                 prev_by_name[name] = (sec, cal, r)  # ascending → newest wins
+                if name in p_spread:
+                    prev_spread[name] = p_spread[name]
+                else:
+                    prev_spread.pop(name, None)
     if not found_any:
         return {"prev_rounds": [], "ratios": {}}, []
     ratios: dict[str, float] = {}
@@ -325,16 +332,23 @@ def _normalized_regressions(
         ratios[name] = round(ratio, 3)
         rounds_used.add(r)
         if ratio > REGRESSION_RATIO_GATE and max(cur, p) >= 0.2:
-            regressions.append(
-                {
-                    "query": name,
-                    "prev_round": r,
-                    "prev_sec": p,
-                    "cur_sec": cur,
-                    "normalized": normalized,
-                    "normalized_ratio": round(ratio, 3),
-                }
-            )
+            row = {
+                "query": name,
+                "prev_round": r,
+                "prev_sec": p,
+                "cur_sec": cur,
+                "normalized": normalized,
+                "normalized_ratio": round(ratio, 3),
+            }
+            # r14 noise bars: the min-of-3 spreads on both sides. A
+            # flag whose cur_spread rivals (cur_sec - prev_sec) is
+            # contention, not a plan change — the r13 adjudication
+            # (10 flags, 8 pure noise), made an artifact.
+            if spreads and name in spreads:
+                row["cur_spread"] = spreads[name]
+            if name in prev_spread:
+                row["prev_spread"] = prev_spread[name]
+            regressions.append(row)
     regressions.sort(key=lambda d: -d["normalized_ratio"])
     return (
         {"prev_rounds": sorted(rounds_used), "ratios": ratios},
@@ -409,10 +423,10 @@ def main() -> None:
     rnd = _round_no(repo)
     slice_names = _registry_slice(list(queries), rnd)
 
-    def time_query(name: str) -> float:
+    def time_query(name: str) -> tuple[float, list[float]]:
         fn = queries.get(name)
         if fn is None:
-            return -1.0
+            return -1.0, []
         # Hermetic per-query measurement: several operators .cache()
         # intermediates (shingle arrays, candidate pairs, parent maps).
         # Left to accumulate across the ~65-query session, those blocks
@@ -431,21 +445,31 @@ def main() -> None:
         # can span two consecutive runs; three keeps sub-second
         # queries from reporting a transient as a regression)
         df.write.format("noop").mode("overwrite").save()
-        dt = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            dt = min(dt, round(time.perf_counter() - t0, 3))
-        return dt
+            runs.append(round(time.perf_counter() - t0, 3))
+        return min(runs), runs
 
+    # r14 (VERDICT r13 #2): per-query NOISE BAR — the spread of the
+    # three timed runs relative to their min. On a 32-thread host with
+    # other tenants, back-to-back identical-code suite runs differ by
+    # ~20%, so a 1.5x min-vs-min ratio alone cannot distinguish a plan
+    # regression from scheduler contention; the spread is measured
+    # evidence of ambient jitter for exactly the runs that produced the
+    # min. Recorded per query in the detail file and quoted on each
+    # regression row (both sides when the prior file carries one).
     timings: dict[str, float] = {}
+    run_spread: dict[str, float] = {}
     total = 0.0
     total_baseline_set = 0.0
     for name in _ALL_HEADLINE:
-        dt = time_query(name)
+        dt, runs = time_query(name)
         timings[name] = dt
         if dt < 0:
             continue
+        run_spread[name] = round(max(runs) - dt, 3)
         total += dt
         if name in HEADLINE:
             total_baseline_set += dt
@@ -455,9 +479,10 @@ def main() -> None:
     slice_timings: dict[str, float] = {}
     slice_total = 0.0
     for name in slice_names:
-        dt = time_query(name)
+        dt, runs = time_query(name)
         slice_timings[name] = dt
         if dt > 0:
+            run_spread[name] = round(max(runs) - dt, 3)
             slice_total += dt
 
     cal_post = _calibration_sec()
@@ -469,6 +494,7 @@ def main() -> None:
         {**timings, **slice_timings},
         calibration,
         float(sf) if sf else None,
+        spreads=run_spread,
     )
 
     detail_file = f"BENCH_DETAIL_r{rnd:02d}.json"
@@ -487,6 +513,9 @@ def main() -> None:
                 "registry_slice": slice_timings,
                 "value_registry_slice": round(slice_total, 3),
                 "registry_slice_parity": rnd % 2,
+                # r14 (VERDICT r13 #2): per-query noise bar — spread
+                # (max - min) of the 3 timed runs behind each min
+                "run_spread": run_spread,
                 # per-query ratio vs each name's newest prior detail
                 # row, normalized by both runs' calibration_sec
                 # (VERDICT r11 #1a)

@@ -73,11 +73,20 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
 _TS_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
 
 
-# Kill switch for the local-layout fan-out (A/B instrument + escape
-# hatch; at production split counts fan_out_narrow is a no-op either
-# way, so this only affects single-file local layouts). Default ON —
-# the driver's bench behavior is unchanged unless explicitly disabled.
-_FAN_OUT_DISABLED = bool(os.environ.get("GZK_FAN_OUT_DISABLE"))
+def _fan_out_disabled() -> bool:
+    """Kill switch for the local-layout fan-out (A/B instrument + escape
+    hatch; at production split counts fan_out_narrow is a no-op either
+    way, so this only affects single-file local layouts). Default ON —
+    the driver's bench behavior is unchanged unless explicitly disabled.
+
+    ADVICE r13: parse the value (``0``/``false``/empty keep the fan-out
+    ON) and read it per call, so tests/sessions can toggle it after
+    import."""
+    return os.environ.get("GZK_FAN_OUT_DISABLE", "").strip().lower() not in (
+        "",
+        "0",
+        "false",
+    )
 
 
 def fan_out_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -89,7 +98,7 @@ def fan_out_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     Inputs already at ≥ cores partitions pass through untouched — at
     100 TB the scan is thousands of splits and this is a no-op (never a
     shuffle of the full raw text)."""
-    if _FAN_OUT_DISABLED:
+    if _fan_out_disabled():
         return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashes as H
-from ..io import fan_out_narrow, load_table
+from ..io import load_table
 from ..persist import pin
 
 CHUNK_SIZE = 120

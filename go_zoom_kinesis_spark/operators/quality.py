@@ -42,39 +42,63 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     column with row/null/distinct counts and min/max rendered as
     strings (lexicographic — the cast precedes the extremum).
 
-    Plan: unpivot FIRST (explode each row into (column_name, value)
-    pairs — a narrow transform inside the scan), then two keyed
-    aggregates: per-value counts (map-side combine collapses to
-    Σ|distinct values| rows), then the per-column rollup where
-    n_distinct is a plain count over the deduped value table. ONE scan
-    and two small exchanges. Measured against the alternatives at
-    sf0.1: fused multi-countDistinct (Expand ×6) 9.0 s, five
-    independent scans 1.1 s, this 1.8 s — and only this shape keeps
-    both the single-scan property (what matters at 100 TB, where I/O
-    dominates) and a bounded shuffle (value-distinct rows, not raw
-    rows).
+    Plan (r14, VERDICT r13 #1 / guide §2.3-§2.4): pin the 5-column
+    projection once (serialized level — it is corpus-scale), then run
+    FIVE NARROW TYPED per-value aggregates — one ``groupBy(col).count``
+    per profiled column, each a whole-stage-codegen hash aggregate
+    keyed by the column's NATIVE type with map-side combine — union
+    the five deduped (column_name, value-as-string, cnt) relations,
+    and finish with the same per-column rollup as before (n_distinct
+    is a plain count over the deduped values). The r4-r13 shape
+    unpivoted first: a 5-way explode + string-cast of every value
+    (3M struct rows at sf0.1) feeding ONE wide string-keyed aggregate
+    — the explode + mixed-type first-level hash aggregate was the
+    measured dominant cost (both typed-unpivot variants failed to
+    remove it in r13: 5-slot struct key slower, 2-slot +11%). The
+    typed branches cast to string only AFTER the dedup (Σ|distinct|
+    casts, not 3M) and keep map-side partials per branch. The pin
+    preserves the single-scan property the unpivot existed for (five
+    lazy branches would re-scan parquet per branch — columnar I/O
+    equal in bytes, but 5x the file opens at 100 TB); eager pins
+    materialize at build like every other pinned operator.
 
-    r13 (guide §2.5): the single-file scan = one partition, so the
-    5-way explode + string-cast of 3M values ran on one core; project
-    the five profiled columns and fan the raw rows out first (no-op at
-    production split counts)."""
-    li = fan_out_narrow(
-        load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    History of measured alternatives at sf0.1: fused
+    multi-countDistinct (Expand ×6) 9.0 s, five independent scans
+    1.1 s, string-unpivot 1.8 s (r4), + projection/fan-out 1.32 s
+    (r13), this form measured against the r13 one in
+    OPTIMIZATION_r14.md."""
+    from pyspark import StorageLevel
+
+    from ..persist import pin
+
+    raw = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    # Pin level is scale-adaptive, the `_star_components` discipline:
+    # a corpus-scale pin takes the SERIALIZED memory+disk level (the
+    # deserialized default inflates rows into object arrays and
+    # re-promotes disk reads into memory — SCALE.md r12 OOM path),
+    # while the tiny single-file local layout keeps the default —
+    # its five branch re-reads deserialize 5x otherwise (measured
+    # +0.2 s of the 0.78 s total at sf0.1). Same metadata signal as
+    # io.fan_out_narrow: a real multi-split scan means real scale.
+    files = raw.inputFiles()
+    big = bool(files) and len(files) >= spark.sparkContext.defaultParallelism
+    li = pin(
+        fan_out_narrow(raw),
+        storage_level=StorageLevel.MEMORY_AND_DISK if big else None,
     )
-    pairs = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column_name"),
-                        F.col(c).cast("string").alias("v"),
-                    )
-                    for c in PROFILE_COLS
-                ]
+    per_val = reduce(
+        DataFrame.unionByName,
+        [
+            li.groupBy(c)
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("v"),
+                "cnt",
             )
-        ).alias("p")
-    ).select("p.*")
-    per_val = pairs.groupBy("column_name", "v").agg(F.count("*").alias("cnt"))
+            for c in PROFILE_COLS
+        ],
+    )
     return per_val.groupBy("column_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.coalesce(

@@ -579,7 +579,20 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.13 → 0.84 s isolated; every node whole-stage-codegen, no boxed
     aggregation buffers at any scale. The group-key exchange the
     window needs replaces the fan-out (the sort parallelism is
-    |groups|, same as percentile()'s final merge)."""
+    |groups|, same as percentile()'s final merge).
+
+    Parity caveats (ADVICE r13): a group whose l_extendedprice is
+    entirely NULL is dropped by the pre-rank isNotNull filter, where
+    the percentile() form would return it with NULL percentiles and
+    its n_rows — unreachable on TPC-H lineitem (the column is
+    non-null), but a divergence from the builtin if reused on nullable
+    data. And the EXACT tier's 100 TB posture: the window exchange is
+    keyed by l_returnflag (3 groups), so the sort parallelism ceiling
+    is |groups| — three spillable codegen sorts of ~N/3 rows each,
+    serial per group (the same final-merge ceiling percentile() had,
+    minus its boxed memory). That is why the docstring's first
+    paragraph declares the approx_percentile swap at 100 TB: the exact
+    tier is for |groups| ≳ cores or bounded N."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import fan_out_narrow, load_table
+from ..io import load_table
 from ..persist import pin
 
 # exact integer predicates shared by the kappa query (documented in

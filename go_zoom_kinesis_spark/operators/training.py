@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import fan_out_narrow, load_table
+from ..io import load_table
 
 K_ANON = 10  # minimum safe equivalence-class size
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType, MapType, StringType
 
-from ..io import fan_out_narrow, load_table
+from ..io import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

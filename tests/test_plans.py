@@ -172,15 +172,20 @@ def test_chunk_documents_zero_shuffle(spark, sf_dir):
 
 
 def test_profile_columns_bounded_exchanges(spark, sf_dir):
-    """Unpivot-first profiling: one scan, at most two aggregation
-    exchanges (per-value counts, per-column rollup) — never the
-    10-exchange union-of-scans shape or the Expand blow-up."""
+    """r14 union-of-typed-aggregates profiling (VERDICT r13 #1): five
+    NARROW TYPED per-value aggregates over ONE pinned projection, then
+    the per-column rollup — never the Expand blow-up, never the wide
+    3M-row mixed-type explode the r4-r13 unpivot paid, and never a
+    per-branch parquet re-scan (the pin keeps the single-scan
+    property)."""
     plan = _plan(spark, sf_dir, "profile_columns")
-    # two aggregation exchanges + (r13) the round-robin scan fan-out;
-    # keyed exchanges stay bounded at two
-    assert plan.count("Exchange") <= 3
-    assert plan.count("hashpartitioning") <= 2
+    # 5 per-branch value exchanges + 1 rollup exchange, all keyed
+    assert plan.count("hashpartitioning") <= 6
     assert "Expand" not in plan
+    # the unpivot's explode is gone — no generator node anywhere
+    assert "Generate" not in plan
+    # the steady plan reads the pinned projection, not parquet, and
+    # reads it once per branch — no second FileScan subtree
     assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1
 
 

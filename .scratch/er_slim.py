@@ -163,12 +163,105 @@ def build_jvm(spark):
     )
 
 
+def build_slim(spark):
+    import pandas as pd
+
+    from go_zoom_kinesis_spark.io import load_table
+    from go_zoom_kinesis_spark.operators.search import (
+        ER_UF_BUCKETS,
+        _keyed_fuzzy_pairs,
+    )
+
+    pairs = _keyed_fuzzy_pairs(spark, SF_DIR).select(
+        F.pmod(F.hash("block_noun", "block_size"), F.lit(ER_UF_BUCKETS)).alias(
+            "bucket"
+        ),
+        "pk_a",
+        "pk_b",
+        "edit_dist",
+    )
+    bucketed = pairs.repartition(
+        spark.sparkContext.defaultParallelism, "bucket"
+    )
+
+    def _resolve(pdf):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        av = pdf["pk_a"].to_numpy()
+        bv = pdf["pk_b"].to_numpy()
+        dv = pdf["edit_dist"].to_numpy()
+        for x, y in zip(av.tolist(), bv.tolist()):
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        members: dict[int, int] = {}
+        for x in parent:
+            r = find(x)
+            members[r] = members.get(r, 0) + 1
+        stats: dict[int, list[int]] = {}
+        for x, d in zip(av.tolist(), dv.tolist()):
+            r = find(x)
+            s = stats.setdefault(r, [0, 0])
+            s[0] += 1
+            s[1] = max(s[1], d)
+        rows = [(r, members[r], s[0], s[1]) for r, s in stats.items()]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "entity_id",
+                "n_members",
+                "n_matched_pairs",
+                "max_intra_edit_dist",
+            ],
+        )
+        return out.astype(
+            {
+                "entity_id": "int64",
+                "n_members": "int64",
+                "n_matched_pairs": "int64",
+                "max_intra_edit_dist": "int32",
+            }
+        )
+
+    ents = bucketed.groupBy("bucket").applyInPandas(
+        _resolve,
+        schema=(
+            "entity_id long, n_members long, "
+            "n_matched_pairs long, max_intra_edit_dist int"
+        ),
+    )
+    part = load_table(spark, SF_DIR, "part").select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return ents.hint("shuffle_hash").join(part, "entity_id").select(
+        "entity_id",
+        "canonical_name",
+        "n_members",
+        "n_matched_pairs",
+        "max_intra_edit_dist",
+    )
+
+
 def main() -> None:
     from go_zoom_kinesis_spark.session import get_spark
 
     spark = get_spark(app_name="gzk-er-ab")
     spark.range(1).count()
-    builders = {"cur": build_cur, "arrow": build_arrow, "jvm": build_jvm}
+    builders = {"cur": build_cur, "arrow": build_arrow, "jvm": build_jvm, "slim": build_slim}
     which = sys.argv[1:] or list(builders)
     outs = {}
     for name in which:

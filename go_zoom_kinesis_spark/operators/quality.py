@@ -43,7 +43,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (lexicographic — the cast precedes the extremum).
 
     Plan (r14, VERDICT r13 #1 / guide §2.3-§2.4): pin the 5-column
-    projection once (serialized level — it is corpus-scale), then run
+    projection once (serialized level at real scale — it is
+    corpus-scale; see the in-body level comment), then run
     FIVE NARROW TYPED per-value aggregates — one ``groupBy(col).count``
     per profiled column, each a whole-stage-codegen hash aggregate
     keyed by the column's NATIVE type with map-side combine — union
